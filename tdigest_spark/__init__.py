@@ -1,0 +1,36 @@
+"""tdigest_spark: a PySpark-native distributed t-digest / mergeable-sketch
+analytics library.
+
+Built from scratch against the behavioral spec of tdunning/TDigest (the
+merging t-digest with K_0..K_3 scale functions, plus log-spaced histograms),
+re-expressed Spark-first: digests are built per partition/group with
+Arrow-vectorized pandas UDFs, merged associatively, and queried through
+registered SQL functions — no per-row Python anywhere.
+
+Public surface:
+- core.MergingDigest / histogram.LogHistogram: the NumPy sketch algebra
+- operators.digest: build/merge/query digests over DataFrames
+- functions: registered SQL UDFs (tdigest_quantile, tdigest_cdf, ...)
+- operators.dedup / similarity / text: web-corpus pipeline operators
+- sources.webpages: deterministic Common-Crawl-style table synthesis
+- checkpoint: resumable per-split digest builds with lineage
+"""
+
+from .core import MergingDigest, merge_all
+from .histogram import LogHistogram, SignedLogHistogram
+from .scale import K_0, K_1, K_2, K_3, SCALES
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "MergingDigest",
+    "merge_all",
+    "LogHistogram",
+    "SignedLogHistogram",
+    "K_0",
+    "K_1",
+    "K_2",
+    "K_3",
+    "SCALES",
+    "__version__",
+]

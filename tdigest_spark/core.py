@@ -1,0 +1,537 @@
+"""MergingDigest: the buffered merging t-digest over NumPy buffers.
+
+A from-scratch implementation of the merging t-digest (Dunning & Ertl,
+"Computing Extremely Accurate Quantiles Using t-Digests", arXiv:1902.04023)
+whose *behavior* matches the reference library tdunning/TDigest
+(`/root/reference/src/TDigest.jl`).  The code is not a port: the reference
+keeps a Julia Vector{Centroid} and merges with a scalar while-loop; here the
+digest holds two flat float64 arrays (means, counts) and compaction walks
+*output clusters* (<= working compression of them) using cumsum+searchsorted,
+so per-sample cost is vectorized NumPy.
+
+Behavioral contract (cited against the reference):
+
+- construction: delta clamped to >=10; max_size = 2*delta + max(50, 5*delta);
+  two-level working compression delta' = sqrt(max_size/(2*delta))*delta
+  (TDigest.jl:110-121).
+- add(): batches chunked at 10_000; NaN rejected; appended as unit-weight
+  centroids; compaction on a temp copy when buffer would exceed max_size
+  (TDigest.jl:130-167).
+- compaction: stable sort, alternating direction on non-forced merges,
+  watermark-prefix reversal for repeated-value stability, greedy k-limit
+  pass that never merges into the first cluster and forces the last
+  centroid to stay a singleton (TDigest.jl:211-333).
+- merge(): weight add + concat; forced ascending compaction at the private
+  compression when oversized (TDigest.jl:184-209; the reference call is
+  mis-arity'd — we implement the documented intent).
+- quantile()/cdf(): boundary conventions and singleton-exclusion
+  interpolation per TDigest.jl:430-630; exact (== rank oracle) while the
+  digest holds only singletons.
+- serialization: the *intended* layouts of TDigest.jl:659-790 (the
+  reference code paths are broken as written); deterministic bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .scale import K_3, SCALE_BY_CODE, SCALE_CODES, ScaleFunction, get_scale
+
+_CHUNK = 10_000  # reference ingestion chunk (TDigest.jl:134-138)
+
+
+class MergingDigest:
+    __slots__ = (
+        "public_compression",
+        "private_compression",
+        "scale",
+        "max_size",
+        "total_weight",
+        "_mean",
+        "_count",
+        "_n",
+        "merge_count",
+        "use_alternating_sort",
+        "watermark",
+        "is_reversed",
+    )
+
+    def __init__(
+        self,
+        compression: float = 100.0,
+        scale: ScaleFunction | str = K_3,
+        max_pending: float | None = None,
+        use_two_level_compression: bool = True,
+    ):
+        compression = float(compression)
+        if compression < 10:
+            compression = 10.0
+        if max_pending is None:
+            max_pending = 5 * compression
+        max_size = int(2 * compression + max(50, max_pending))
+
+        self.public_compression = compression
+        if use_two_level_compression:
+            self.private_compression = float(
+                np.sqrt(max_size / (2 * compression)) * compression
+            )
+        else:
+            self.private_compression = compression
+        self.scale = get_scale(scale)
+        self.max_size = max_size
+        self.total_weight = 0.0
+        # +1 slack: scalar add appends before checking overflow
+        cap = max_size + _CHUNK + 1
+        self._mean = np.empty(cap, dtype=np.float64)
+        self._count = np.empty(cap, dtype=np.float64)
+        self._n = 0
+        self.merge_count = 0
+        self.use_alternating_sort = True
+        self.watermark = 0
+        self.is_reversed = False
+
+    # ------------------------------------------------------------------ state
+
+    def __len__(self) -> int:
+        return self._n
+
+    @property
+    def means(self) -> np.ndarray:
+        return self._mean[: self._n]
+
+    @property
+    def counts(self) -> np.ndarray:
+        return self._count[: self._n]
+
+    # ------------------------------------------------------------------ ingest
+
+    def add(self, values) -> None:
+        """Add a batch of samples (vectorized fit!, TDigest.jl:130-167)."""
+        vals = np.asarray(values, dtype=np.float64).ravel()
+        if vals.size == 0:
+            return
+        if np.isnan(vals).any():
+            raise ValueError("Cannot add NaN to t-digest")
+        for lo in range(0, vals.size, _CHUNK):
+            self._add_chunk(vals[lo : lo + _CHUNK])
+
+    def _add_chunk(self, vals: np.ndarray) -> None:
+        b = vals.size
+        self.total_weight += b
+        if self._n + b > self.max_size:
+            # merge on a logically-temporary tail region: append then compact
+            # (the preallocated buffer has chunk slack, so this mirrors the
+            # reference's merge-on-temp-copy without allocation)
+            self._mean[self._n : self._n + b] = vals
+            self._count[self._n : self._n + b] = 1.0
+            self._n += b
+            self._compact(force=False, compression=self.private_compression)
+        else:
+            self._mean[self._n : self._n + b] = vals
+            self._count[self._n : self._n + b] = 1.0
+            self._n += b
+
+    def add_weighted(self, means, counts) -> None:
+        """Append pre-weighted centroids (used by digest merge)."""
+        means = np.asarray(means, dtype=np.float64).ravel()
+        counts = np.asarray(counts, dtype=np.float64).ravel()
+        b = means.size
+        if b == 0:
+            return
+        self.total_weight += float(counts.sum())
+        if self._n + b > self._mean.size:
+            grow = max(self._mean.size * 2, self._n + b)
+            self._mean = np.resize(self._mean[: self._n], grow)
+            self._count = np.resize(self._count[: self._n], grow)
+        self._mean[self._n : self._n + b] = means
+        self._count[self._n : self._n + b] = counts
+        self._n += b
+        if self._n > self.max_size:
+            self._compact(force=True, compression=self.private_compression)
+
+    def merge(self, other: "MergingDigest") -> "MergingDigest":
+        """Absorb another digest (TDigest.jl:184-209).
+
+        Digest-digest merges always compact ascending (forced) when the
+        combined buffer would exceed max_size — intent of TDigest.jl:197.
+        """
+        self.add_weighted(other.means, other.counts)
+        return self
+
+    # -------------------------------------------------------------- compaction
+
+    def _compact(self, force: bool, compression: float) -> None:
+        """mergeNewValues! (TDigest.jl:228-333), cluster-walk formulation."""
+        n = self._n
+        if n <= 1:
+            return
+        if not (force or n > self.max_size):
+            return
+
+        reverse_order = (
+            not force and self.use_alternating_sort and self.merge_count % 2 == 1
+        )
+        means = self._mean[:n]
+        counts = self._count[:n]
+
+        if self.is_reversed != reverse_order and self.watermark > 0:
+            # keep established equal-mean centroids stable across direction
+            # flips (TDigest.jl:238-243)
+            means[: self.watermark] = means[: self.watermark][::-1]
+            counts[: self.watermark] = counts[: self.watermark][::-1]
+
+        # stable sort; descending = stable ascending sort of negated keys
+        if reverse_order:
+            order = np.argsort(-means, kind="stable")
+        else:
+            order = np.argsort(means, kind="stable")
+        means[:] = means[order]
+        counts[:] = counts[order]
+        self.is_reversed = reverse_order
+
+        if not reverse_order and n < compression:
+            # freshly sorted and small: already a trivial t-digest
+            self.watermark = n
+            return
+
+        self.merge_count += 1
+
+        total = self.total_weight
+        norm = self.scale.normalizer(compression, total)
+        k = self.scale.k
+        q_of_k = self.scale.q
+
+        cw = np.cumsum(counts)
+        out_mean = np.empty(n, dtype=np.float64)
+        out_count = np.empty(n, dtype=np.float64)
+
+        # cluster 0: first centroid alone (never merged into,
+        # TDigest.jl:309-311)
+        out_mean[0] = means[0]
+        out_count[0] = counts[0]
+        to = 1
+        start = 1
+        while start < n:
+            if start == n - 1:
+                # last centroid always survives as its own cluster
+                out_mean[to] = means[start]
+                out_count[to] = counts[start]
+                to += 1
+                break
+            # limit for the cluster starting at `start`: k at the cumulative
+            # weight *before* it, +1 (TDigest.jl:284-299)
+            k0 = float(k(cw[start - 1] / total, norm))
+            limit = total * float(q_of_k(k0 + 1.0, norm))
+            # absorb start+1.. while cumulative weight stays <= limit,
+            # never absorbing the final centroid
+            end = np.searchsorted(cw[: n - 1], limit, side="right") - 1
+            if end < start:
+                end = start
+            w = cw[end] - (cw[start - 1] if start > 0 else 0.0)
+            if end == start:
+                out_mean[to] = means[start]
+            else:
+                seg_m = means[start : end + 1]
+                seg_c = counts[start : end + 1]
+                out_mean[to] = float(np.dot(seg_m, seg_c)) / w
+            out_count[to] = w
+            to += 1
+            start = end + 1
+
+        self._mean[:to] = out_mean[:to]
+        self._count[:to] = out_count[:to]
+        self._n = to
+        self.watermark = to
+        if not to < compression:
+            raise AssertionError(
+                f"Merging was ineffective: {to} clusters at compression {compression}"
+            )
+
+    def _force_ascending(self) -> None:
+        self._compact(force=True, compression=self.private_compression)
+
+    def compress(self) -> None:
+        """Full merge at the *public* compression (TDigest.jl:421-426)."""
+        self._compact(force=True, compression=self.public_compression)
+
+    # ------------------------------------------------------------------ checks
+
+    def check_weights(self) -> bool:
+        """Invariant verifier (TDigest.jl:366-419)."""
+        if self._n == 0:
+            return True
+        if self._n > self.max_size:
+            raise AssertionError("Digest sketch is oversized")
+        if not np.isclose(self.counts.sum(), self.total_weight):
+            raise AssertionError("Digest has lost track of size")
+        means = self.means[::-1] if self.is_reversed else self.means
+        counts = self.counts[::-1] if self.is_reversed else self.counts
+        order = np.argsort(means, kind="stable")
+        means = means[order]
+        counts = counts[order]
+        if not (counts[0] == 1 and counts[-1] == 1):
+            raise AssertionError("Boundary centroid not singleton")
+        norm = self.scale.normalizer(self.public_compression, self.total_weight)
+        q2 = np.cumsum(counts) / self.total_weight
+        q1 = np.concatenate(([0.0], q2[:-1]))
+        k1 = self.scale.k(q1, norm)
+        k2 = self.scale.k(q2, norm)
+        bad = (counts != 1) & (k2 - k1 > 1.0 + 1e-10)
+        if bad.any():
+            i = int(np.argmax(bad))
+            raise AssertionError(
+                f"Weight too large at centroid {i}: q=({q1[i]},{q2[i]}) "
+                f"k=({k1[i]},{k2[i]}) count={counts[i]}"
+            )
+        return True
+
+    # ----------------------------------------------------------------- queries
+
+    def minimum(self) -> float:
+        self._force_ascending()
+        return float(self._mean[0]) if self._n else float("nan")
+
+    def maximum(self) -> float:
+        self._force_ascending()
+        return float(self._mean[self._n - 1]) if self._n else float("nan")
+
+    def quantile(self, q: float) -> float:
+        """Inverse-CDF estimate (TDigest.jl:546-630)."""
+        if q < 0 or q > 1:
+            raise ValueError(f"q should be in [0,1], got {q}")
+        self._force_ascending()
+        n = self._n
+        if n == 0:
+            return float("nan")
+        if n == 1:
+            return float(self._mean[0])
+
+        means = self._mean[:n]
+        counts = self._count[:n]
+        total = self.total_weight
+        index = q * total
+
+        if counts[0] != 1 or counts[n - 1] != 1:
+            raise AssertionError("Boundary centroid not singleton")
+        if index < 1:
+            return float(means[0])
+        if index > total - 1:
+            return float(means[n - 1])
+
+        # weight_so_far[i] = count[0]/2 + sum of pairwise half-weights
+        # through bracket i; find first bracket with w_so_far + dw > index
+        half = (counts[:-1] + counts[1:]) / 2.0  # dw for brackets 0..n-2
+        wsf = np.concatenate(([counts[0] / 2.0], counts[0] / 2.0 + np.cumsum(half[:-1])))
+        # bracket i satisfies wsf[i] + half[i] > index; take the first
+        ends = wsf + half
+        i = int(np.searchsorted(ends, index, side="right"))
+        if i >= n - 1:
+            i = n - 2
+        weight_so_far = float(wsf[i])
+        dw = float(half[i])
+
+        left_unit = 0.0
+        if counts[i] == 1:
+            if index - weight_so_far < 0.5:
+                return float(means[i])
+            left_unit = 0.5
+        right_unit = 0.0
+        if counts[i + 1] == 1:
+            if weight_so_far + dw - index <= 0.5:
+                return float(means[i + 1])
+            right_unit = 0.5
+        z1 = index - weight_so_far - left_unit
+        z2 = weight_so_far + dw - index - right_unit
+        return _weighted_average_sorted(float(means[i]), z2, float(means[i + 1]), z1)
+
+    def quantiles(self, qs) -> np.ndarray:
+        return np.array([self.quantile(float(q)) for q in np.atleast_1d(qs)])
+
+    def cdf(self, x: float) -> float:
+        """Empirical CDF estimate (TDigest.jl:430-544; defect-corrected)."""
+        if np.isnan(x) or np.isinf(x):
+            raise ValueError(f"Invalid value: {x}")
+        self._force_ascending()
+        n = self._n
+        if n == 0:
+            return float("nan")
+        means = self._mean[:n]
+        counts = self._count[:n]
+        total = self.total_weight
+        if n == 1:
+            # reference branch is broken (.center); intent: step at the mean
+            v = float(means[0])
+            return 0.0 if x < v else (1.0 if x > v else 0.5)
+
+        mn = float(means[0])
+        mx = float(means[n - 1])
+        if x < mn:
+            return 0.0
+        if x == mn:
+            w = float(counts[means <= x].sum())
+            return w / 2.0 / total
+        if x > mx:
+            return 1.0
+        if x == mx:
+            return 1.0 - 0.5 / total
+
+        # x strictly inside (min, max): either a run of centroids == x, or
+        # bracketed by c_i < x < c_{i+1} (runs handled by summing equals)
+        lt = means < x
+        eq = means == x
+        weight_so_far = float(counts[lt].sum())
+        if eq.any():
+            dw = float(counts[eq].sum())
+            return (weight_so_far + dw / 2.0) / total
+        i = int(np.searchsorted(means, x, side="left")) - 1  # c_i < x < c_{i+1}
+        c1m, c1c = float(means[i]), float(counts[i])
+        c2m, c2c = float(means[i + 1]), float(counts[i + 1])
+        weight_so_far -= c1c  # weight before c1
+        left_excl = 0.0
+        right_excl = 0.0
+        if c1c == 1:
+            if c2c == 1:
+                return (weight_so_far + 1.0) / total
+            left_excl = 0.5
+        elif c2c == 1:
+            right_excl = 0.5
+        dw = (c1c + c2c) / 2.0
+        dw_no_single = dw - left_excl - right_excl
+        base = weight_so_far + c1c / 2.0 + left_excl
+        return (base + dw_no_single * (x - c1m) / (c2m - c1m)) / total
+
+    def trimmed_mean(self, q1: float, q2: float) -> float:
+        """Mean of the samples with rank in [q1*W, q2*W].
+
+        Not in the reference (north_star addition).  Each centroid spans the
+        cumulative-weight interval [cum_before, cum_before+count]; its
+        contribution is its overlap with the rank window.  In the
+        all-singleton regime this is the exact mean of the rank slice.
+        """
+        if not (0 <= q1 < q2 <= 1):
+            raise ValueError(f"need 0 <= q1 < q2 <= 1, got ({q1}, {q2})")
+        self._force_ascending()
+        if self._n == 0:
+            return float("nan")
+        counts = self.counts
+        means = self.means
+        hi_w = self.total_weight * q2
+        lo_w = self.total_weight * q1
+        cr = np.cumsum(counts)
+        cl = cr - counts
+        overlap = np.minimum(cr, hi_w) - np.maximum(cl, lo_w)
+        overlap = np.clip(overlap, 0.0, None)
+        wsum = float(overlap.sum())
+        if wsum <= 0:
+            return float("nan")
+        return float(np.dot(overlap, means)) / wsum
+
+    # ------------------------------------------------------------------- serde
+
+    VERBOSE_CODE = 1
+    SMALL_CODE = 2
+
+    def to_bytes(self, small: bool = False) -> bytes:
+        """Deterministic serialization (intent of TDigest.jl:659-790).
+
+        VERBOSE: u32 code | u8 scale | f64 min,max | f64 delta | u32 n |
+                 n x (f64 count, f64 mean)           -> 16*n + 32 bytes? no:
+                 16*n + 33 with the scale byte; the published 16n+32 metric
+                 counts the reference header without a scale id.
+        SMALL:   u32 code | u8 scale | f64 min,max | f32 delta | u16 n |
+                 u16 max_size_lo | n x (f32 count, f32 mean)
+        Digests are compressed to the public compression first, so bytes are
+        a pure function of the compacted centroid set.
+        """
+        self.compress()
+        n = self._n
+        mn = float(self._mean[0]) if n else float("nan")
+        mx = float(self._mean[n - 1]) if n else float("nan")
+        scode = SCALE_CODES[self.scale.name]
+        if small:
+            head = struct.pack(
+                "<IBddfHH",
+                self.SMALL_CODE,
+                scode,
+                mn,
+                mx,
+                np.float32(self.public_compression),
+                n,
+                min(self.max_size, 0xFFFF),
+            )
+            body = np.empty(2 * n, dtype="<f4")
+            body[0::2] = self._count[:n]
+            body[1::2] = self._mean[:n]
+            return head + body.tobytes()
+        head = struct.pack(
+            "<IBdddIQ",
+            self.VERBOSE_CODE,
+            scode,
+            mn,
+            mx,
+            self.public_compression,
+            n,
+            int(self.total_weight),
+        )
+        body = np.empty(2 * n, dtype="<f8")
+        body[0::2] = self._count[:n]
+        body[1::2] = self._mean[:n]
+        return head + body.tobytes()
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "MergingDigest":
+        (code,) = struct.unpack_from("<I", buf, 0)
+        if code == cls.VERBOSE_CODE:
+            code, scode, mn, mx, delta, n, _tw = struct.unpack_from("<IBdddIQ", buf, 0)
+            off = struct.calcsize("<IBdddIQ")
+            body = np.frombuffer(buf, dtype="<f8", offset=off, count=2 * n)
+            d = cls(delta, scale=SCALE_BY_CODE[scode])
+            d.add_weighted(body[1::2], body[0::2])
+            return d
+        if code == cls.SMALL_CODE:
+            code, scode, mn, mx, delta, n, _ms = struct.unpack_from("<IBddfHH", buf, 0)
+            off = struct.calcsize("<IBddfHH")
+            body = np.frombuffer(buf, dtype="<f4", offset=off, count=2 * n)
+            d = cls(float(delta), scale=SCALE_BY_CODE[scode])
+            d.add_weighted(body[1::2].astype(np.float64), body[0::2].astype(np.float64))
+            return d
+        raise ValueError(f"Invalid format for serialized t-digest: code={code}")
+
+    def byte_size(self) -> int:
+        self.compress()
+        return len(self.to_bytes(small=False))
+
+    def small_byte_size(self) -> int:
+        self.compress()
+        return len(self.to_bytes(small=True))
+
+
+def _weighted_average_sorted(x1: float, w1: float, x2: float, w2: float) -> float:
+    """Clamped interpolation (TDigest.jl:653-657)."""
+    if x1 > x2:
+        raise AssertionError("Out of order values")
+    x = (x1 * w1 + x2 * w2) / (w1 + w2)
+    return max(x1, min(x, x2))
+
+
+def merge_all(digests, compression=None, scale=None) -> MergingDigest:
+    """Merge an iterable of digests into a fresh one, deterministically.
+
+    The result digest adopts the first digest's parameters unless overridden.
+    While total centroids stay within the buffer bound this is a pure multiset
+    union (associative, order-insensitive after the forced query-time sort);
+    beyond that the caller should fix a canonical order (we sort inputs by
+    their serialized bytes when `canonical=True` semantics are needed).
+    """
+    digests = list(digests)
+    if not digests:
+        return MergingDigest(compression or 100.0, scale=scale or K_3)
+    out = MergingDigest(
+        compression or digests[0].public_compression,
+        scale=scale or digests[0].scale,
+    )
+    for d in digests:
+        out.merge(d)
+    return out

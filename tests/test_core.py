@@ -1,0 +1,305 @@
+"""MergingDigest core tests.
+
+Ports the intent of the reference suites:
+- basic_invariants.jl (checkWeights after fits and merges)
+- cdf_tests.jl (cdf/quantile duality)
+- special-cases.jl (small digests, repeated values, singletons at ends)
+"""
+
+import numpy as np
+import pytest
+
+from tdigest_spark.core import MergingDigest, merge_all
+from tdigest_spark.scale import K_0, K_1, K_2, K_3
+
+from .util import cdf_ref, quantile_ref
+
+RNG = np.random.default_rng(42)
+
+
+# ---------------------------------------------------------------- invariants
+# basic_invariants.jl:16-29 — K_0 is skipped there too
+
+@pytest.mark.parametrize("scale", [K_1, K_2, K_3], ids=lambda s: s.name)
+@pytest.mark.parametrize("n", [1, 10, 100, 1000, 1_000_000])
+def test_fit_invariants(scale, n):
+    d = MergingDigest(50, scale=scale)
+    d.add(RNG.uniform(size=n))
+    assert d.check_weights()
+    d.compress()
+    assert d.check_weights()
+    assert len(d) < d.public_compression or n < d.public_compression
+
+
+@pytest.mark.parametrize("scale", [K_1, K_2, K_3], ids=lambda s: s.name)
+@pytest.mark.parametrize("sizes", [(1, 1000), (1000, 1000), (1000, 0), (100_000, 100_000)])
+def test_merge_invariants(scale, sizes):
+    a = MergingDigest(50, scale=scale)
+    b = MergingDigest(50, scale=scale)
+    a.add(RNG.uniform(size=sizes[0]))
+    if sizes[1]:
+        b.add(RNG.uniform(size=sizes[1]))
+    a.merge(b)
+    assert a.check_weights()
+    assert a.total_weight == sizes[0] + sizes[1]
+
+
+def test_bounded_size():
+    d = MergingDigest(100)
+    d.add(RNG.uniform(size=1_000_000))
+    d.compress()
+    assert len(d) < d.public_compression
+    assert d.check_weights()
+
+
+# ----------------------------------------------------------- cdf_tests.jl
+
+def test_cdf_quantile_duality():
+    data = np.array([1.0, 2.0, 3.0, 4.0])
+    d = MergingDigest(100)
+    d.add(data)
+    eps = 1e-9
+    for v in data:
+        for x in [np.nextafter(v, -np.inf), v, np.nextafter(v, np.inf)]:
+            assert d.cdf(x) == cdf_ref(data, x)
+        q = d.cdf(v)
+        assert d.quantile(q) == v
+
+
+# ------------------------------------------------------- special-cases.jl
+
+def test_small_digest_1():
+    data = [15.0, 20.0, 32.0, 60.0]
+    d = MergingDigest(200)
+    d.add(data)
+    assert d.check_weights()
+    assert abs(d.quantile(0.4) - 20) < 1e-10
+    assert abs(d.quantile(0.25) - 20) < 1e-10
+    assert abs(d.quantile(0.25 - 1e-10) - 15) < 1e-10
+    assert abs(d.quantile(0.5 - 1e-10) - 20) < 1e-10
+    assert abs(d.quantile(0.5) - 32) < 1e-10
+
+
+def test_small_digest_2():
+    data = [245, 246, 247.249, 240, 243, 248, 250, 241, 244, 245, 245, 247,
+            243, 242, 241, 50100, 51246, 52247, 52249, 51240, 53243, 59248,
+            59250, 57241, 56244, 55245, 56245, 575247, 58243, 51242, 54241]
+    d = MergingDigest(50)
+    d.add(data)
+    assert d.check_weights()
+    assert d.quantile(0.5) == quantile_ref(data, 0.5)
+
+
+def test_repeated_values_stable():
+    # issue 114 regression (special-cases.jl:42-76)
+    delta = 100
+    samples = [1.0, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 4, 5, 6, 7]
+    for _ in range(2):
+        h1 = MergingDigest(delta)
+        data = []
+        for _ in range(100):
+            data.extend(samples)
+            h1.add(samples)
+        assert h1.check_weights()
+        h2 = MergingDigest(delta)
+        h1.compress()
+        assert h1.check_weights()
+        h2.merge(h1)
+        assert h2.check_weights()
+        h2.compress()
+        x1 = h1.quantile(0.5)
+        x2 = h2.quantile(0.5)
+        assert abs(quantile_ref(data, 0.5) - x1) <= 0.2
+        assert abs(x1 - x2) <= 0.01
+
+
+def test_all_singletons_exact():
+    # special-cases.jl:83-97: brute-force exactness in the singleton regime
+    data = np.arange(20, dtype=np.float64)
+    d = MergingDigest(100)
+    d.add(data)
+    assert d.check_weights()
+    for x in np.linspace(d.minimum() - 0.1, d.maximum() + 0.1, 2000):
+        assert d.cdf(x) == cdf_ref(data, x), x
+    for q in np.linspace(0, 1, 1001):
+        assert d.quantile(q) == quantile_ref(data, q), q
+
+
+def test_singleton_step_cdf():
+    # special-cases.jl:105-122
+    d = MergingDigest(100)
+    d.add([1.0])
+    d.add([2.0])
+    d.add([3.0])
+    assert d.check_weights()
+    assert d.cdf(1) == 0.5 / 3
+    assert d.cdf(1 + 1e-10) == 1 / 3
+    assert d.cdf(2 - 1e-10) == 1 / 3
+    assert d.cdf(2) == 1.5 / 3
+    assert d.cdf(2 + 1e-10) == 2 / 3
+    assert d.cdf(3 - 1e-10) == 2 / 3
+    assert d.cdf(3) == 2.5 / 3
+    assert d.cdf(3 + 1e-10) == 1.0
+
+
+def test_singleton_at_end():
+    # special-cases.jl:130-223 (condensed)
+    d = MergingDigest(100)
+    d.add([1.0, 2.0, 3.0])
+    assert d.check_weights()
+    assert d.minimum() == 1
+    assert d.maximum() == 3
+    assert len(d) == 3
+    assert d.cdf(0) == 0
+    assert d.cdf(1 - 1e-9) == 0
+    assert abs(d.cdf(1) - 0.5 / 3) < 1e-10
+    assert abs(d.cdf(1 + 1e-10) - 1.0 / 3) < 1e-10
+    assert abs(d.cdf(3 - 1e-9) - 2.0 / 3) < 1e-9
+    assert abs(d.cdf(3) - 2.5 / 3) < 1e-10
+    assert d.cdf(3 + 1e-9) == 1.0
+
+    d.add([1.0])
+    assert d.check_weights()
+    assert abs(cdf_ref([1, 1, 2, 3], 1) - d.cdf(1)) < 1e-12
+
+    # force multi-weight boundary with K_0 then add extremes
+    d = MergingDigest(10, scale=K_0)
+    data = [1.0, 1, 2, 3]
+    d.add(data)
+    assert d.check_weights()
+    for _ in range(100):
+        data.extend([1.0, 2, 3])
+        d.add([1.0, 2, 3])
+    assert d.check_weights()
+
+    d.add([0.0])
+    data.append(0)
+    data.sort()
+    assert len(d) > 0
+    assert d.minimum() == 0.0
+    assert d.counts[0] == 1
+    assert d.cdf(0 - 1e-9) == 0
+    assert abs(d.cdf(0) - cdf_ref(data, 0)) < 1e-10
+    assert abs(d.cdf(1e-9) - cdf_ref(data, 1e-9)) < 1e-10
+    assert d.quantile(0) == 0
+    assert d.means[0] == 0.0
+
+    d.add([4.0])
+    assert d.check_weights()
+    data.append(4)
+    data.sort()
+    x = d.maximum()
+    assert d.counts[-1] == 1.0
+    assert d.means[-1] == 4
+    assert d.cdf(x + 1e-9) == cdf_ref(data, x + 1e-9)
+    assert abs(d.cdf(x) - cdf_ref(data, x)) < 1e-12
+    assert abs(d.cdf(x - 1e-9) - cdf_ref(data, x - 1e-9)) < 1e-12
+    assert d.quantile(1) == 4.0
+
+
+def test_issue_167_repeated_values():
+    # special-cases.jl:228-249
+    d = MergingDigest(100)
+    data = []
+    for _ in range(2):
+        d.add([9000.0])
+        data.append(9000)
+    assert d.check_weights()
+    for _ in range(11):
+        d.add([3000.0])
+        data.append(3000)
+    assert d.check_weights()
+    for _ in range(26):
+        d.add([1000.0])
+        data.append(1000)
+    assert d.check_weights()
+    assert d.quantile(0.9) == quantile_ref(data, 0.9)
+    assert d.quantile(0.95) == quantile_ref(data, 0.95)
+
+
+# ------------------------------------------------------------------- misc
+
+def test_nan_rejected():
+    d = MergingDigest(100)
+    with pytest.raises(ValueError):
+        d.add([1.0, float("nan")])
+    with pytest.raises(ValueError):
+        d.cdf(float("nan"))
+    with pytest.raises(ValueError):
+        d.quantile(1.5)
+
+
+def test_empty_digest():
+    d = MergingDigest(100)
+    assert np.isnan(d.quantile(0.5))
+    assert np.isnan(d.cdf(1.0))
+    assert d.check_weights()
+
+
+def test_compression_clamped():
+    d = MergingDigest(3)
+    assert d.public_compression == 10
+    assert d.max_size == 2 * 10 + 50
+
+
+def test_min_max():
+    d = MergingDigest(100)
+    vals = RNG.normal(size=10_000)
+    d.add(vals)
+    assert d.minimum() == vals.min()
+    assert d.maximum() == vals.max()
+
+
+def test_accuracy_vs_delta():
+    """Published bound: relative rank error ~O(1/delta), exact at q->0/1."""
+    vals = RNG.normal(size=100_000)
+    svals = np.sort(vals)
+    for delta in [50, 100, 200]:
+        d = MergingDigest(delta)
+        d.add(vals)
+        d.compress()
+        for q in [0.0001, 0.001, 0.01, 0.1, 0.5, 0.9, 0.99, 0.999, 0.9999]:
+            est = d.quantile(q)
+            # rank error: |rank(est)/n - q|
+            rank = np.searchsorted(svals, est) / svals.size
+            err = abs(rank - q)
+            scale_err = min(q, 1 - q)
+            assert err <= max(10.0 / delta * max(scale_err, 0.01), 3e-4), (
+                delta, q, err)
+        assert d.quantile(0) == svals[0]
+        assert d.quantile(1) == svals[-1]
+
+
+def test_trimmed_mean_singleton_exact():
+    vals = np.arange(10, dtype=np.float64)
+    d = MergingDigest(100)
+    d.add(vals)
+    # window [1,9) over ranks -> mean of sorted[1..8]
+    assert d.trimmed_mean(0.1, 0.9) == np.mean(vals[1:9])
+    assert d.trimmed_mean(0.0, 1.0) == np.mean(vals)
+
+
+def test_trimmed_mean_approx():
+    vals = RNG.normal(size=50_000)
+    d = MergingDigest(200)
+    d.add(vals)
+    svals = np.sort(vals)
+    lo, hi = int(0.05 * len(svals)), int(0.95 * len(svals))
+    exact = svals[lo:hi].mean()
+    assert abs(d.trimmed_mean(0.05, 0.95) - exact) < 0.01
+
+
+def test_merge_all():
+    parts = []
+    allv = []
+    for i in range(8):
+        v = RNG.uniform(size=1000)
+        allv.append(v)
+        p = MergingDigest(100)
+        p.add(v)
+        parts.append(p)
+    merged = merge_all(parts)
+    assert merged.check_weights()
+    assert merged.total_weight == 8000
+    allv = np.concatenate(allv)
+    assert abs(merged.quantile(0.5) - np.quantile(allv, 0.5)) < 0.02

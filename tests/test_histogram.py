@@ -1,0 +1,124 @@
+"""LogHistogram tests ported from /root/reference/test/histogram.jl
+(minus the Simple64 codec, which we deliberately don't port — parquet
+compression covers count arrays at rest)."""
+
+import numpy as np
+import pytest
+
+from tdigest_spark.histogram import LogHistogram, SignedLogHistogram, approx_log2, pow2
+
+RNG = np.random.default_rng(42)
+
+
+def test_bin_structure():
+    # histogram.jl:23-31: [1, 100] at default eps=0.1 -> ~50 bins
+    h = LogHistogram(1.0, 100.0)
+    assert 45 <= len(h.counts) <= 55
+
+
+def test_approx_log2_accuracy():
+    # histogram.jl:78-87: error <= 0.01 over 12 decades; exact at powers of 2
+    x = np.exp(np.linspace(np.log(1e-6), np.log(1e6), 100_000))
+    err = np.abs(approx_log2(x) - np.log2(x))
+    assert err.max() <= 0.01
+    powers = 2.0 ** np.arange(-20, 21)
+    np.testing.assert_allclose(approx_log2(powers), np.arange(-20, 21), atol=1e-12)
+
+
+def test_pow2_round_trip():
+    # histogram.jl:89-96: pow2(approxLog2(x)) == x within 1e-13 relative
+    x = np.exp(np.linspace(np.log(1e-6), np.log(1e6), 10_000))
+    rt = pow2(approx_log2(x))
+    assert np.max(np.abs(rt / x - 1)) < 1e-13
+
+
+def test_approx_log2_monotone():
+    x = np.exp(np.linspace(np.log(1e-6), np.log(1e6), 100_000))
+    assert np.all(np.diff(approx_log2(x)) >= 0)
+
+
+def test_bin_bounds_ratio():
+    # histogram.jl:98-108: adjacent bound ratio in (1.08, 1.12) at eps=0.1
+    h = LogHistogram(0.001, 100.0, 0.1)
+    assert len(h.counts) == pytest.approx(122, abs=5)
+    b = h.bounds()
+    ratios = b[1:] / b[:-1]
+    assert ratios.min() > 1.08
+    assert ratios.max() < 1.12
+
+
+def test_counts_and_clamping():
+    h = LogHistogram(1.0, 100.0)
+    h.add([0.5, 1.0, 10.0, 99.0, 150.0])
+    assert h.counts.sum() == 5
+    assert h.counts[0] >= 2      # below-min clamped into first bin
+    assert h.counts[-1] >= 1     # above-max clamped into last bin
+
+
+def test_statistical_bins():
+    # histogram.jl:110-124: bin counts vs Normal(4,1) density within
+    # binomial std-error bounds (loosened to 6 sigma for a seeded test)
+    from math import erf, sqrt
+
+    def norm_cdf(z):
+        return 0.5 * (1 + erf(z / sqrt(2)))
+
+    h = LogHistogram(0.1, 20.0)
+    n = 100_000
+    data = RNG.normal(4.0, 1.0, size=n)
+    data = np.clip(data, 0.11, 19.9)
+    h.add(data)
+    bounds = np.concatenate([h.bounds(), [h.lower_bound(len(h.counts))]])
+    for i in range(len(h.counts)):
+        p = norm_cdf((bounds[i + 1] - 4) / 1.0) - norm_cdf((bounds[i] - 4) / 1.0)
+        se = np.sqrt(max(p * (1 - p) * n, 1.0))
+        assert abs(h.counts[i] - p * n) <= 6 * se + 10
+
+
+def test_merge_conformal():
+    a = LogHistogram(1.0, 100.0)
+    b = LogHistogram(1.0, 100.0)
+    a.add(RNG.uniform(1, 100, 1000))
+    b.add(RNG.uniform(1, 100, 1000))
+    tot = a.counts + b.counts
+    a.merge(b)
+    np.testing.assert_array_equal(a.counts, tot)
+    c = LogHistogram(1.0, 200.0)
+    with pytest.raises(ValueError):
+        a.merge(c)
+
+
+def test_signed_histogram():
+    h = SignedLogHistogram(1.0, 100.0)
+    h.add([-5.0, 5.0, -50.0, 50.0, 2.0])
+    pos, neg = h.counts
+    assert pos.sum() == 3
+    assert neg.sum() == 2
+    h2 = SignedLogHistogram(1.0, 100.0)
+    h2.add([-1.0, 1.0])
+    h.merge(h2)
+    pos, neg = h.counts
+    assert pos.sum() == 4
+    assert neg.sum() == 3
+
+
+def test_quantile_cdf():
+    h = LogHistogram(1.0, 1000.0)
+    data = RNG.uniform(1, 1000, 50_000)
+    h.add(data)
+    # ~10% bins: quantile accurate to a bin width
+    for q in [0.1, 0.5, 0.9]:
+        est = h.quantile(q)
+        exact = np.quantile(data, q)
+        assert abs(est / exact - 1) < 0.15
+    for x in [10.0, 100.0, 500.0]:
+        assert abs(h.cdf(x) - np.mean(data <= x)) < 0.07
+
+
+def test_ctor_validation():
+    with pytest.raises(ValueError):
+        LogHistogram(1.0, 1.5)      # max <= 2*min
+    with pytest.raises(ValueError):
+        LogHistogram(-1.0, 100.0)   # non-positive
+    with pytest.raises(ValueError):
+        LogHistogram(1.0, 100.0, 1e-9)  # eps out of range
