@@ -1,0 +1,259 @@
+"""Distributed t-digest aggregation over DataFrames.
+
+The reference library IS a partial+final aggregation (SURVEY.md §2.2):
+update = vectorized fit over a batch, merge = digest ⊕ digest, evaluate =
+compress + quantile/cdf.  Spark-first mapping:
+
+    stage 1 (update):  groupBy(keys + salt).applyInPandas(build)
+                       — one digest per (group, salt); Arrow delivers
+                       10k-row batches, the same amortization granularity
+                       as the reference's ingestion chunking
+    stage 2 (merge):   groupBy(keys).applyInPandas(merge)
+                       — digests are ~8·delta bytes, so the shuffle moves
+                       KBs per group regardless of input size
+    evaluate:          scalar pandas UDFs over the digest column
+                       (tdigest_quantile / tdigest_cdf / ...)
+
+Scale notes (100 TB / 1000 executors):
+- The only full-data shuffle is stage 1's groupBy. With `salt=S`, a skewed
+  group (e.g. lang='en' at 60% of a trillion rows) splits into S reducers;
+  merge cost is S tiny digests. AQE skew handling stays on as backstop.
+- `build_partials_per_partition` (mapInPandas) skips the stage-1 shuffle
+  entirely when no grouping is needed: each input split emits one digest
+  row, and only digest rows ever shuffle. This is the 100 TB fast path.
+- Merge order is canonicalized (sort by salt/split id) so re-runs are
+  byte-identical; within the singleton regime ANY order is byte-identical
+  (tests/test_determinism.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..core import MergingDigest
+from ..scale import get_scale
+
+_VALUE = "__td_value"
+_SALT = "__td_salt"
+DIGEST_FIELDS = "digest binary, n_rows long"
+
+
+def _build_digest(values: np.ndarray, delta: float, scale: str) -> MergingDigest:
+    d = MergingDigest(delta, scale=get_scale(scale))
+    vals = values[~np.isnan(values)]
+    if vals.size:
+        d.add(vals)
+    return d
+
+
+def build_partials(
+    df: DataFrame,
+    value_col,
+    by: Sequence[str] = (),
+    delta: float = 100.0,
+    scale: str = "K_3",
+    salt: int = 0,
+) -> DataFrame:
+    """Stage-1 digest build: one digest row per (group, salt bucket).
+
+    `value_col` may be a column name or a Column expression. `salt > 1`
+    splits each group into `salt` sub-digests keyed by a hash of the value
+    (deterministic w.r.t. data, independent of input partitioning), which
+    un-skews hot groups like Zipf-heavy `lang` at the cost of `salt` extra
+    KB-sized rows in stage 2.
+    """
+    keys = list(by)
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    proj = [F.col(k) for k in keys] + [value.cast("double").alias(_VALUE)]
+    sdf = df.select(*proj)
+    group_cols = list(keys)
+    if salt and salt > 1:
+        sdf = sdf.withColumn(
+            _SALT, F.pmod(F.xxhash64(F.col(_VALUE)), F.lit(salt)).cast("int")
+        )
+    else:
+        sdf = sdf.withColumn(_SALT, F.lit(0))
+    group_cols.append(_SALT)
+
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields
+        if f.name in keys
+    )
+    out_schema = ", ".join(
+        x for x in (key_schema, f"{_SALT} int", DIGEST_FIELDS) if x
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf[_VALUE].to_numpy(dtype=np.float64)
+        d = _build_digest(vals, delta, scale)
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row[_SALT] = [pdf[_SALT].iloc[0]]
+        row["digest"] = [d.to_bytes()]
+        row["n_rows"] = [int(np.count_nonzero(~np.isnan(vals)))]
+        return pd.DataFrame(row)
+
+    return sdf.groupBy(*group_cols).applyInPandas(build, schema=out_schema)
+
+
+def build_partials_per_partition(
+    df: DataFrame,
+    value_col,
+    delta: float = 100.0,
+    scale: str = "K_3",
+) -> DataFrame:
+    """Shuffle-free stage 1 for ungrouped digests: mapInPandas emits ONE
+    digest row per input partition (the 100 TB fast path — the raw data
+    never crosses the network; only ~KB digest rows do)."""
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    sdf = df.select(value.cast("double").alias(_VALUE)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+
+    def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        d = None
+        pid = -1
+        n = 0
+        for pdf in batches:
+            vals = pdf[_VALUE].to_numpy(dtype=np.float64)
+            vals = vals[~np.isnan(vals)]
+            if d is None:
+                d = MergingDigest(delta, scale=get_scale(scale))
+                if len(pdf):
+                    pid = int(pdf["__pid"].iloc[0])
+            if vals.size:
+                d.add(vals)
+                n += vals.size
+        if d is not None:
+            yield pd.DataFrame(
+                {_SALT: [pid], "digest": [d.to_bytes()], "n_rows": [n]}
+            )
+
+    return sdf.mapInPandas(per_partition, schema=f"{_SALT} int, {DIGEST_FIELDS}")
+
+
+def merge_partials(
+    partials: DataFrame,
+    by: Sequence[str] = (),
+    fanin: int = 64,
+    stages: int = 1,
+) -> DataFrame:
+    """Stage-2 merge: combine digest rows down to one per group.
+
+    Merge order is canonical (ascending salt) so results are reproducible
+    across runs and cluster sizes.  With very high partial counts (e.g.
+    100k input splits feeding a global digest), set `stages=2`: a first
+    pass merges within `salt % fanin` buckets in parallel — a DataFrame
+    rendering of `treeAggregate(depth=2)` — before the final single-group
+    pass touches only `fanin` rows.
+    """
+    keys = list(by)
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in partials.schema.fields
+        if f.name in keys
+    )
+    out_schema = ", ".join(x for x in (key_schema, f"{_SALT} int", DIGEST_FIELDS) if x)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(_SALT, kind="stable")
+        digests = [MergingDigest.from_bytes(b) for b in pdf["digest"]]
+        out = digests[0]
+        for d in digests[1:]:
+            out.merge(d)
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row[_SALT] = [int(pdf[_SALT].min())]
+        row["digest"] = [out.to_bytes()]
+        row["n_rows"] = [int(pdf["n_rows"].sum())]
+        return pd.DataFrame(row)
+
+    cur = partials
+    if stages > 1:
+        bucket_keys = keys + ["__bucket"]
+        cur = cur.withColumn("__bucket", F.pmod(F.col(_SALT), F.lit(fanin)))
+        bschema = ", ".join(
+            x for x in (key_schema, "__bucket int", f"{_SALT} int", DIGEST_FIELDS) if x
+        )
+
+        def merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = merge(pdf.drop(columns=["__bucket"]))
+            out["__bucket"] = pdf["__bucket"].iloc[0]
+            return out[[*keys, "__bucket", _SALT, "digest", "n_rows"]]
+
+        cur = cur.groupBy(*bucket_keys).applyInPandas(merge_bucket, schema=bschema)
+        cur = cur.drop("__bucket")
+
+    merged = cur.groupBy(*keys).applyInPandas(merge, schema=out_schema)
+    return merged.drop(_SALT)
+
+
+def digest_by(
+    df: DataFrame,
+    value_col,
+    by: Sequence[str] = (),
+    delta: float = 100.0,
+    scale: str = "K_3",
+    salt: int = 0,
+) -> DataFrame:
+    """Convenience: grouped digest build+merge. Returns (by..., digest, n_rows)."""
+    partials = build_partials(df, value_col, by=by, delta=delta, scale=scale, salt=salt)
+    return merge_partials(partials, by=by)
+
+
+def digest_of(
+    df: DataFrame,
+    value_col,
+    delta: float = 100.0,
+    scale: str = "K_3",
+    fanin: int = 64,
+    stages: int = 1,
+) -> MergingDigest:
+    """Whole-column digest, driver-side result. Map-side build per partition
+    (no data shuffle), tree merge of KB-sized digest rows."""
+    partials = build_partials_per_partition(df, value_col, delta=delta, scale=scale)
+    merged = merge_partials(partials, by=(), fanin=fanin, stages=stages)
+    rows = merged.collect()
+    if not rows:
+        return MergingDigest(delta, scale=get_scale(scale))
+    return MergingDigest.from_bytes(bytes(rows[0]["digest"]))
+
+
+def quantiles_of(
+    digests: DataFrame,
+    qs: Iterable[float],
+    by: Sequence[str] = (),
+    value_name: str = "quantile",
+) -> DataFrame:
+    """Expand a digest table to one row per (group, q) with the estimate.
+
+    Declarative shape: cross-join with a literal q array (broadcast by
+    Catalyst — it is a single-column local relation), then one scalar
+    pandas UDF evaluates the digest."""
+    from ..functions import tdigest_quantile_udf
+
+    qs = [float(q) for q in qs]
+    out = digests.select(
+        *by, "digest", F.explode(F.array(*[F.lit(q) for q in qs])).alias("q")
+    )
+    return out.select(
+        *by, "q", tdigest_quantile_udf(F.col("digest"), F.col("q")).alias(value_name)
+    )
+
+
+def cdfs_of(
+    digests: DataFrame,
+    xs: Iterable[float],
+    by: Sequence[str] = (),
+    value_name: str = "cdf",
+) -> DataFrame:
+    from ..functions import tdigest_cdf_udf
+
+    xs = [float(x) for x in xs]
+    out = digests.select(
+        *by, "digest", F.explode(F.array(*[F.lit(x) for x in xs])).alias("x")
+    )
+    return out.select(
+        *by, "x", tdigest_cdf_udf(F.col("digest"), F.col("x")).alias(value_name)
+    )

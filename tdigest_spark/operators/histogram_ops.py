@@ -1,0 +1,89 @@
+"""Distributed LogHistogram aggregation.
+
+Histogram merge is element-wise addition of conformal count vectors
+(LogHistogram.jl:92-122) — fully expressible with built-in Spark
+operators, no Python on the merge path:
+
+    stage 1: applyInPandas builds one count vector per (group, salt)
+    stage 2: posexplode → groupBy(keys, pos).sum → re-assemble with
+             sort_array(collect_list(struct(pos, cnt)))  — all JVM-side
+
+At 100 TB the stage-2 shuffle carries (groups × bins) longs, independent
+of row count.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..histogram import LogHistogram
+
+_VALUE = "__lh_value"
+
+
+def histogram_by(
+    df: DataFrame,
+    value_col,
+    min_value: float,
+    max_value: float,
+    by: Sequence[str] = (),
+    epsilon: float = 0.1,
+) -> DataFrame:
+    """Grouped log-histogram: returns (by..., counts array<long>, n_rows)."""
+    keys = list(by)
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    sdf = df.select(*[F.col(k) for k in keys], value.cast("double").alias(_VALUE))
+    n_bins = len(LogHistogram(min_value, max_value, epsilon).counts)
+
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in sdf.schema.fields
+        if f.name in keys
+    )
+    part_schema = ", ".join(
+        x for x in (key_schema, "counts array<bigint>, n_rows bigint") if x
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = LogHistogram(min_value, max_value, epsilon)
+        vals = pdf[_VALUE].to_numpy(dtype=np.float64)
+        vals = vals[~np.isnan(vals) & (vals > 0)]
+        h.add(vals)
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row["counts"] = [h.counts.tolist()]
+        row["n_rows"] = [int(vals.size)]
+        return pd.DataFrame(row)
+
+    # stage 1: per (group, partition-chunk) partial vectors.  The grouping
+    # includes spark_partition_id so no single task sees a whole hot group.
+    salted = sdf.withColumn("__pid", F.spark_partition_id())
+    partials = salted.groupBy(*keys, "__pid").applyInPandas(
+        lambda pdf: build(pdf.drop(columns="__pid")), schema=part_schema
+    )
+
+    # stage 2: JVM-side vector sum via posexplode + re-assembly
+    exploded = partials.select(
+        *keys, F.col("n_rows"), F.posexplode("counts").alias("pos", "cnt")
+    )
+    summed = exploded.groupBy(*keys, "pos").agg(
+        F.sum("cnt").alias("cnt"), F.sum("n_rows").alias("nr")
+    )
+    out = summed.groupBy(*keys).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "cnt"))), lambda s: s["cnt"]
+        ).alias("counts"),
+        (F.sum("nr") / F.lit(n_bins)).cast("bigint").alias("n_rows"),
+    )
+    return out
+
+
+def histogram_quantile(counts: list, min_value: float, max_value: float,
+                       q: float, epsilon: float = 0.1) -> float:
+    """Driver-side quantile from a counts row."""
+    h = LogHistogram(min_value, max_value, epsilon)
+    h.counts = np.asarray(counts, dtype=np.int64)
+    return h.quantile(q)

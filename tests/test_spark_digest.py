@@ -1,0 +1,151 @@
+"""End-to-end Spark digest tests: distributed build+merge equals a local
+digest over the same values (byte-identical in the canonical path), and
+quantiles match the exact oracle in the singleton regime."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tdigest_spark.core import MergingDigest
+from tdigest_spark.operators import (
+    build_partials,
+    build_partials_per_partition,
+    digest_by,
+    digest_of,
+    merge_partials,
+    quantiles_of,
+)
+
+from .conftest import SF_DIR
+from .util import quantile_ref
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet").cache()
+
+
+def test_global_digest_matches_oracle(spark, lineitem):
+    vals = np.array([r[0] for r in lineitem.select("l_quantity").collect()])
+    d = digest_of(lineitem, "l_quantity", delta=100)
+    assert d.total_weight == len(vals)
+    sv = np.sort(vals)
+    for q in [0.01, 0.5, 0.99]:
+        est = d.quantile(q)
+        rank = np.searchsorted(sv, est, side="right") / sv.size
+        assert abs(rank - q) <= 0.02, (q, est, rank)
+    assert d.quantile(0.0) == sv[0]
+    assert d.quantile(1.0) == sv[-1]
+    assert d.check_weights()
+
+
+def test_grouped_digest_singleton_exact(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    digests = digest_by(docs, "n_chars", by=["lang"], delta=500)
+    rows = {r["lang"]: r for r in digests.collect()}
+    pdf = docs.select("lang", "n_chars").toPandas()
+    for lang, grp in pdf.groupby("lang"):
+        d = MergingDigest.from_bytes(bytes(rows[lang]["digest"]))
+        vals = grp["n_chars"].to_numpy(dtype=float)
+        assert d.total_weight == len(vals)
+        for q in [0.1, 0.5, 0.9]:
+            assert d.quantile(q) == quantile_ref(vals, q), (lang, q)
+
+
+def test_salted_build_same_result_in_singleton_regime(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plain = digest_by(docs, "n_chars", by=["lang"], delta=500, salt=0)
+    salted = digest_by(docs, "n_chars", by=["lang"], delta=500, salt=8)
+    a = {r["lang"]: bytes(r["digest"]) for r in plain.collect()}
+    b = {r["lang"]: bytes(r["digest"]) for r in salted.collect()}
+    # singleton regime: pure multiset union -> byte-identical however split
+    assert a == b
+
+
+def test_quantiles_of_table(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    digests = digest_by(docs, "n_chars", by=["lang"], delta=500)
+    out = quantiles_of(digests, [0.5, 0.9], by=["lang"]).collect()
+    langs = {r["lang"] for r in out}
+    assert len(out) == 2 * len(langs)
+    pdf = docs.select("lang", "n_chars").toPandas()
+    for r in out:
+        grp = pdf[pdf["lang"] == r["lang"]]["n_chars"].to_numpy(dtype=float)
+        assert r["quantile"] == quantile_ref(grp, r["q"])
+
+
+def test_sql_registration(spark):
+    from tdigest_spark.functions import register_sql_functions
+
+    register_sql_functions(spark)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    digest_by(docs, "n_chars", by=["lang"], delta=500).createOrReplaceTempView(
+        "doc_digests"
+    )
+    rows = spark.sql(
+        """SELECT lang, tdigest_quantile(digest, 0.5) AS p50,
+                  tdigest_cdf(digest, 1000.0) AS cdf_1k,
+                  tdigest_total_weight(digest) AS n,
+                  tdigest_min(digest) AS mn, tdigest_max(digest) AS mx
+           FROM doc_digests"""
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["mn"] <= r["p50"] <= r["mx"]
+        assert 0.0 <= r["cdf_1k"] <= 1.0
+        assert r["n"] > 0
+
+
+def test_two_stage_merge_equals_single_stage(spark, lineitem):
+    partials = build_partials_per_partition(lineitem, "l_extendedprice", delta=100)
+    partials = partials.cache()
+    one = merge_partials(partials, by=(), stages=1).collect()[0]
+    two = merge_partials(partials, by=(), fanin=4, stages=2).collect()[0]
+    d1 = MergingDigest.from_bytes(bytes(one["digest"]))
+    d2 = MergingDigest.from_bytes(bytes(two["digest"]))
+    assert d1.total_weight == d2.total_weight == one["n_rows"] == two["n_rows"]
+    # different merge trees: invariants + error-bound equivalence
+    assert d1.check_weights() and d2.check_weights()
+    for q in [0.01, 0.5, 0.99]:
+        assert abs(d1.quantile(q) - d2.quantile(q)) <= max(
+            0.02 * abs(d1.quantile(q)), 1e-6
+        )
+
+
+def test_deterministic_across_runs(spark, lineitem):
+    a = digest_by(lineitem, "l_extendedprice", by=["l_returnflag"], delta=100)
+    b = digest_by(lineitem, "l_extendedprice", by=["l_returnflag"], delta=100)
+    da = {r["l_returnflag"]: bytes(r["digest"]) for r in a.collect()}
+    db = {r["l_returnflag"]: bytes(r["digest"]) for r in b.collect()}
+    assert da == db
+
+
+def test_nulls_ignored(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, None), (1, 2.0), (2, None)], "k int, v double"
+    )
+    out = digest_by(df, "v", by=["k"], delta=100).collect()
+    rows = {r["k"]: r for r in out}
+    assert rows[1]["n_rows"] == 2
+    d1 = MergingDigest.from_bytes(bytes(rows[1]["digest"]))
+    assert d1.total_weight == 2
+    d2 = MergingDigest.from_bytes(bytes(rows[2]["digest"]))
+    assert d2.total_weight == 0
+
+
+def test_histogram_by(spark, lineitem):
+    from tdigest_spark.histogram import LogHistogram
+    from tdigest_spark.operators import histogram_by
+
+    out = histogram_by(
+        lineitem, "l_extendedprice", 900.0, 110_000.0, by=["l_returnflag"]
+    ).collect()
+    pdf = lineitem.select("l_returnflag", "l_extendedprice").toPandas()
+    for r in out:
+        grp = pdf[pdf["l_returnflag"] == r["l_returnflag"]][
+            "l_extendedprice"
+        ].to_numpy(dtype=float)
+        h = LogHistogram(900.0, 110_000.0)
+        h.add(grp[grp > 0])
+        assert list(h.counts) == list(r["counts"]), r["l_returnflag"]
+        assert r["n_rows"] == (grp > 0).sum()
