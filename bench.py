@@ -1,0 +1,138 @@
+"""Headline benchmark: one JSON line on stdout.
+
+Runs the flagship operators at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS].  Each query is timed end-to-end (plan + execute
++ collect); `docs_per_sec` reports ingest throughput of the global
+t-digest build+merge over lineitem (the BASELINE.md north metric).
+
+Usage: python bench.py            # one JSON line
+       python bench.py --verbose  # plus per-query stderr progress
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+VERBOSE = "--verbose" in sys.argv
+
+
+def log(msg: str) -> None:
+    if VERBOSE:
+        print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from tdigest_spark.operators import digest, histogram_ops
+    from tdigest_spark.operators.dedup import simhash64
+    from tdigest_spark.operators.similarity import cosine_topk
+    from tdigest_spark.plans import get_spark
+    from tdigest_spark import queries as Q
+    from tdigest_spark.sources import load_table
+
+    spark = get_spark(app_name="tdigest_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + Python worker pool so q1 doesn't pay startup cost
+    spark.range(1_000_000).select(F.sum("id")).collect()
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    docs = load_table(spark, SF_DIR, "documents")
+    ev = load_table(spark, SF_DIR, "events")
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n_li = li.count()
+    n_docs = docs.count()
+
+    timings: dict[str, float] = {}
+
+    def bench(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        log(f"{name}: {timings[name]:.2f}s")
+
+    # 1. global t-digest over lineitem: shuffle-free partial build
+    #    (mapInPandas per partition) + canonical merge + quantiles
+    def global_digest():
+        partials = digest.build_partials_per_partition(
+            li, "l_extendedprice", delta=100.0
+        )
+        merged = digest.merge_partials(partials, by=())
+        digest.quantiles_of(merged, (0.001, 0.01, 0.5, 0.99, 0.999), by=()).collect()
+
+    bench("tdigest_global_lineitem", global_digest)
+    digest_build_sec = timings["tdigest_global_lineitem"]
+
+    # 2. salted grouped digest (skew-safe two-stage aggregation)
+    def grouped_digest():
+        d = digest.digest_by(docs, "n_chars", by=["lang"], delta=200.0, salt=8)
+        digest.quantiles_of(d, (0.5, 0.9, 0.99), by=["lang"]).collect()
+
+    bench("tdigest_by_lang_salted", grouped_digest)
+
+    # 3. grouped digest over events (bigger groups, same δ regime)
+    bench(
+        "tdigest_events_by_type",
+        lambda: digest.quantiles_of(
+            digest.digest_by(ev, "value", by=["event_type"], delta=100.0),
+            (0.5, 0.9, 0.99),
+            by=["event_type"],
+        ).collect(),
+    )
+
+    # 4. log-histogram with JVM-side vector-sum merge
+    bench(
+        "loghistogram_events",
+        lambda: histogram_ops.histogram_by(
+            ev, "value", 0.01, 500.0, by=["event_type"]
+        ).collect(),
+    )
+
+    # 5. MinHash-LSH near-dup pipeline (shingle -> sign -> band -> join -> verify)
+    bench(
+        "minhash_lsh_dedup",
+        lambda: Q.q_lsh_near_dup_pairs(spark, SF_DIR).collect(),
+    )
+
+    # 6. SimHash signatures (explode + 64-way conditional agg)
+    bench("simhash", lambda: simhash64(docs, "text", "doc_id").collect())
+
+    # 7. brute-force cosine top-k ANN
+    def ann():
+        qs = emb.filter((F.col("vec_id") % 50) == 0)
+        cosine_topk(emb, qs, k=5).collect()
+
+    bench("ann_bruteforce_topk", ann)
+
+    # 8. relational baseline (pure Catalyst: scan+filter+agg)
+    bench(
+        "lineitem_pricing_summary",
+        lambda: Q.q_lineitem_pricing_summary(spark, SF_DIR).collect(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "rows": {"lineitem": n_li, "documents": n_docs},
+        "docs_per_sec": round(n_li / digest_build_sec, 1),
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    }
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,353 @@
+"""Deduplication operators for web-corpus pipelines.
+
+Five families, all expressed with built-in `pyspark.sql.functions` (zero
+Python UDFs — every transform is JVM-side and codegen'd; the only
+shuffles are the groupBys/joins on dedup keys):
+
+- exact_dedup:          md5-of-content hash groups
+- minhash_signatures /
+  lsh_candidate_pairs:  word-shingle MinHash, banded LSH bucketing,
+                        bucket self-join for candidates
+- jaccard_pairs:        exact n-gram Jaccard verification of candidates
+                        (array_intersect / array_union on distinct shingles)
+- simhash64:            64-bit SimHash from md5 token bits, bit-majority
+- embedding_near_dup:   cosine near-duplicates over embedding columns,
+                        blocked to keep the pair space linear
+
+Scale notes (100 TB):
+- MinHash signatures are computed in the scan stage (no shuffle); LSH
+  bucketing shuffles only (id, band_key) pairs — bytes per doc, not the
+  document text.
+- The bucket self-join is an equi-join on band_key; hot buckets (boiler-
+  plate shingles) are bounded by `max_bucket` (buckets larger than this
+  are near-certain template clusters — handled separately, not pairwise).
+- All hashing is md5 so DuckDB oracles reproduce results bit-for-bit
+  (engine-neutral semantics; xxhash64 stays reserved for salting).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import shingles_col, tokens_col
+
+
+# --------------------------------------------------------------------- exact
+
+
+def exact_dedup(
+    df: DataFrame,
+    content_cols: Sequence[str] = ("text",),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content hash with the
+    representative (minimum) id and the duplicate count.
+
+    Returns (content_hash, n_copies, keep_id).  Downstream keeps
+    `keep_id` rows; at 100 TB this is one shuffle of (hash, id) pairs.
+    """
+    h = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]))
+    return (
+        df.select(h.alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+# ------------------------------------------------------------------- minhash
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: array of `n_hashes` hex digests, entry i =
+    min over word-k-gram shingles of md5(i || ':' || shingle).
+
+    Lexicographic min over md5 strings is a uniform random permutation per
+    salt i, which is all MinHash needs.
+
+    Plan shape: explode distinct shingles, then ONE hash aggregate with
+    `n_hashes` min() columns.  The shingle expression is evaluated once
+    per doc (inlining it into n_hashes array-transforms blows up the
+    codegen tree ~16x); the aggregate is partial (map-side combine), so
+    the shuffle carries only (doc, n_hashes mins) partials — bytes per
+    doc, never the shingle stream.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_col(text_col, shingle_k))).alias("__sh"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__sh")))).alias(f"__m{i}")
+        for i in range(n_hashes)
+    ]
+    mins = sh.groupBy(id_col).agg(*aggs)
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{i}") for i in range(n_hashes)]).alias("minhash_sig"),
+    )
+
+
+def lsh_band_keys(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded LSH: one row per (doc, band) with the band bucket key =
+    md5 of the band's slice of the signature.  Jaccard-similar docs agree
+    on all rows of some band with high probability."""
+    out = []
+    for b in range(bands):
+        key = F.md5(
+            F.concat_ws(
+                ",", F.slice("minhash_sig", b * rows_per_band + 1, rows_per_band)
+            )
+        )
+        out.append(
+            sigs.select(
+                F.col(id_col), F.lit(b).alias("band"), key.alias("band_key")
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionAll(o)
+    return res
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: distinct (id_a < id_b) sharing any LSH
+    band bucket.  Buckets larger than `max_bucket` are dropped from
+    pairwise expansion (template clusters — quadratic blowup guard)."""
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    keys = lsh_band_keys(sigs, id_col, bands, rows_per_band)
+    sized = keys.withColumn(
+        "__bn", F.count("*").over(__bucket_window())
+    ).filter(F.col("__bn") <= max_bucket)
+    a = sized.select(
+        F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a")
+    )
+    b = sized.select(
+        F.col("band"), F.col("band_key"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def __bucket_window():
+    from pyspark.sql import Window
+
+    return Window.partitionBy("band", "band_key")
+
+
+# ------------------------------------------------------------------- jaccard
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| over the
+    distinct shingle sets.  Join shape: pairs ⋈ shingle-arrays twice (each
+    an equi-join on id), then array_intersect/array_union JVM-side.
+    Jaccard is a ratio of small ints — bit-identical in any IEEE engine."""
+    sets = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles_col(text_col, shingle_k)).alias("sh"),
+    )
+    return (
+        pairs.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard >= threshold.
+    Returns (id_a, id_b, jaccard)."""
+    cands = lsh_candidate_pairs(df, text_col, id_col, n_hashes, shingle_k, bands)
+    scored = jaccard_pairs(df, cands, text_col, id_col, shingle_k)
+    return scored.filter(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------------------------- simhash
+
+
+def _nibble_bit_sums(j: int):
+    """Column: sum over tokens of ±1 for bit j of the token's 64-bit md5
+    prefix (bit j lives in hex nibble j//4, position 3 - j%4)."""
+    nib = F.conv(F.substring(F.col("__tok_h"), 1 + j // 4, 1), 16, 10).cast("int")
+    bit = F.shiftright(nib, 3 - j % 4).bitwiseAND(F.lit(1))
+    return F.sum(bit * 2 - 1)
+
+
+def simhash64(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """64-bit SimHash as a 16-hex-char string.
+
+    Token hash = first 16 hex chars of md5(token); signature bit j = 1 iff
+    the ±1 majority over all token occurrences of bit j is positive.
+    Plan: explode tokens -> one groupBy(id) computing 64 conditional sums
+    -> assemble nibbles with format_string('%x').  One shuffle on id.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("__tok")
+    ).withColumn("__tok_h", F.substring(F.md5("__tok"), 1, 16))
+
+    sums = toks.groupBy(id_col).agg(
+        *[_nibble_bit_sums(j).alias(f"s{j}") for j in range(64)]
+    )
+    nibbles = []
+    for nb in range(16):
+        val = None
+        for p in range(4):
+            j = nb * 4 + p
+            bit = (F.col(f"s{j}") > 0).cast("int") * (1 << (3 - p))
+            val = bit if val is None else val + bit
+        nibbles.append(F.format_string("%x", val))
+    return sums.select(F.col(id_col), F.concat(*nibbles).alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: block on the 4 16-bit chunks of the
+    signature (pigeonhole: hamming<=3 pairs share at least one exact
+    chunk), verify hamming distance <= max_hamming nibble-wise."""
+    sh = simhash64(df, text_col, id_col)
+    chunks = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.concat(F.lit(f"{c}:"), F.substring("simhash", c * 4 + 1, 4))
+                for c in range(4)
+            ])
+        ).alias("chunk"),
+    )
+    a = chunks.select(
+        F.col("chunk"),
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("sh_a"),
+    )
+    b = chunks.select(
+        F.col("chunk"),
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+    )
+    cand = (
+        a.join(b, "chunk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = None
+    for nb in range(16):
+        na = F.conv(F.substring("sh_a", nb + 1, 1), 16, 10).cast("int")
+        nbv = F.conv(F.substring("sh_b", nb + 1, 1), 16, 10).cast("int")
+        d = F.bit_count(na.bitwiseXOR(nbv))
+        ham = d if ham is None else ham + d
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------- embeddings
+
+
+def dot_col(a, b):
+    """Sequential-fold dot product of two array<double> columns (JVM-side;
+    same accumulation order as a scalar loop, so engines agree)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a):
+    return F.sqrt(dot_col(a, a))
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-duplicate pairs, blocked by `block_col` (e.g. a cluster
+    or coarse-quantizer id) so the pair space is sum of per-block squares,
+    not global n².  Returns (id_a, id_b, cosine)."""
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    base = emb.select(*cols).withColumn("nrm", norm_col(F.col("v")))
+    join_keys = ["blk"] if block_col else []
+    a = base.select(
+        *([F.col("blk")] if block_col else []),
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        *([F.col("blk")] if block_col else []),
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    joined = a.join(b, join_keys) if join_keys else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot_col("va", "vb") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,227 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque `binary` columns with typed metadata alongside; all
+heavy per-item work (decode, resize, feature extraction, frame sampling)
+runs as Arrow-batched pandas functions over `mapInPandas` so the bytes
+never round-trip through per-row Python.
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT available in this
+container, so the decode step is stubbed two ways:
+- `decoder="strict"` raises NotImplementedError (prod wiring point)
+- `decoder="fake"`  parses the deterministic FAKE1 container written by
+  `fake_media_bytes` — which keeps every piece of Spark plumbing (schema,
+  batch shape, partitioning, UDF signature) real and testable.
+
+FAKE1 container layout (little-endian):
+    magic   4s   b"FAK1"
+    kind    u8   0=image 1=audio 2=video
+    width   u32  (or sample-rate for audio)
+    height  u32  (or n_samples  for audio)
+    frames  u32  (1 for image)
+    payload u8[] deterministic bytes (seeded from header)
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MAGIC = b"FAK1"
+KIND_IMAGE, KIND_AUDIO, KIND_VIDEO = 0, 1, 2
+
+MEDIA_META_SCHEMA = (
+    "media_kind int, width int, height int, n_frames int, n_bytes bigint"
+)
+FEATURE_SCHEMA = "width int, height int, n_frames int, mean_pixel double"
+
+
+def fake_media_bytes(seed: int, kind: int = KIND_IMAGE) -> bytes:
+    """Deterministic fake media blob — pure function of (seed, kind)."""
+    rng = np.random.RandomState(seed & 0x7FFFFFFF)
+    if kind == KIND_IMAGE:
+        w, h, fr = int(rng.randint(8, 64)), int(rng.randint(8, 64)), 1
+        payload = rng.randint(0, 256, size=w * h, dtype=np.int64).astype(np.uint8)
+    elif kind == KIND_AUDIO:
+        w, h, fr = 16000, int(rng.randint(100, 1000)), 1
+        payload = rng.randint(0, 256, size=h, dtype=np.int64).astype(np.uint8)
+    else:
+        w, h, fr = int(rng.randint(8, 32)), int(rng.randint(8, 32)), int(
+            rng.randint(2, 10)
+        )
+        payload = rng.randint(0, 256, size=w * h * fr, dtype=np.int64).astype(np.uint8)
+    head = struct.pack("<4sBIII", MAGIC, kind, w, h, fr)
+    return head + payload.tobytes()
+
+
+def decode_fake(blob: bytes) -> tuple[int, int, int, np.ndarray]:
+    magic, kind, w, h, fr = struct.unpack_from("<4sBIII", blob, 0)
+    if magic != MAGIC:
+        raise ValueError("not a FAKE1 container")
+    payload = np.frombuffer(blob, dtype=np.uint8, offset=struct.calcsize("<4sBIII"))
+    return w, h, fr, payload
+
+
+def with_media_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Typed metadata via JVM built-ins only — no decode, no Python:
+    magic sniff + header field extraction with substring/conv.  At scale
+    this runs in the scan stage; a malformed blob yields kind=-1."""
+    blob = F.col(media_col)
+    is_fake = F.substring(blob, 1, 4) == F.lit(MAGIC)
+
+    def _le32(offset: int):
+        # little-endian u32 from 4 header bytes (1-based offsets)
+        b = [
+            F.conv(F.hex(F.substring(blob, offset + i, 1)), 16, 10).cast("long")
+            for i in range(4)
+        ]
+        return b[0] + b[1] * 256 + b[2] * 65536 + b[3] * 16777216
+
+    kind = F.conv(F.hex(F.substring(blob, 5, 1)), 16, 10).cast("int")
+    return (
+        df.withColumn("media_kind", F.when(is_fake, kind).otherwise(F.lit(-1)))
+        .withColumn("width", F.when(is_fake, _le32(6).cast("int")))
+        .withColumn("height", F.when(is_fake, _le32(10).cast("int")))
+        .withColumn("n_frames", F.when(is_fake, _le32(14).cast("int")))
+        .withColumn("n_bytes", F.octet_length(blob).cast("long"))
+    )
+
+
+def extract_features(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    decoder: str = "fake",
+) -> DataFrame:
+    """Decode + feature-extract over Arrow batches (`mapInPandas`).
+
+    Output: (id_col, width, height, n_frames, mean_pixel).  `decoder=`
+    "strict" is the production wiring point for a real codec (PIL etc.)
+    and raises NotImplementedError here; "fake" parses FAKE1 blobs.
+    Column pruning matters: only (id, media) cross the Arrow boundary.
+    """
+    sdf = df.select(F.col(id_col), F.col(media_col).alias("__media"))
+    out_schema = f"{id_col} long, {FEATURE_SCHEMA}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "strict":
+                raise NotImplementedError(
+                    "real media decoding requires PIL/ffmpeg; use decoder='fake' "
+                    "or plug a codec here"
+                )
+            ids, ws, hs, frs, mps = [], [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf["__media"]):
+                w, h, fr, payload = decode_fake(bytes(blob))
+                ids.append(int(i))
+                ws.append(w)
+                hs.append(h)
+                frs.append(fr)
+                mps.append(float(payload.mean()) if payload.size else float("nan"))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_frames": pd.Series(frs, dtype="int32"),
+                    "mean_pixel": pd.Series(mps, dtype="float64"),
+                }
+            )
+
+    return sdf.mapInPandas(run, schema=out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    target: tuple[int, int] = (32, 32),
+    decoder: str = "fake",
+) -> DataFrame:
+    """Nearest-neighbor resize of fake images: real Arrow plumbing, fake
+    pixels.  Output (id, width, height, media binary) with a re-encoded
+    FAKE1 blob — demonstrating binary-in/binary-out batch transforms."""
+    sdf = df.select(F.col(id_col), F.col(media_col).alias("__media"))
+    tw, th = target
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "strict":
+                raise NotImplementedError("plug a real resize kernel here")
+            ids, blobs = [], []
+            for i, blob in zip(pdf[id_col], pdf["__media"]):
+                w, h, fr, payload = decode_fake(bytes(blob))
+                if fr == 1 and payload.size == w * h:
+                    img = payload.reshape(h, w)
+                    ry = (np.arange(th) * h // th).astype(np.int64)
+                    rx = (np.arange(tw) * w // tw).astype(np.int64)
+                    small = img[np.ix_(ry, rx)]
+                    head = struct.pack("<4sBIII", MAGIC, KIND_IMAGE, tw, th, 1)
+                    blobs.append(head + small.tobytes())
+                else:
+                    blobs.append(bytes(blob))
+                ids.append(int(i))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "width": pd.Series([tw] * len(ids), dtype="int32"),
+                    "height": pd.Series([th] * len(ids), dtype="int32"),
+                    "media": blobs,
+                }
+            )
+
+    return sdf.mapInPandas(run, schema=f"{id_col} long, width int, height int, media binary")
+
+
+def sample_frames(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    every: int = 2,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Frame sampling for fake videos: one output row per sampled frame
+    (id, frame_idx, frame binary) — the explode-shaped batch transform a
+    video pipeline needs."""
+    sdf = df.select(F.col(id_col), F.col(media_col).alias("__media"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "strict":
+                raise NotImplementedError("plug a real demuxer here")
+            ids, idxs, frames = [], [], []
+            for i, blob in zip(pdf[id_col], pdf["__media"]):
+                w, h, fr, payload = decode_fake(bytes(blob))
+                if payload.size != w * h * fr:
+                    continue
+                vid = payload.reshape(fr, h, w)
+                for f in range(0, fr, every):
+                    head = struct.pack("<4sBIII", MAGIC, KIND_IMAGE, w, h, 1)
+                    ids.append(int(i))
+                    idxs.append(f)
+                    frames.append(head + vid[f].tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return sdf.mapInPandas(run, schema=f"{id_col} long, frame_idx int, frame binary")
+
+
+def binary_meta(
+    df: DataFrame, binary_col, id_col: str = "doc_id"
+) -> DataFrame:
+    """Generic opaque-binary metadata: byte length + md5 — the minimal
+    contract every media table gets regardless of codec availability."""
+    b = F.col(binary_col) if isinstance(binary_col, str) else binary_col
+    return df.select(
+        F.col(id_col),
+        F.octet_length(b).cast("long").alias("n_bytes"),
+        F.md5(b).alias("content_md5"),
+    )

@@ -1,0 +1,161 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Two paths:
+- cosine_topk:      brute-force exact top-k — broadcast the (small) query
+                    set against the corpus; one window per query for the
+                    top-k cut.  The 100 TB baseline when queries are few.
+- lsh_cosine_topk:  random-hyperplane LSH — deterministic ±1 hyperplanes,
+                    sign-pattern bucket key computed in the scan stage;
+                    candidates = bucket equi-join (shuffles only
+                    (id, bucket) pairs), then exact re-rank within
+                    candidates.  The scale path when queries are many.
+
+Dot products use a sequential fold (operators.dedup.dot_col) so results
+are bit-reproducible across engines; hyperplanes are ±1 vectors derived
+from md5 so the bucket function is engine-neutral and literal-embeddable
+in oracle SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .dedup import dot_col, norm_col
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic ±1 random hyperplanes: bit b of md5(seed:plane:block)
+    drives entry sign.  Pure function of (n_planes, dim, seed)."""
+    planes: list[list[int]] = []
+    for p in range(n_planes):
+        row: list[int] = []
+        block = 0
+        bits: list[int] = []
+        while len(row) < dim:
+            if not bits:
+                h = hashlib.md5(f"{seed}:{p}:{block}".encode()).digest()
+                bits = [(byte >> k) & 1 for byte in h for k in range(8)]
+                block += 1
+            row.append(1 if bits.pop(0) else -1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_col(vec_col, planes: Sequence[Sequence[int]]):
+    """Sign-pattern bucket key: one char per hyperplane ('1' if dot>0 else
+    '0').  ±1 entries mean the dot is a sequential add/subtract fold —
+    deterministic and cheap (no multiplies needed, but we keep the generic
+    fold for clarity; Catalyst codegens it either way)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bits = []
+    for plane in planes:
+        lit = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(F.when(dot_col(v, lit) > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k.
+
+    `queries` is a (id_col, vec_col) DataFrame assumed small: it is
+    broadcast, so the plan is a single pass over the corpus with no
+    shuffle of the corpus itself; the window sort runs per query over
+    n_corpus rows of (ids, score) — the classic scatter-gather ANN
+    baseline.  Self-matches are excluded.  Ties break by neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+    ).withColumn("qn", norm_col(F.col("qv")))
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+    ).withColumn("cn", norm_col(F.col("cv")))
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", dot_col("cv", "qv") / (F.col("cn") * F.col("qn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def lsh_cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: exact re-rank restricted to corpus
+    vectors in the query's hyperplane bucket.  Recall < 1 by construction;
+    multiplying probes (bit-flip neighbors) is the standard extension."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(n_planes, dim, seed)
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_bucket_col(vec_col, planes).alias("bucket"),
+    ).withColumn("cn", norm_col(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_bucket_col(vec_col, planes).alias("bucket"),
+    ).withColumn("qn", norm_col(F.col("qv")))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", dot_col("cv", "qv") / (F.col("cn") * F.col("qn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    (broadcast the centroid table; argmin via one window).  The assignment
+    column then serves as the block key for search/near-dup (the inverted
+    list).  Centroids typically come from a driver-side k-means over a
+    sample — any small (id, vec) table works."""
+    cents = centroids.select(
+        F.col(centroid_id).alias("cid"), F.col(centroid_vec).alias("cv")
+    ).withColumn("cn", norm_col(F.col("cv")))
+    base = emb.withColumn("__n", norm_col(F.col(vec_col)))
+    scored = base.join(F.broadcast(cents)).withColumn(
+        "__sim", dot_col(vec_col, "cv") / (F.col("__n") * F.col("cn"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cid"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "__sim", "__n", "cv", "cn")
+        .withColumnRenamed("cid", "ivf_cell")
+    )

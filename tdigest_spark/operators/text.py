@@ -1,0 +1,186 @@
+"""Text-analysis operators for web-corpus pipelines.
+
+Everything here is *declarative*: pure `pyspark.sql.functions` column
+expressions (JVM-side, whole-stage-codegen'd), no Python UDFs.  That is
+deliberate — at 100 TB these run inside the parquet scan stage with
+predicate pushdown and column pruning intact, and the semantics are
+mirror-expressible in ANSI SQL for oracle checking.
+
+Operators:
+- tokenize / token_stats: token counting + basic quality signals
+- language_id: marker-stopword n-gram heuristic (broadcast join + argmax)
+- quality_score: composite document-quality heuristics
+- content_fingerprint: order-insensitive bag-of-words fingerprint (md5)
+- minhash_fingerprint: min-over-shingles md5 fingerprint (rolling-hash
+  style document fingerprint; also the primitive behind MinHash dedup)
+
+Design note: all hashing is md5-of-string because md5 is bit-identical
+across Spark, DuckDB, and Python — which makes every operator exactly
+oracle-checkable (no engine-specific hash like xxhash64 in semantics;
+xxhash64 is reserved for physical concerns like salting).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Default language marker stopwords: high-frequency function words that the
+# heuristic counts per candidate language. Ties broken by language code.
+DEFAULT_MARKERS: Mapping[str, Sequence[str]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "with"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "es": ("el", "la", "que", "y", "en", "los", "una", "por"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "pour"),
+    "zh": ("de", "shi", "le", "zai", "you", "wo", "ta", "zhe"),
+}
+
+DEFAULT_STOPWORDS: Sequence[str] = tuple(
+    w for ws in DEFAULT_MARKERS.values() for w in ws
+)
+
+
+def tokens_col(text_col: Column | str, delimiter: str = " ") -> Column:
+    """Split into tokens on a literal delimiter, dropping empty tokens.
+
+    A literal single-space split (not a regex) so DuckDB's
+    ``string_split`` produces the identical array.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(c, F.lit(delimiter).cast("string"), -1), lambda t: t != "")
+
+
+def token_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: Sequence[str] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Append integer token statistics: n_tokens, n_stopwords, n_distinct
+    tokens, max token length. All built-in array functions."""
+    toks = tokens_col(text_col)
+    sw = F.array(*[F.lit(w) for w in sorted(set(stopwords))])
+    return (
+        df.withColumn("__toks", toks)
+        .withColumn("n_tokens", F.size("__toks").cast("long"))
+        .withColumn(
+            "n_stopwords",
+            F.size(F.filter("__toks", lambda t: F.array_contains(sw, t))).cast("long"),
+        )
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct("__toks")).cast("long"))
+        .withColumn(
+            "max_token_len",
+            F.array_max(F.transform("__toks", lambda t: F.length(t))).cast("long"),
+        )
+        .drop("__toks")
+    )
+
+
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: Sequence[str] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Composite quality heuristics (Gopher/C4-style signals, simplified):
+
+    - stopword_ratio  = n_stopwords / n_tokens
+    - mean_token_len  = (chars - (n_tokens-1)) / n_tokens  (single-space text)
+    - alpha_ratio     = alphabetic chars / chars
+
+    Ratios are exact rationals of integers so they divide identically in
+    any IEEE engine.
+    """
+    out = token_stats(df, text_col, stopwords)
+    nch = F.length(text_col).cast("long")
+    alpha = (
+        F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", "")).cast("long")
+    )
+    return (
+        out.withColumn("n_chars_text", nch)
+        .withColumn(
+            "stopword_ratio",
+            (F.col("n_stopwords").cast("double") / F.col("n_tokens")),
+        )
+        .withColumn("alpha_ratio", alpha.cast("double") / nch)
+    )
+
+
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    markers: Mapping[str, Sequence[str]] = DEFAULT_MARKERS,
+) -> DataFrame:
+    """Marker-stopword language ID.
+
+    Plan shape: explode tokens -> broadcast join a tiny (token, lang)
+    marker table -> count hits per (doc, lang) -> argmax by
+    (hits desc, lang asc).  The marker table is a literal local relation,
+    so Catalyst broadcasts it; the only shuffle is the per-doc groupBy,
+    whose key cardinality is n_docs (no skew).
+
+    Returns (id_col, pred_lang, n_hits); docs with zero marker hits get
+    pred_lang='und', n_hits=0.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    pairs = [(w, lang) for lang, ws in markers.items() for w in ws]
+    marker_df = spark.createDataFrame(pairs, "token string, cand_lang string")
+
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("token"))
+    hits = (
+        toks.join(F.broadcast(marker_df), "token")
+        .groupBy(id_col, "cand_lang")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("n_hits"), F.asc("cand_lang"))
+    best = (
+        hits.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(id_col, F.col("cand_lang").alias("pred_lang"), "n_hits")
+    )
+    return (
+        df.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
+
+
+def content_fingerprint(
+    df: DataFrame, text_col: str = "text", out_col: str = "fingerprint"
+) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    token bag. Two documents that are token-set permutations of each other
+    collide — a cheap canonicalization-level dedup key."""
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens_col(text_col))))
+    return df.withColumn(out_col, F.md5(canon))
+
+
+def shingles_col(text_col: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingles as an array<string> column (built-ins only):
+    transform over a 0..n_tokens-k index sequence, slicing the token array.
+    Documents shorter than k tokens produce their whole text as the one
+    shingle."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_fingerprint(
+    df: DataFrame, text_col: str = "text", k: int = 3, out_col: str = "minhash"
+) -> DataFrame:
+    """Rolling-shingle document fingerprint: lexicographic min of
+    md5(shingle) over word k-grams.  This is a 1-permutation MinHash — the
+    primitive the LSH dedup stacks 16-deep (operators.dedup)."""
+    return df.withColumn(
+        out_col, F.array_min(F.transform(shingles_col(text_col, k), F.md5))
+    )

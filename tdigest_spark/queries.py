@@ -1,0 +1,791 @@
+"""Driver-facing query battery: every operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus (where exactly expressible) an
+ANSI/DuckDB oracle SQL string computing the identical result.
+
+Oracle-exactness design rules (these queries are hash-compared value-
+for-value against DuckDB, so every float must be bit-reproducible):
+
+- t-digest queries run in the *singleton regime* (group size < working
+  compression): the reference semantics make quantile == the rank oracle
+  sorted[floor(q*n)] and cdf == (#below + #equal/2)/n exactly
+  (reference test/special-cases.jl:83-97; tests/test_core.py).
+- index arithmetic is forced to IEEE double on both engines
+  (CAST(q AS DOUBLE) * n) so floor() agrees bit-for-bit.
+- money sums go through DECIMAL(18,2) — exact, order-independent.
+- all content hashing is md5 (identical across Spark/DuckDB/Python).
+- ratios are single divisions of identical integers; order-sensitive
+  float accumulations (means, cosines) are round()ed on both sides.
+- LogHistogram bin bounds are exactly invertible (pow2 inverts the
+  bit-twiddled approx_log2), so bounds are embedded as double literals
+  and bucketing becomes a pure comparison count on both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .histogram import LogHistogram
+from .operators import digest, histogram_ops
+from .operators.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_band_keys,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash64,
+)
+from .operators.multimodal import binary_meta
+from .operators.similarity import cosine_topk, hyperplanes, lsh_cosine_topk
+from .operators.text import DEFAULT_MARKERS, DEFAULT_STOPWORDS, language_id, token_stats
+from .sources import load_table
+
+# --------------------------------------------------------------------------
+# shared constants (must be mirrored exactly between Spark and oracle SQL)
+
+QUANTILES = (0.05, 0.25, 0.5, 0.75, 0.9, 0.99)
+CDF_POINTS = (100.0, 150.0, 200.0, 250.0, 300.0, 400.0, 500.0)
+EVENT_QS = (0.5, 0.9, 0.99)
+DOCS_DELTA = 500.0  # > max lang group (218 @ sf0.01) -> singleton regime
+EVENTS_DELTA = 4000.0  # > max event_type group (~2020 @ sf0.01)
+HIST_MIN, HIST_MAX, HIST_EPS = 0.01, 500.0, 0.1
+MINHASH_K, SHINGLE_K, LSH_BANDS = 16, 3, 4
+NEARDUP_MOD = 10  # doc_id % 10 == 0 gets a truncated twin
+EMB_SCALE_MOD = 5  # vec_id % 5 == 0 gets a 1.01-scaled twin
+ANN_QUERY_MOD = 50  # vec_id % 50 == 0 are ANN query points
+ANN_K = 5
+LSH_PLANES = 8
+EMB_DIM = 64
+
+
+def _sorted_stopwords_sql() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in sorted(set(DEFAULT_STOPWORDS))) + "]"
+
+
+# --------------------------------------------------------------------------
+# t-digest queries (documents / events / lineitem)
+
+
+def q_tdigest_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = digest.digest_by(docs, "n_chars", by=["lang"], delta=DOCS_DELTA)
+    return digest.quantiles_of(d, QUANTILES, by=["lang"]).select(
+        "lang", F.col("q").cast("double").alias("q"), F.col("quantile")
+    )
+
+
+_SQL_QUANTILES_BY_LANG = f"""
+WITH g AS (
+  SELECT lang, list_sort(list(CAST(n_chars AS DOUBLE))) AS xs, count(*) AS n
+  FROM documents GROUP BY lang
+), qs(q) AS (VALUES {", ".join(f"({q})" for q in QUANTILES)})
+SELECT lang, CAST(q AS DOUBLE) AS q,
+       xs[LEAST(CAST(floor(CAST(q AS DOUBLE) * n) AS BIGINT) + 1, n)] AS quantile
+FROM g CROSS JOIN qs
+"""
+
+
+def q_tdigest_cdf_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = digest.digest_by(docs, "n_chars", by=["lang"], delta=DOCS_DELTA)
+    return digest.cdfs_of(d, CDF_POINTS, by=["lang"]).select(
+        "lang", F.col("x").cast("double").alias("x"), F.col("cdf")
+    )
+
+
+_SQL_CDF_BY_LANG = f"""
+WITH xs(x) AS (VALUES {", ".join(f"({x})" for x in CDF_POINTS)})
+SELECT lang, CAST(x AS DOUBLE) AS x,
+       (count(*) FILTER (WHERE n_chars < x)
+        + count(*) FILTER (WHERE n_chars = x) / 2.0) / count(*) AS cdf
+FROM documents CROSS JOIN xs
+GROUP BY lang, x
+"""
+
+
+def q_tdigest_trimmed_mean_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import tdigest_trimmed_mean_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = digest.digest_by(docs, "n_chars", by=["lang"], delta=DOCS_DELTA)
+    return d.select(
+        "lang",
+        F.round(
+            tdigest_trimmed_mean_udf(F.col("digest"), F.lit(0.25), F.lit(0.75)), 4
+        ).alias("trimmed_mean"),
+    )
+
+
+_SQL_TRIMMED_MEAN_BY_LANG = """
+WITH r AS (
+  SELECT lang, CAST(n_chars AS DOUBLE) AS x,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS DOUBLE) AS i,
+         CAST(count(*) OVER (PARTITION BY lang) AS DOUBLE) AS n
+  FROM documents
+), w AS (
+  SELECT lang, x,
+         GREATEST(LEAST(i + 1, 0.75 * n) - GREATEST(i, 0.25 * n), 0) AS wt
+  FROM r
+)
+SELECT lang, round(sum(wt * x) / sum(wt), 4) AS trimmed_mean FROM w GROUP BY lang
+"""
+
+
+def q_tdigest_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import (
+        tdigest_centroid_count_udf,
+        tdigest_max_udf,
+        tdigest_min_udf,
+        tdigest_total_weight_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = digest.digest_by(docs, "n_chars", by=["lang"], delta=DOCS_DELTA)
+    return d.select(
+        "lang",
+        tdigest_total_weight_udf("digest").alias("total_weight"),
+        tdigest_min_udf("digest").alias("vmin"),
+        tdigest_max_udf("digest").alias("vmax"),
+        tdigest_centroid_count_udf("digest").cast("long").alias("n_centroids"),
+    )
+
+
+_SQL_STATS_BY_LANG = """
+SELECT lang, CAST(count(*) AS DOUBLE) AS total_weight,
+       CAST(min(n_chars) AS DOUBLE) AS vmin,
+       CAST(max(n_chars) AS DOUBLE) AS vmax,
+       count(*) AS n_centroids
+FROM documents GROUP BY lang
+"""
+
+
+def q_tdigest_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = digest.digest_by(ev, "value", by=["event_type"], delta=EVENTS_DELTA)
+    return digest.quantiles_of(d, EVENT_QS, by=["event_type"]).select(
+        "event_type", F.col("q").cast("double").alias("q"), F.col("quantile")
+    )
+
+
+_SQL_EVENTS_BY_TYPE = f"""
+WITH g AS (
+  SELECT event_type, list_sort(list(CAST(value AS DOUBLE))) AS xs, count(*) AS n
+  FROM events GROUP BY event_type
+), qs(q) AS (VALUES {", ".join(f"({q})" for q in EVENT_QS)})
+SELECT event_type, CAST(q AS DOUBLE) AS q,
+       xs[LEAST(CAST(floor(CAST(q AS DOUBLE) * n) AS BIGINT) + 1, n)] AS quantile
+FROM g CROSS JOIN qs
+"""
+
+
+def q_tdigest_lineitem_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-regime global digest (60k rows @ delta=100) through the
+    shuffle-free mapInPandas fast path. No SQL oracle (approximation);
+    accuracy is bounded by tests/test_spark_digest.py rank-error checks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    partials = digest.build_partials_per_partition(li, "l_extendedprice", delta=100.0)
+    merged = digest.merge_partials(partials, by=())
+    return digest.quantiles_of(merged, QUANTILES, by=()).select(
+        F.col("q").cast("double").alias("q"), "quantile"
+    )
+
+
+# --------------------------------------------------------------------------
+# LogHistogram
+
+
+def q_loghistogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = histogram_ops.histogram_by(
+        ev, "value", HIST_MIN, HIST_MAX, by=["event_type"], epsilon=HIST_EPS
+    )
+    return (
+        h.select("event_type", F.posexplode("counts").alias("pos", "cnt"))
+        .filter(F.col("cnt") != 0)
+        .select("event_type", F.col("pos").cast("int"), F.col("cnt").cast("long"))
+    )
+
+
+def _sql_loghistogram_events() -> str:
+    bounds = LogHistogram(HIST_MIN, HIST_MAX, HIST_EPS).bounds()[1:]
+    lits = ", ".join(repr(float(b)) for b in bounds)
+    return f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(len(list_filter([{lits}], bb -> CAST(value AS DOUBLE) > bb)) AS INTEGER) AS pos
+  FROM events WHERE value > 0
+)
+SELECT event_type, pos, count(*) AS cnt FROM b GROUP BY event_type, pos
+"""
+
+
+# --------------------------------------------------------------------------
+# relational coverage (scan/filter/agg/join/window over the TPC-H-ish tables)
+
+
+def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    out = (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    return out
+
+
+_SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_totalprice"),
+        )
+    )
+
+
+_SQL_ORDERS_BY_SEGMENT = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_events_last_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+_SQL_EVENTS_LAST_BY_USER = """
+SELECT user_id, event_type AS last_type, value AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+) WHERE rk = 1
+"""
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer microseconds (session tz is UTC, so the naive timestamp
+    # reads identically to DuckDB's epoch_us)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    return (
+        ev.withColumn(
+            "__new", F.when(gap.isNull() | (gap > 1800_000_000), 1).otherwise(0)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("__new").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+_SQL_EVENTS_SESSIONS = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1
+              WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return token_stats(docs).select(
+        "doc_id", "n_tokens", "n_stopwords", "n_distinct_tokens", "max_token_len"
+    )
+
+
+def _sql_doc_token_stats() -> str:
+    sw = _sorted_stopwords_sql()
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk != '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(toks, tk -> list_contains({sw}, tk))) AS BIGINT) AS n_stopwords,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       CAST(list_max(list_transform(toks, tk -> length(tk))) AS BIGINT) AS max_token_len
+FROM t
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs)
+
+
+def _sql_language_id() -> str:
+    rows = ", ".join(
+        f"('{w}', '{lang}')"
+        for lang, ws in DEFAULT_MARKERS.items()
+        for w in ws
+    )
+    return f"""
+WITH markers(token, cand_lang) AS (VALUES {rows}),
+toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), tk -> tk != '')) AS token
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, cand_lang, count(*) AS n_hits
+  FROM toks JOIN markers USING (token)
+  GROUP BY doc_id, cand_lang
+),
+best AS (
+  SELECT doc_id, cand_lang AS pred_lang, n_hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, cand_lang ASC) AS rk
+  FROM hits
+)
+SELECT d.doc_id,
+       coalesce(b.pred_lang, 'und') AS pred_lang,
+       CAST(coalesce(b.n_hits, 0) AS BIGINT) AS n_hits
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON d.doc_id = b.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup
+
+
+def _docs_with_twins(docs: DataFrame) -> DataFrame:
+    """documents ∪ truncated twins of every NEARDUP_MOD-th doc — a
+    deterministic near-duplicate corpus both engines can derive."""
+    twins = docs.filter((F.col("doc_id") % NEARDUP_MOD) == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, 1, n_chars - 20)").alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") - 20).alias("n_chars"),
+    )
+    return docs.select("doc_id", "text", "lang", "source", "n_chars").unionAll(twins)
+
+
+_SQL_DOCS_WITH_TWINS = f"""
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, substring(text, 1, CAST(n_chars - 20 AS INTEGER)),
+         lang, source, n_chars - 20
+  FROM documents WHERE doc_id % {NEARDUP_MOD} = 0
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionAll(
+        docs.filter((F.col("doc_id") % 7) == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return exact_dedup(corpus, ("text",), "doc_id")
+
+
+_SQL_DEDUP_EXACT = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+)
+SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+FROM corpus GROUP BY md5(text)
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", MINHASH_K, SHINGLE_K)
+    r = MINHASH_K // LSH_BANDS
+    band_cols = [
+        F.md5(F.concat_ws(",", F.slice("minhash_sig", b * r + 1, r))).alias(f"band_{b}")
+        for b in range(LSH_BANDS)
+    ]
+    return sigs.select(
+        "doc_id", F.concat_ws(",", "minhash_sig").alias("minhash_sig"), *band_cols
+    )
+
+
+def _sql_minhash(table_sql: str = "documents") -> str:
+    r = MINHASH_K // LSH_BANDS
+    mins = ",\n  ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS m{i}"
+        for i in range(MINHASH_K)
+    )
+    sig = " || ',' || ".join(f"m{i}" for i in range(MINHASH_K))
+    bands = ",\n  ".join(
+        "md5("
+        + " || ',' || ".join(f"m{b * r + i}" for i in range(r))
+        + f") AS band_{b}"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk != '') AS t
+  FROM {table_sql}
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {SHINGLE_K}
+              THEN [array_to_string(t[i:i+{SHINGLE_K - 1}], ' ')
+                    FOR i IN range(1, len(t) - {SHINGLE_K - 2})]
+              ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+),
+sig AS (
+  SELECT doc_id,
+  {mins}
+  FROM sh
+)
+SELECT doc_id, {sig} AS minhash_sig,
+  {bands}
+FROM sig
+"""
+
+
+def q_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline over the twin corpus:
+    candidates from band buckets, verified with exact shingle Jaccard."""
+    corpus = _docs_with_twins(load_table(spark, sf_dir, "documents"))
+    cands = lsh_candidate_pairs(
+        corpus, "text", "doc_id", MINHASH_K, SHINGLE_K, LSH_BANDS
+    )
+    return jaccard_pairs(corpus, cands, "text", "doc_id", SHINGLE_K).filter(
+        F.col("jaccard") >= 0.5
+    )
+
+
+def _sql_lsh_near_dup_pairs() -> str:
+    base = _sql_minhash(f"({_SQL_DOCS_WITH_TWINS})")
+    band_sel = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, band_{b} AS band_key FROM sigs"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH sigs AS ({base}),
+bands AS (
+  {band_sel}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id
+),
+sets AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= {SHINGLE_K}
+              THEN [array_to_string(t[i:i+{SHINGLE_K - 1}], ' ')
+                    FOR i IN range(1, len(t) - {SHINGLE_K - 2})]
+              ELSE [array_to_string(t, ' ')] END) AS sh
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk != '') AS t
+        FROM ({_SQL_DOCS_WITH_TWINS}))
+)
+SELECT id_a, id_b,
+       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
+          JOIN sets sb ON cand.id_b = sb.doc_id
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash64(docs, "text", "doc_id")
+
+
+def _sql_simhash() -> str:
+    hexcase = lambda p: (  # noqa: E731
+        "CASE substr(h, " + str(p) + ", 1) "
+        + " ".join(f"WHEN '{x:x}' THEN {x}" for x in range(16))
+        + " END"
+    )
+    nibs = ",\n    ".join(f"{hexcase(nb + 1)} AS n{nb}" for nb in range(16))
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN (n{j // 4} >> {3 - j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(64)
+    )
+    nibout = " || ".join(
+        "printf('%x', "
+        + " + ".join(
+            f"(CASE WHEN s{nb * 4 + p} > 0 THEN {1 << (3 - p)} ELSE 0 END)"
+            for p in range(4)
+        )
+        + ")"
+        for nb in range(16)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), tk -> tk != '')) AS tok
+  FROM documents
+),
+th AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM toks),
+nib AS (
+  SELECT doc_id,
+    {nibs}
+  FROM th
+),
+sums AS (
+  SELECT doc_id,
+    {sums}
+  FROM nib GROUP BY doc_id
+)
+SELECT doc_id, {nibout} AS simhash FROM sums
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    twins = emb.filter((F.col("vec_id") % EMB_SCALE_MOD) == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "label",
+        F.transform("embedding", lambda x: x * 1.01).alias("embedding"),
+    )
+    corpus = emb.unionAll(twins)
+    out = embedding_near_dup(corpus, "vec_id", "embedding", "label", threshold=0.9)
+    return out.select("id_a", "id_b", F.round("cosine", 3).alias("cosine"))
+
+
+_SQL_EMBEDDING_NEAR_DUP = f"""
+WITH base AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, label,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.01)
+  FROM embeddings WHERE vec_id % {EMB_SCALE_MOD} = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 3) AS cosine
+FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search
+
+
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.filter((F.col("vec_id") % ANN_QUERY_MOD) == 0)
+    out = cosine_topk(emb, queries, k=ANN_K)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
+    )
+
+
+_SQL_ANN_BRUTEFORCE = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id % {ANN_QUERY_MOD} = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(c.v, q.qv) AS cos_raw
+  FROM c CROSS JOIN q WHERE c.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       round(cos_raw, 4) AS cosine
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.filter((F.col("vec_id") % ANN_QUERY_MOD) == 0)
+    out = lsh_cosine_topk(
+        emb, queries, k=ANN_K, n_planes=LSH_PLANES, seed=42, dim=EMB_DIM
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def _sql_ann_lsh() -> str:
+    planes = hyperplanes(LSH_PLANES, EMB_DIM, seed=42)
+    bucket = " || ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(f"{float(x)!r}" for x in plane)
+        + "]) > 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    )
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bk AS (SELECT vec_id, v, {bucket} AS bucket FROM c),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bk
+      WHERE vec_id % {ANN_QUERY_MOD} = 0),
+scored AS (
+  SELECT q.query_id, bk.vec_id AS neighbor_id,
+         list_cosine_similarity(bk.v, q.qv) AS cos_raw
+  FROM bk JOIN q USING (bucket) WHERE bk.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       round(cos_raw, 4) AS cosine
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+
+
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata over text-as-bytes (the container has no
+    image libs; the binary plumbing is identical)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id", F.encode("text", "utf-8").alias("media"))
+    return binary_meta(blobs, "media", "doc_id")
+
+
+_SQL_BINARY_META = """
+SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "tdigest_quantiles_by_lang": q_tdigest_quantiles_by_lang,
+        "tdigest_cdf_by_lang": q_tdigest_cdf_by_lang,
+        "tdigest_trimmed_mean_by_lang": q_tdigest_trimmed_mean_by_lang,
+        "tdigest_stats_by_lang": q_tdigest_stats_by_lang,
+        "tdigest_events_by_type": q_tdigest_events_by_type,
+        "tdigest_lineitem_global": q_tdigest_lineitem_global,
+        "loghistogram_events": q_loghistogram_events,
+        "lineitem_pricing_summary": q_lineitem_pricing_summary,
+        "orders_by_segment": q_orders_by_segment,
+        "events_last_by_user": q_events_last_by_user,
+        "events_sessions": q_events_sessions,
+        "doc_token_stats": q_doc_token_stats,
+        "language_id": q_language_id,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
+        "simhash": q_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_bruteforce_topk": q_ann_bruteforce_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "binary_meta": q_binary_meta,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "tdigest_quantiles_by_lang": _SQL_QUANTILES_BY_LANG,
+        "tdigest_cdf_by_lang": _SQL_CDF_BY_LANG,
+        "tdigest_trimmed_mean_by_lang": _SQL_TRIMMED_MEAN_BY_LANG,
+        "tdigest_stats_by_lang": _SQL_STATS_BY_LANG,
+        "tdigest_events_by_type": _SQL_EVENTS_BY_TYPE,
+        # tdigest_lineitem_global: approximate regime — rows-only check
+        "loghistogram_events": _sql_loghistogram_events(),
+        "lineitem_pricing_summary": _SQL_PRICING_SUMMARY,
+        "orders_by_segment": _SQL_ORDERS_BY_SEGMENT,
+        "events_last_by_user": _SQL_EVENTS_LAST_BY_USER,
+        "events_sessions": _SQL_EVENTS_SESSIONS,
+        "doc_token_stats": _sql_doc_token_stats(),
+        "language_id": _sql_language_id(),
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "minhash_signatures": _sql_minhash(),
+        "lsh_near_dup_pairs": _sql_lsh_near_dup_pairs(),
+        "simhash": _sql_simhash(),
+        "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
+        "ann_bruteforce_topk": _SQL_ANN_BRUTEFORCE,
+        "ann_lsh_topk": _sql_ann_lsh(),
+        "binary_meta": _SQL_BINARY_META,
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: per-lang text-length quantiles via salted digest build +
+    canonical merge + SQL-surface quantile UDFs, on sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf_dir, "documents")
+    partials = digest.build_partials(
+        docs, "n_chars", by=["lang"], delta=100.0, salt=4
+    )
+    merged = digest.merge_partials(partials, by=["lang"])
+    return digest.quantiles_of(merged, (0.5, 0.9, 0.99), by=["lang"])
