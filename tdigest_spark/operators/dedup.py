@@ -34,6 +34,19 @@ from pyspark.sql import DataFrame, functions as F
 from .text import shingles_col, tokens_col
 
 
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition iff the input has fewer partitions than the cluster has
+    cores.  Compute-heavy narrow transforms (shingling, per-token md5)
+    inherit the *scan* parallelism, and a small file (or an aggressively
+    coalesced AQE stage) would pin the whole pipeline to a couple of
+    cores.  At real scale input splits outnumber cores, so this is a
+    no-op — it never introduces a shuffle on the 100 TB path."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # --------------------------------------------------------------------- exact
 
 
@@ -62,38 +75,49 @@ def exact_dedup(
 # ------------------------------------------------------------------- minhash
 
 
+LANE_HEX = 8  # 32-bit lanes: 8 hex chars per minhash value
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_hashes: int = 16,
+    n_hashes: int = 8,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signature: array of `n_hashes` hex digests, entry i =
-    min over word-k-gram shingles of md5(i || ':' || shingle).
+    """Per-doc MinHash signature: array of `n_hashes` 8-hex-char (32-bit)
+    lane minima over word-k-gram shingles.
 
-    Lexicographic min over md5 strings is a uniform random permutation per
-    salt i, which is all MinHash needs.
+    One md5 yields four 32-bit lanes, so a shingle costs
+    ceil(n_hashes/4) md5 calls total (NOT n_hashes md5s — the classic
+    split-one-strong-hash trick).  Lexicographic min over fixed-width hex
+    equals numeric min, so the whole construction stays engine-neutral
+    string algebra.  Lane collisions for random docs are ~2·|shingles|/2³²
+    per lane — negligible next to banding probabilities.
 
-    Plan shape: explode distinct shingles, then ONE hash aggregate with
-    `n_hashes` min() columns.  The shingle expression is evaluated once
-    per doc (inlining it into n_hashes array-transforms blows up the
-    codegen tree ~16x); the aggregate is partial (map-side combine), so
-    the shuffle carries only (doc, n_hashes mins) partials — bytes per
-    doc, never the shingle stream.
+    Plan shape: explode distinct shingles, one projection computing the
+    concatenated md5s, then ONE hash aggregate with `n_hashes` min()
+    columns.  The aggregate is partial (map-side combine), so the shuffle
+    carries only (doc, n_hashes mins) partials — bytes per doc, never the
+    shingle stream.
     """
-    sh = df.select(
+    n_md5 = (n_hashes * LANE_HEX + 31) // 32
+    sh = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles_col(text_col, shingle_k))).alias("__sh"),
     )
+    allhex = F.concat(
+        *[F.md5(F.concat(F.lit(f"{c}:"), F.col("__sh"))) for c in range(n_md5)]
+    )
+    hashed = sh.select(F.col(id_col), allhex.alias("__h"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__sh")))).alias(f"__m{i}")
-        for i in range(n_hashes)
+        F.min(F.substring("__h", j * LANE_HEX + 1, LANE_HEX)).alias(f"__m{j}")
+        for j in range(n_hashes)
     ]
-    mins = sh.groupBy(id_col).agg(*aggs)
+    mins = hashed.groupBy(id_col).agg(*aggs)
     return mins.select(
         F.col(id_col),
-        F.array(*[F.col(f"__m{i}") for i in range(n_hashes)]).alias("minhash_sig"),
+        F.array(*[F.col(f"__m{j}") for j in range(n_hashes)]).alias("minhash_sig"),
     )
 
 
@@ -128,7 +152,7 @@ def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_hashes: int = 16,
+    n_hashes: int = 8,
     shingle_k: int = 3,
     bands: int = 4,
     max_bucket: int = 1000,
@@ -136,12 +160,21 @@ def lsh_candidate_pairs(
     """MinHash-LSH candidate pairs: distinct (id_a < id_b) sharing any LSH
     band bucket.  Buckets larger than `max_bucket` are dropped from
     pairwise expansion (template clusters — quadratic blowup guard)."""
+    from pyspark import StorageLevel
+
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
     keys = lsh_band_keys(sigs, id_col, bands, rows_per_band)
     sized = keys.withColumn(
         "__bn", F.count("*").over(__bucket_window())
     ).filter(F.col("__bn") <= max_bucket)
+    # materialize the (id, band, key) table: it is ~50 B/doc/band — tiny
+    # next to the corpus — and the self-join would otherwise recompute the
+    # whole shingle+minhash subtree for each side.  The eager count()
+    # guarantees single materialization (two stages racing on a cold
+    # cached relation can each compute it).
+    sized = sized.persist(StorageLevel.MEMORY_AND_DISK)
+    sized.count()
     a = sized.select(
         F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a")
     )
@@ -175,11 +208,28 @@ def jaccard_pairs(
     """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| over the
     distinct shingle sets.  Join shape: pairs ⋈ shingle-arrays twice (each
     an equi-join on id), then array_intersect/array_union JVM-side.
-    Jaccard is a ratio of small ints — bit-identical in any IEEE engine."""
-    sets = df.select(
-        F.col(id_col),
-        F.array_distinct(shingles_col(text_col, shingle_k)).alias("sh"),
+    Jaccard is a ratio of small ints — bit-identical in any IEEE engine.
+
+    The candidate set is usually orders of magnitude smaller than the
+    corpus, so we semi-join the shingle-set table down to candidate ids
+    before the pair joins (at 100 TB: never materialize shingles for
+    non-candidate docs twice)."""
+    from pyspark import StorageLevel
+
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionAll(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
+    sets = (
+        df.join(ids, id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingles_col(text_col, shingle_k)).alias("sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sets.count()  # single materialization before the two-sided join
     return (
         pairs.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -200,12 +250,17 @@ def ngram_jaccard_dedup(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     shingle_k: int = 3,
-    n_hashes: int = 16,
+    n_hashes: int = 8,
     bands: int = 4,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact Jaccard >= threshold.
     Returns (id_a, id_b, jaccard)."""
-    cands = lsh_candidate_pairs(df, text_col, id_col, n_hashes, shingle_k, bands)
+    from pyspark import StorageLevel
+
+    cands = lsh_candidate_pairs(
+        df, text_col, id_col, n_hashes, shingle_k, bands
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cands.count()
     scored = jaccard_pairs(df, cands, text_col, id_col, shingle_k)
     return scored.filter(F.col("jaccard") >= threshold)
 
@@ -233,7 +288,7 @@ def simhash64(
     Plan: explode tokens -> one groupBy(id) computing 64 conditional sums
     -> assemble nibbles with format_string('%x').  One shuffle on id.
     """
-    toks = df.select(
+    toks = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(tokens_col(text_col)).alias("__tok")
     ).withColumn("__tok_h", F.substring(F.md5("__tok"), 1, 16))
 

@@ -31,10 +31,8 @@ from .operators import digest, histogram_ops
 from .operators.dedup import (
     embedding_near_dup,
     exact_dedup,
-    jaccard_pairs,
-    lsh_band_keys,
-    lsh_candidate_pairs,
     minhash_signatures,
+    ngram_jaccard_dedup,
     simhash64,
 )
 from .operators.multimodal import binary_meta
@@ -51,7 +49,7 @@ EVENT_QS = (0.5, 0.9, 0.99)
 DOCS_DELTA = 500.0  # > max lang group (218 @ sf0.01) -> singleton regime
 EVENTS_DELTA = 4000.0  # > max event_type group (~2020 @ sf0.01)
 HIST_MIN, HIST_MAX, HIST_EPS = 0.01, 500.0, 0.1
-MINHASH_K, SHINGLE_K, LSH_BANDS = 16, 3, 4
+MINHASH_K, SHINGLE_K, LSH_BANDS = 8, 3, 4  # 32-bit lanes, 2 rows/band
 NEARDUP_MOD = 10  # doc_id % 10 == 0 gets a truncated twin
 EMB_SCALE_MOD = 5  # vec_id % 5 == 0 gets a 1.01-scaled twin
 ANN_QUERY_MOD = 50  # vec_id % 50 == 0 are ANN query points
@@ -467,12 +465,15 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash(table_sql: str = "documents") -> str:
+    lane_hex = 8
+    n_md5 = (MINHASH_K * lane_hex + 31) // 32
     r = MINHASH_K // LSH_BANDS
+    allhex = " || ".join(f"md5('{c}:' || s)" for c in range(n_md5))
     mins = ",\n  ".join(
-        f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS m{i}"
-        for i in range(MINHASH_K)
+        f"min(substr(h, {j * lane_hex + 1}, {lane_hex})) AS m{j}"
+        for j in range(MINHASH_K)
     )
-    sig = " || ',' || ".join(f"m{i}" for i in range(MINHASH_K))
+    sig = " || ',' || ".join(f"m{j}" for j in range(MINHASH_K))
     bands = ",\n  ".join(
         "md5("
         + " || ',' || ".join(f"m{b * r + i}" for i in range(r))
@@ -486,16 +487,18 @@ WITH toks AS (
 ),
 sh AS (
   SELECT doc_id,
-         CASE WHEN len(t) >= {SHINGLE_K}
-              THEN [array_to_string(t[i:i+{SHINGLE_K - 1}], ' ')
-                    FOR i IN range(1, len(t) - {SHINGLE_K - 2})]
-              ELSE [array_to_string(t, ' ')] END AS shingles
+         unnest(list_distinct(
+           CASE WHEN len(t) >= {SHINGLE_K}
+                THEN [array_to_string(t[i:i+{SHINGLE_K - 1}], ' ')
+                      FOR i IN range(1, len(t) - {SHINGLE_K - 2})]
+                ELSE [array_to_string(t, ' ')] END)) AS s
   FROM toks
 ),
+hashed AS (SELECT doc_id, {allhex} AS h FROM sh),
 sig AS (
   SELECT doc_id,
   {mins}
-  FROM sh
+  FROM hashed GROUP BY doc_id
 )
 SELECT doc_id, {sig} AS minhash_sig,
   {bands}
@@ -507,11 +510,14 @@ def q_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline over the twin corpus:
     candidates from band buckets, verified with exact shingle Jaccard."""
     corpus = _docs_with_twins(load_table(spark, sf_dir, "documents"))
-    cands = lsh_candidate_pairs(
-        corpus, "text", "doc_id", MINHASH_K, SHINGLE_K, LSH_BANDS
-    )
-    return jaccard_pairs(corpus, cands, "text", "doc_id", SHINGLE_K).filter(
-        F.col("jaccard") >= 0.5
+    return ngram_jaccard_dedup(
+        corpus,
+        "text",
+        "doc_id",
+        threshold=0.5,
+        shingle_k=SHINGLE_K,
+        n_hashes=MINHASH_K,
+        bands=LSH_BANDS,
     )
 
 
