@@ -1,0 +1,136 @@
+"""Dedup operators (operators/dedup.py): exact, MinHash-LSH, Jaccard,
+SimHash, embedding cosine — on constructed corpora with known duplicates."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tdigest_spark.operators import dedup as D
+
+
+def _words(rng, n):
+    return " ".join(
+        "".join(chr(97 + rng.integers(0, 26)) for _ in range(4)) for _ in range(n)
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """60 random docs + near-dup twins of the first 10 (drop last 3 words)
+    + exact dups of docs 10-14."""
+    rng = np.random.default_rng(7)
+    base = [(i, _words(rng, 40)) for i in range(60)]
+    twins = [(1000 + i, " ".join(t.split()[:-3])) for i, t in base[:10]]
+    exact = [(2000 + i, t) for i, t in base[10:15]]
+    return spark.createDataFrame(base + twins + exact, "doc_id long, text string")
+
+
+def test_exact_dedup(corpus):
+    out = D.exact_dedup(corpus, ("text",), "doc_id").collect()
+    dups = {r["keep_id"]: r["n_copies"] for r in out if r["n_copies"] > 1}
+    assert dups == {i: 2 for i in range(10, 15)}
+    assert len(out) == 70  # 75 rows, 5 exact dups
+
+
+def test_minhash_identical_docs_equal_sig(corpus):
+    sigs = {r["doc_id"]: tuple(r["minhash_sig"])
+            for r in D.minhash_signatures(corpus).collect()}
+    for i in range(10, 15):
+        assert sigs[i] == sigs[2000 + i]
+    # lane values are 8-hex-char strings
+    assert all(len(v) == 8 for v in sigs[0])
+
+
+def test_minhash_lane_semantics(spark):
+    df = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    sig = D.minhash_signatures(df, n_hashes=8).collect()[0]["minhash_sig"]
+    shingles = ["a b c", "b c d"]
+    h = [
+        hashlib.md5(f"0:{s}".encode()).hexdigest()
+        + hashlib.md5(f"1:{s}".encode()).hexdigest()
+        for s in shingles
+    ]
+    exp = [min(x[j * 8 : j * 8 + 8] for x in h) for j in range(8)]
+    assert list(sig) == exp
+
+
+def test_lsh_finds_near_dups(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(corpus).collect()
+    }
+    # every exact dup must be found; near-dup twins (jaccard ~0.92) nearly
+    # always share a band — require at least 8/10
+    for i in range(10, 15):
+        assert (i, 2000 + i) in pairs
+    found_twins = sum((i, 1000 + i) in pairs for i in range(10))
+    assert found_twins >= 8
+
+
+def test_jaccard_exact_value(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d f")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    j = D.jaccard_pairs(df, pairs).collect()[0]["jaccard"]
+    # shingle sets: {abc,bcd,cde} vs {abc,bcd,cdf}: inter 2, union 4
+    assert j == 0.5
+
+
+def test_ngram_jaccard_dedup_pipeline(corpus):
+    out = D.ngram_jaccard_dedup(corpus, threshold=0.8)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    for i in range(10, 15):
+        assert got.get((i, 2000 + i)) == 1.0
+    # twins have jaccard (37-3)/38 > 0.8 for 40-word docs
+    assert sum((i, 1000 + i) in got for i in range(10)) >= 8
+
+
+def test_simhash_properties(corpus):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash64(corpus).collect()}
+    assert all(len(v) == 16 for v in sh.values())
+    for i in range(10, 15):
+        assert sh[i] == sh[2000 + i]
+
+    def ham(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    # twins: small hamming; unrelated: ~32
+    twin_d = [ham(sh[i], sh[1000 + i]) for i in range(10)]
+    rand_d = [ham(sh[i], sh[i + 20]) for i in range(10)]
+    assert np.mean(twin_d) < 10
+    assert np.mean(rand_d) > 20
+
+
+def test_simhash_near_pairs(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_pairs(corpus, max_hamming=3).collect()
+    }
+    for i in range(10, 15):
+        assert pairs.get((i, 2000 + i)) == 0
+
+
+def test_embedding_near_dup(spark):
+    rng = np.random.default_rng(3)
+    vecs = [(i, int(i % 4), rng.standard_normal(16).tolist()) for i in range(40)]
+    twins = [(100 + i, b, [x * 1.01 for x in v]) for i, b, v in vecs[:8]]
+    emb = spark.createDataFrame(
+        vecs + twins, "vec_id long, label int, embedding array<double>"
+    )
+    out = D.embedding_near_dup(emb, "vec_id", "embedding", "label", threshold=0.95)
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in out.collect()}
+    assert set(got) == {(i, 100 + i) for i in range(8)}
+    assert all(c > 0.999999 for c in got.values())
+
+
+def test_dot_col_sequential_order(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<double>, b array<double>"
+    )
+    d = df.select(D.dot_col("a", "b").alias("d")).collect()[0]["d"]
+    assert d == ((0.0 + 1.0 * 4.0) + 2.0 * 5.0) + 3.0 * 6.0

@@ -1,0 +1,99 @@
+"""Multimodal binary plumbing (operators/multimodal.py): FAKE1 container
+round-trips, JVM-side metadata sniffing, mapInPandas decode paths."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tdigest_spark.operators import multimodal as M
+
+
+def test_fake_roundtrip():
+    for kind in (M.KIND_IMAGE, M.KIND_AUDIO, M.KIND_VIDEO):
+        blob = M.fake_media_bytes(123, kind)
+        w, h, fr, payload = M.decode_fake(blob)
+        assert w > 0 and h > 0 and fr >= 1
+        assert M.fake_media_bytes(123, kind) == blob  # deterministic
+    with pytest.raises(ValueError):
+        M.decode_fake(b"NOPExxxxxxxxxxxxxxxxx")
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (i, M.fake_media_bytes(i, M.KIND_IMAGE if i % 3 else M.KIND_VIDEO))
+        for i in range(12)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, media binary"), dict(rows)
+
+
+def test_with_media_meta_jvm_header_parse(media):
+    df, blobs = media
+    out = {r["doc_id"]: r for r in M.with_media_meta(df).collect()}
+    for i, blob in blobs.items():
+        w, h, fr, _ = M.decode_fake(blob)
+        r = out[i]
+        assert (r["width"], r["height"], r["n_frames"]) == (w, h, fr)
+        assert r["n_bytes"] == len(blob)
+        assert r["media_kind"] in (M.KIND_IMAGE, M.KIND_VIDEO)
+    # malformed blob -> kind -1
+    bad = df.sparkSession.createDataFrame([(99, b"JUNKJUNKJUNKJUNKJUNK")],
+                                          "doc_id long, media binary")
+    assert M.with_media_meta(bad).collect()[0]["media_kind"] == -1
+
+
+def test_extract_features(media):
+    df, blobs = media
+    out = {r["doc_id"]: r for r in M.extract_features(df).collect()}
+    for i, blob in blobs.items():
+        w, h, fr, payload = M.decode_fake(blob)
+        assert out[i]["width"] == w
+        assert abs(out[i]["mean_pixel"] - float(payload.mean())) < 1e-12
+
+
+def test_strict_decoder_raises(media):
+    df, _ = media
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        M.extract_features(df, decoder="strict").collect()
+
+
+def test_resize_images(media):
+    df, blobs = media
+    imgs = df.filter(F.col("doc_id") % 3 != 0)  # images only
+    out = M.resize_images(imgs, target=(8, 8))
+    for r in out.collect():
+        w, h, fr, payload = M.decode_fake(bytes(r["media"]))
+        assert (w, h, fr) == (8, 8, 1)
+        assert payload.size == 64
+        # resize is deterministic nearest-neighbor of the source
+        sw, shh, _, src = M.decode_fake(blobs[r["doc_id"]])
+        img = src.reshape(shh, sw)
+        ry = (np.arange(8) * shh // 8).astype(int)
+        rx = (np.arange(8) * sw // 8).astype(int)
+        assert np.array_equal(payload.reshape(8, 8), img[np.ix_(ry, rx)])
+
+
+def test_sample_frames(media):
+    df, blobs = media
+    vids = df.filter(F.col("doc_id") % 3 == 0)
+    out = M.sample_frames(vids, every=2)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        w, h, fr, payload = M.decode_fake(bytes(r["frame"]))
+        assert fr == 1
+        sw, shh, sfr, src = M.decode_fake(blobs[r["doc_id"]])
+        assert r["frame_idx"] % 2 == 0 and r["frame_idx"] < sfr
+        vid = src.reshape(sfr, shh, sw)
+        assert np.array_equal(payload.reshape(shh, sw), vid[r["frame_idx"]])
+
+
+def test_binary_meta(spark):
+    df = spark.createDataFrame([(0, b"hello"), (1, None)], "doc_id long, b binary")
+    out = {r["doc_id"]: r for r in M.binary_meta(df, "b").collect()}
+    assert out[0]["n_bytes"] == 5
+    import hashlib
+
+    assert out[0]["content_md5"] == hashlib.md5(b"hello").hexdigest()

@@ -1,0 +1,89 @@
+"""ANN operators (operators/similarity.py) vs NumPy brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tdigest_spark.operators import similarity as S
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.standard_normal(DIM).tolist()) for i in range(80)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), rows
+
+
+def _np_topk(rows, qid, k):
+    M = np.array([v for _, v in rows])
+    ids = np.array([i for i, _ in rows])
+    q = M[list(ids).index(qid)]
+    cos = M @ q / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+    order = sorted(
+        [(float(-c), int(i)) for c, i in zip(cos, ids) if i != qid]
+    )[:k]
+    return [i for _, i in order]
+
+
+def test_cosine_topk_matches_numpy(emb):
+    df, rows = emb
+    queries = df.filter(F.col("vec_id").isin([0, 7, 33]))
+    out = S.cosine_topk(df, queries, k=5)
+    got: dict[int, list[int]] = {}
+    for r in sorted(out.collect(), key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for qid in (0, 7, 33):
+        assert got[qid] == _np_topk(rows, qid, 5)
+
+
+def test_hyperplanes_deterministic():
+    a = S.hyperplanes(4, DIM, seed=42)
+    b = S.hyperplanes(4, DIM, seed=42)
+    c = S.hyperplanes(4, DIM, seed=43)
+    assert a == b and a != c
+    assert all(len(p) == DIM and set(p) <= {-1, 1} for p in a)
+
+
+def test_lsh_bucket_consistency(emb):
+    df, _ = emb
+    planes = S.hyperplanes(6, DIM, seed=1)
+    b = df.select(
+        "vec_id", S.lsh_bucket_col("embedding", planes).alias("bucket")
+    ).collect()
+    assert all(len(r["bucket"]) == 6 and set(r["bucket"]) <= {"0", "1"} for r in b)
+    # identical vector -> identical bucket (query side uses same expr)
+    again = df.select(
+        "vec_id", S.lsh_bucket_col("embedding", planes).alias("bucket")
+    ).collect()
+    assert {r["vec_id"]: r["bucket"] for r in b} == {
+        r["vec_id"]: r["bucket"] for r in again
+    }
+
+
+def test_lsh_cosine_topk_subset_of_bucket(emb):
+    df, rows = emb
+    queries = df.filter(F.col("vec_id") == 0)
+    out = S.lsh_cosine_topk(df, queries, k=5, n_planes=4, seed=42, dim=DIM)
+    got = [r["neighbor_id"] for r in sorted(out.collect(), key=lambda r: r["rank"])]
+    # approximate: all results must be true vectors ranked consistently with
+    # exact cosine *within* the returned set
+    M = {i: np.array(v) for i, v in rows}
+    q = M[0]
+    cos = lambda i: float(M[i] @ q / (np.linalg.norm(M[i]) * np.linalg.norm(q)))  # noqa: E731
+    assert got == sorted(got, key=lambda i: (-cos(i), i))
+
+
+def test_ivf_assign(spark):
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "centroid_id int, centroid array<double>"
+    )
+    vecs = spark.createDataFrame(
+        [(0, [5.0, 0.1]), (1, [0.1, 9.0]), (2, [1.0, 0.9])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["ivf_cell"] for r in S.ivf_assign(vecs, cents).collect()}
+    assert out == {0: 0, 1: 1, 2: 0}  # (1,0.9) closer in cosine to (1,0)

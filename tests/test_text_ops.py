@@ -1,0 +1,88 @@
+"""Text-analysis operators: token stats, quality, language-ID,
+fingerprints (operators/text.py) against plain-Python references."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from tdigest_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat and the hat is on the mat", "en"),
+        (1, "der hund und die katze ist nicht da", "de"),
+        (2, "zzz qqq xxx yyy www", "xx"),  # no markers
+        (3, "the the the", "en"),
+        (4, "and  the   cat", "en"),  # multiple spaces
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_token_stats(docs):
+    out = {r["doc_id"]: r for r in T.token_stats(docs).collect()}
+    assert out[0]["n_tokens"] == 9
+    assert out[0]["n_distinct_tokens"] == 7
+    assert out[3]["n_tokens"] == 3
+    assert out[3]["n_distinct_tokens"] == 1
+    assert out[4]["n_tokens"] == 3  # empty tokens from double spaces dropped
+    assert out[0]["max_token_len"] == 3
+    # stopwords: the(3) and(1) is(1) on? 'on' not in list -> check exact
+    sw = set(T.DEFAULT_STOPWORDS)
+    toks = "the cat and the hat is on the mat".split()
+    assert out[0]["n_stopwords"] == sum(t in sw for t in toks)
+
+
+def test_quality_score(docs):
+    r = {x["doc_id"]: x for x in T.quality_score(docs).collect()}
+    toks = "the cat and the hat is on the mat".split()
+    sw = set(T.DEFAULT_STOPWORDS)
+    exp = sum(t in sw for t in toks) / len(toks)
+    assert abs(r[0]["stopword_ratio"] - exp) < 1e-15
+    assert 0 < r[0]["alpha_ratio"] < 1  # spaces are non-alpha
+
+
+def test_language_id(docs):
+    out = {r["doc_id"]: r for r in T.language_id(docs).collect()}
+    assert out[0]["pred_lang"] == "en"
+    assert out[1]["pred_lang"] == "de"
+    assert out[2]["pred_lang"] == "und"
+    assert out[2]["n_hits"] == 0
+    assert out[3]["pred_lang"] == "en"
+    assert out[3]["n_hits"] == 3
+
+
+def test_content_fingerprint_permutation_invariant(spark):
+    rows = [(0, "a b c d"), (1, "d c b a"), (2, "a b c e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r["doc_id"]: r["fingerprint"] for r in T.content_fingerprint(df).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
+    # md5 of the canonical sorted-distinct token join
+    assert fp[0] == hashlib.md5(b"a b c d").hexdigest()
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    sh = df.select(T.shingles_col("text", 3).alias("sh")).collect()[0]["sh"]
+    assert sh == ["a b c", "b c d", "c d e"]
+    # shorter than k -> whole text as one shingle
+    df2 = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    sh2 = df2.select(T.shingles_col("text", 3).alias("sh")).collect()[0]["sh"]
+    assert sh2 == ["a b"]
+
+
+def test_minhash_fingerprint_deterministic(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d e")], "doc_id long, text string"
+    )
+    fps = [r["minhash"] for r in T.minhash_fingerprint(df).collect()]
+    assert fps[0] == fps[1]
+    exp = min(
+        hashlib.md5(s.encode()).hexdigest() for s in ["a b c", "b c d", "c d e"]
+    )
+    assert fps[0] == exp
