@@ -1,0 +1,168 @@
+"""Resumable digest builds: per-split checkpoints with lineage + metrics.
+
+North-star requirement: "checkpoint serialized digests per partition with
+lineage and metrics so a killed job resumes without rescanning completed
+splits".
+
+Design
+------
+A *split* is one input file (the unit Spark can re-read independently and
+the unit object stores list cheaply).  The checkpoint directory is a
+parquet dataset of completed-split records:
+
+    split_id   string   -- the input file path
+    digest     binary   -- serialized MergingDigest for that file
+    n_rows     long     -- samples ingested from the split
+    digest_sha string   -- sha256 of the digest bytes (integrity/lineage)
+    delta      double   -- build parameter (conformality check on resume)
+    scale      string
+
+Each incremental run:
+1. lists input files,
+2. anti-joins them against the manifest (driver-side set difference —
+   file lists are tiny even at 100 TB: ~10^6 paths),
+3. builds one digest per *pending* file only (`spark.read.parquet(paths)`
+   restricted to pending paths — completed bytes are never re-read; this
+   is verifiable by deleting a completed source file and resuming),
+4. appends new records atomically-enough via parquet append with a
+   per-batch job UUID in the filename (Spark's committer handles this),
+5. the final digest is the canonical merge (ordered by split_id) of all
+   manifest records.
+
+Determinism: the merge order is sorted by split_id, so the final digest
+bytes are identical regardless of how many runs/kills it took to finish
+— asserted by tests/test_checkpoint.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .core import MergingDigest
+from .operators.digest import DIGEST_FIELDS
+from .scale import get_scale
+
+MANIFEST_SCHEMA = (
+    "split_id string, digest binary, n_rows long, digest_sha string, "
+    "delta double, scale string"
+)
+
+
+@dataclass
+class BuildReport:
+    total_splits: int
+    completed_before: int
+    built_now: int
+    skipped: list[str]
+
+    @property
+    def resumed(self) -> bool:
+        return self.completed_before > 0
+
+
+def _list_input_files(spark: SparkSession, input_path: str) -> list[str]:
+    return sorted(spark.read.parquet(input_path).inputFiles())
+
+
+def read_manifest(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    try:
+        return spark.read.schema(MANIFEST_SCHEMA).parquet(checkpoint_dir)
+    except Exception:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+
+
+def checkpointed_build(
+    spark: SparkSession,
+    input_path: str,
+    value_col: str,
+    checkpoint_dir: str,
+    delta: float = 100.0,
+    scale: str = "K_3",
+) -> BuildReport:
+    """Build (or resume building) per-split digests for `input_path`.
+
+    Idempotent: re-running after completion is a no-op; re-running after a
+    kill finishes only the pending splits.
+    """
+    files = _list_input_files(spark, input_path)
+    manifest = read_manifest(spark, checkpoint_dir)
+    done = {
+        r["split_id"]
+        for r in manifest.select("split_id").distinct().collect()
+    }
+    pending = [f for f in files if f not in done]
+    if not pending:
+        return BuildReport(len(files), len(done), 0, [])
+
+    df = spark.read.parquet(*pending).select(
+        F.col(value_col).cast("double").alias("__v"),
+        F.input_file_name().alias("__split"),
+    )
+
+    import numpy as np
+    import pandas as pd
+
+    d_scale = scale
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        dg = MergingDigest(delta, scale=get_scale(d_scale))
+        vals = pdf["__v"].to_numpy(dtype=np.float64)
+        vals = vals[~np.isnan(vals)]
+        if vals.size:
+            dg.add(vals)
+        blob = dg.to_bytes()
+        return pd.DataFrame(
+            {
+                "split_id": [pdf["__split"].iloc[0]],
+                "digest": [blob],
+                "n_rows": [int(vals.size)],
+                "digest_sha": [hashlib.sha256(blob).hexdigest()],
+                "delta": [float(delta)],
+                "scale": [d_scale],
+            }
+        )
+
+    new_rows = df.groupBy("__split").applyInPandas(build, schema=MANIFEST_SCHEMA)
+    new_rows.write.mode("append").parquet(checkpoint_dir)
+    return BuildReport(len(files), len(done), len(pending), [])
+
+
+def final_digest(spark: SparkSession, checkpoint_dir: str) -> MergingDigest:
+    """Canonical merge of every manifest record, ordered by split_id —
+    byte-identical no matter how the build was interrupted/resumed."""
+    rows = (
+        read_manifest(spark, checkpoint_dir)
+        .select("split_id", "digest", "digest_sha", "delta", "scale")
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"empty checkpoint manifest at {checkpoint_dir}")
+    rows.sort(key=lambda r: r["split_id"])
+    seen: set[str] = set()
+    out: MergingDigest | None = None
+    for r in rows:
+        if r["split_id"] in seen:  # duplicate append from a rerun race: skip
+            continue
+        seen.add(r["split_id"])
+        blob = bytes(r["digest"])
+        if hashlib.sha256(blob).hexdigest() != r["digest_sha"]:
+            raise ValueError(f"corrupt checkpoint record for {r['split_id']}")
+        d = MergingDigest.from_bytes(blob)
+        if out is None:
+            out = MergingDigest(r["delta"], scale=get_scale(r["scale"]))
+        out.merge(d)
+    assert out is not None
+    return out
+
+
+def metrics(spark: SparkSession, checkpoint_dir: str) -> dict:
+    m = read_manifest(spark, checkpoint_dir)
+    agg = m.agg(
+        F.countDistinct("split_id").alias("splits"),
+        F.sum("n_rows").alias("rows"),
+    ).collect()[0]
+    return {"splits": int(agg["splits"] or 0), "rows": int(agg["rows"] or 0)}
