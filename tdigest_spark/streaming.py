@@ -1,0 +1,154 @@
+"""Structured-Streaming surface: t-digests over unbounded streams.
+
+Two composable pieces:
+
+- streaming_digest_by: stateful per-group digests via
+  `applyInPandasWithState` — the digest's (serialized bytes, total
+  weight) IS the state; every trigger folds the new Arrow batches into
+  the group's digest and emits an updated row.  This is the reference's
+  fit!-loop lifted onto Spark's incremental execution: update = add a
+  batch, state = the sketch, emit = quantiles of the current sketch.
+
+- digest_sink: `foreachBatch` sink that appends per-batch partial
+  digests to a checkpoint-style parquet manifest keyed by batch_id —
+  idempotent under retries (a batch re-run overwrites its own id), and
+  the stream's running digest is recoverable by merging the manifest
+  (tdigest_spark.checkpoint.final_digest-style canonical order).
+
+Watermark/window variants compose from built-ins: group by
+`F.window(ts, ...)` + keys before streaming_digest_by and the state
+machinery is identical (the window struct is just part of the key).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .core import MergingDigest
+from .scale import get_scale
+
+_STATE_SCHEMA = "digest binary, n_rows long"
+
+
+def streaming_digest_by(
+    sdf: DataFrame,
+    value_col: str,
+    by: Sequence[str],
+    delta: float = 100.0,
+    scale: str = "K_3",
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Stateful grouped digest over a streaming DataFrame.
+
+    Emits, per trigger and updated group: (by..., digest binary,
+    n_rows long, q50/q90/... double).  Output mode must be "update".
+    State size is O(delta) bytes per group — thousands of groups cost MBs.
+    """
+    keys = list(by)
+    key_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in sdf.schema.fields
+        if f.name in keys
+    )
+    q_fields = ", ".join(f"q{int(q * 1000):03d} double" for q in qs)
+    out_schema = ", ".join(x for x in (key_fields, _STATE_SCHEMA, q_fields) if x)
+
+    proj = sdf.select(*keys, F.col(value_col).cast("double").alias("__v"))
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (blob, n) = state.get
+            d = MergingDigest.from_bytes(bytes(blob))
+        else:
+            d, n = MergingDigest(delta, scale=get_scale(scale)), 0
+        for pdf in pdfs:
+            vals = pdf["__v"].to_numpy(dtype=np.float64)
+            vals = vals[~np.isnan(vals)]
+            if vals.size:
+                d.add(vals)
+                n += int(vals.size)
+        blob = d.to_bytes()
+        state.update((blob, n))
+        row = {k: [key[i]] for i, k in enumerate(keys)}
+        row["digest"] = [blob]
+        row["n_rows"] = [n]
+        for q in qs:
+            row[f"q{int(q * 1000):03d}"] = [d.quantile(q)]
+        yield pd.DataFrame(row)
+
+    return proj.groupBy(*keys).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def digest_sink(
+    sdf: DataFrame,
+    value_col: str,
+    manifest_dir: str,
+    delta: float = 100.0,
+    scale: str = "K_3",
+):
+    """foreachBatch sink: every micro-batch contributes one digest row
+    (split_id = "batch=<id>") to a checkpoint-style manifest.  Batch
+    replays overwrite their own partition directory, so the manifest
+    stays exactly-once under restarts; merge with
+    tdigest_spark.checkpoint.final_digest semantics."""
+    import hashlib
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import pandas as pd
+
+        pdfs = batch_df.select(
+            F.col(value_col).cast("double").alias("__v")
+        ).toPandas()
+        vals = pdfs["__v"].to_numpy(dtype=np.float64)
+        vals = vals[~np.isnan(vals)]
+        d = MergingDigest(delta, scale=get_scale(scale))
+        if vals.size:
+            d.add(vals)
+        blob = d.to_bytes()
+        row = pd.DataFrame(
+            {
+                "split_id": [f"batch={batch_id:020d}"],
+                "digest": [blob],
+                "n_rows": [int(vals.size)],
+                "digest_sha": [hashlib.sha256(blob).hexdigest()],
+                "delta": [float(delta)],
+                "scale": [scale],
+            }
+        )
+        spark = batch_df.sparkSession
+        (
+            spark.createDataFrame(row)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{manifest_dir}/split_id=batch={batch_id:020d}__dir")
+        )
+
+    return sdf.writeStream.foreachBatch(write_batch)
+
+
+def merge_stream_manifest(spark, manifest_dir: str) -> MergingDigest:
+    """Merge every per-batch digest in canonical batch order."""
+    df = spark.read.parquet(f"{manifest_dir}/*__dir")
+    rows = sorted(df.collect(), key=lambda r: r["split_id"])
+    out: MergingDigest | None = None
+    for r in rows:
+        d = MergingDigest.from_bytes(bytes(r["digest"]))
+        if out is None:
+            out = MergingDigest(r["delta"], scale=get_scale(r["scale"]))
+        out.merge(d)
+    if out is None:
+        raise ValueError(f"no batches in {manifest_dir}")
+    return out

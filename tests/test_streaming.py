@@ -1,0 +1,91 @@
+"""Structured-Streaming digest surface (streaming.py): stateful grouped
+digests across triggers, foreachBatch manifest sink, batch-parity."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tdigest_spark import MergingDigest
+from tdigest_spark import streaming as ST
+
+
+def _write_chunk(spark, path, rows, chunk_id):
+    df = spark.createDataFrame(rows, "grp string, x double")
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def stream_env(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    rng = np.random.default_rng(9)
+    chunks = []
+    for c in range(3):
+        rows = [
+            ("a", float(v)) for v in rng.uniform(0, 100, 400)
+        ] + [("b", float(v)) for v in rng.uniform(100, 200, 200)]
+        chunks.append(rows)
+    _write_chunk(spark, src, chunks[0], 0)
+    return src, chunks
+
+
+def test_streaming_digest_by_matches_batch(spark, stream_env, tmp_path):
+    src, chunks = stream_env
+    for c in range(1, 3):
+        _write_chunk(spark, src, chunks[c], c)
+
+    sdf = spark.readStream.schema("grp string, x double").parquet(src)
+    out = ST.streaming_digest_by(sdf, "x", ["grp"], delta=100.0, qs=(0.5, 0.9))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("digest_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.sql(
+        "select * from digest_stream order by n_rows"
+    ).collect()
+    assert res
+    # take the LAST update per group = the full-data digest
+    last = {}
+    for r in res:
+        last[r["grp"]] = r
+    all_rows = [x for c in chunks for x in c]
+    for grp in ("a", "b"):
+        vals = np.array([v for g, v in all_rows if g == grp])
+        assert last[grp]["n_rows"] == len(vals)
+        d = MergingDigest.from_bytes(bytes(last[grp]["digest"]))
+        assert d.total_weight == len(vals)
+        sv = np.sort(vals)
+        for q_, col in ((0.5, "q500"), (0.9, "q900")):
+            rank = np.searchsorted(sv, last[grp][col]) / len(sv)
+            assert abs(rank - q_) < 0.05
+
+
+def test_digest_sink_foreach_batch(spark, stream_env, tmp_path):
+    src, chunks = stream_env
+    for c in range(1, 3):
+        _write_chunk(spark, src, chunks[c], c)
+    sdf = spark.readStream.schema("grp string, x double").parquet(src)
+    manifest = str(tmp_path / "manifest")
+    q = (
+        ST.digest_sink(sdf, "x", manifest, delta=100.0)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    d = ST.merge_stream_manifest(spark, manifest)
+    all_vals = np.array([v for c in chunks for _, v in c])
+    assert d.total_weight == len(all_vals)
+    sv = np.sort(all_vals)
+    for q_ in (0.1, 0.5, 0.9):
+        rank = np.searchsorted(sv, d.quantile(q_)) / len(sv)
+        assert abs(rank - q_) < 0.05
