@@ -31,7 +31,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-from .text import shingles_col, tokens_col
+from .text import shingles_from_tokens, tokens_col
 
 
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -102,9 +102,16 @@ def minhash_signatures(
     shingle stream.
     """
     n_md5 = (n_hashes * LANE_HEX + 31) // 32
-    sh = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
+    # tokens in their own projection: inlining the split into the shingle
+    # lambda is O(tokens^2) per doc (see text.shingles_from_tokens)
+    toks = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), tokens_col(text_col).alias("__t")
+    )
+    sh = toks.select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles_col(text_col, shingle_k))).alias("__sh"),
+        F.explode(
+            F.array_distinct(shingles_from_tokens(F.col("__t"), shingle_k))
+        ).alias("__sh"),
     )
     allhex = F.concat(
         *[F.md5(F.concat(F.lit(f"{c}:"), F.col("__sh"))) for c in range(n_md5)]
@@ -223,9 +230,10 @@ def jaccard_pairs(
     )
     sets = (
         df.join(ids, id_col, "left_semi")
+        .select(F.col(id_col), tokens_col(text_col).alias("__t"))
         .select(
             F.col(id_col),
-            F.array_distinct(shingles_col(text_col, shingle_k)).alias("sh"),
+            F.array_distinct(shingles_from_tokens(F.col("__t"), shingle_k)).alias("sh"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

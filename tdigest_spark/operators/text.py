@@ -161,18 +161,33 @@ def content_fingerprint(
     return df.withColumn(out_col, F.md5(canon))
 
 
-def shingles_col(text_col: Column | str, k: int = 3) -> Column:
-    """Word k-gram shingles as an array<string> column (built-ins only):
-    transform over a 0..n_tokens-k index sequence, slicing the token array.
-    Documents shorter than k tokens produce their whole text as the one
-    shingle."""
-    toks = tokens_col(text_col)
+def shingles_from_tokens(toks: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingles from a *materialized* token-array column.
+
+    IMPORTANT: `toks` must be a bound column from a prior projection, not
+    an inline `tokens_col(...)` expression — Catalyst inlines lambda-free
+    variables, so an inline token expression would be re-evaluated once
+    per shingle index (O(tokens²) per doc; measured 50x slower on real
+    documents).  Documents shorter than k tokens produce their whole
+    text as the one shingle.
+    """
+    toks = F.col(toks) if isinstance(toks, str) else toks
     n = F.size(toks)
     grams = F.transform(
-        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
     )
     return F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def shingles_col(text_col: Column | str, k: int = 3) -> Column:
+    """Inline word-k-gram shingles straight from a text column.
+
+    Convenience for small data/tests ONLY — the token split is inlined
+    into the per-index lambda, making it O(tokens²) per document.  Hot
+    paths must project `tokens_col(text)` first and use
+    `shingles_from_tokens` (see minhash_signatures / jaccard_pairs)."""
+    return shingles_from_tokens(tokens_col(text_col), k)
 
 
 def minhash_fingerprint(
@@ -180,7 +195,10 @@ def minhash_fingerprint(
 ) -> DataFrame:
     """Rolling-shingle document fingerprint: lexicographic min of
     md5(shingle) over word k-grams.  This is a 1-permutation MinHash — the
-    primitive the LSH dedup stacks 16-deep (operators.dedup)."""
-    return df.withColumn(
-        out_col, F.array_min(F.transform(shingles_col(text_col, k), F.md5))
-    )
+    primitive the LSH dedup stacks per-lane (operators.dedup).  Tokens are
+    materialized in their own projection (see shingles_from_tokens)."""
+    with_toks = df.withColumn("__mfp_toks", tokens_col(text_col))
+    return with_toks.withColumn(
+        out_col,
+        F.array_min(F.transform(shingles_from_tokens(F.col("__mfp_toks"), k), F.md5)),
+    ).drop("__mfp_toks")

@@ -70,19 +70,35 @@ def _h(ids: np.ndarray, stream: int) -> np.ndarray:
 
 
 def _make_corpus(lang: str, n_words: int = 20_000) -> str:
-    """Deterministic word soup for one language, markers interleaved."""
-    ids = np.arange(n_words, dtype=np.uint64) ^ np.uint64(hash(lang) & 0xFFFF)
+    """Deterministic word soup for one language, markers interleaved.
+
+    Fully vectorized (this runs once per language per Python worker; a
+    scalar loop here dominated generation throughput): random words are
+    materialized as a padded uint8 char matrix decoded in one shot, then
+    ~25% are replaced by language-marker stopwords.
+    """
+    # lang-derived stream offset must not depend on PYTHONHASHSEED
+    lang_tag = int.from_bytes(lang.encode()[:2].ljust(2, b"_"), "little")
+    ids = np.arange(n_words, dtype=np.uint64) ^ np.uint64(lang_tag)
     h1 = _h(ids, 101)
     h2 = _h(ids, 102)
     markers = _MARKERS[lang]
-    words = []
-    for i in range(n_words):
-        if h2[i] % np.uint64(4) == 0:  # ~25% marker stopwords
-            words.append(markers[int(h1[i] % np.uint64(len(markers)))])
-        else:
-            ln = 3 + int(h1[i] % np.uint64(7))
-            chars = _h(ids[i] + np.arange(ln, dtype=np.uint64) + np.uint64(7919), 103)
-            words.append("".join(chr(97 + int(c % np.uint64(26))) for c in chars))
+
+    max_len = 10  # lens max 9 + at least one pad space per row
+    lens = (3 + (h1 % np.uint64(7))).astype(np.int64)  # in [3, 9]
+    char_h = _h(
+        ids[:, None] + np.arange(max_len, dtype=np.uint64)[None, :] + np.uint64(7919),
+        103,
+    )
+    chars = (97 + (char_h % np.uint64(26))).astype(np.uint8)
+    padded = np.where(np.arange(max_len)[None, :] < lens[:, None], chars, 32)
+    words = padded.tobytes().decode("ascii").split()
+    assert len(words) == n_words
+
+    is_marker = (h2 % np.uint64(4)) == 0
+    midx = (h1 % np.uint64(len(markers))).astype(np.int64)
+    for i in np.nonzero(is_marker)[0]:
+        words[i] = markers[midx[i]]
     return " ".join(words)
 
 
@@ -183,9 +199,9 @@ def write_webpages(
     (hive dirs by crawl_date)."""
     df = generate_webpages(spark, n_docs, partitions)
     (
-        df.withColumn("crawl_date", F.to_date("warc_ts"))
+        df.withColumn("crawl_month", F.date_format("warc_ts", "yyyy-MM"))
         .write.mode("overwrite")
-        .partitionBy("crawl_date")
+        .partitionBy("crawl_month")
         .parquet(path)
     )
 
