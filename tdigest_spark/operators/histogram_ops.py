@@ -48,22 +48,44 @@ def histogram_by(
         x for x in (key_schema, "counts array<bigint>, n_rows bigint") if x
     )
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        h = LogHistogram(min_value, max_value, epsilon)
-        vals = pdf[_VALUE].to_numpy(dtype=np.float64)
-        vals = vals[~np.isnan(vals) & (vals > 0)]
-        h.add(vals)
-        row = {k: [pdf[k].iloc[0]] for k in keys}
-        row["counts"] = [h.counts.tolist()]
-        row["n_rows"] = [int(vals.size)]
-        return pd.DataFrame(row)
+    from typing import Iterator
 
-    # stage 1: per (group, partition-chunk) partial vectors.  The grouping
-    # includes spark_partition_id so no single task sees a whole hot group.
-    salted = sdf.withColumn("__pid", F.spark_partition_id())
-    partials = salted.groupBy(*keys, "__pid").applyInPandas(
-        lambda pdf: build(pdf.drop(columns="__pid")), schema=part_schema
-    )
+    def build_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one histogram per group seen in THIS partition: narrow (no
+        # shuffle of the raw rows), skew-immune (a hot group is spread
+        # across every input split), bounded state (groups x n_bins longs)
+        hists: dict[tuple, LogHistogram] = {}
+        rows: dict[tuple, int] = {}
+        for pdf in batches:
+            vals = pdf[_VALUE].to_numpy(dtype=np.float64)
+            ok = ~np.isnan(vals) & (vals > 0)
+            if not keys:
+                grp_iter = [((), ok)]
+            else:
+                gcols = [pdf[k] for k in keys]
+                import pandas as _pd
+
+                gkey = _pd.MultiIndex.from_arrays(gcols)
+                grp_iter = [
+                    (tuple(g) if isinstance(g, tuple) else (g,), (gkey == g) & ok)
+                    for g in gkey.unique()
+                ]
+            for g, mask in grp_iter:
+                h = hists.get(g)
+                if h is None:
+                    h = hists[g] = LogHistogram(min_value, max_value, epsilon)
+                    rows[g] = 0
+                v = vals[np.asarray(mask)]
+                h.add(v)
+                rows[g] += int(v.size)
+        if hists:
+            out = {k: [g[i] for g in hists] for i, k in enumerate(keys)}
+            out["counts"] = [h.counts.tolist() for h in hists.values()]
+            out["n_rows"] = [rows[g] for g in hists]
+            yield pd.DataFrame(out)
+
+    # stage 1: per (group, input-partition) partial vectors via mapInPandas
+    partials = sdf.mapInPandas(build_partition, schema=part_schema)
 
     # stage 2: JVM-side vector sum via posexplode + re-assembly
     exploded = partials.select(

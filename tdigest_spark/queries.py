@@ -178,6 +178,85 @@ FROM g CROSS JOIN qs
 """
 
 
+def q_tdigest_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed digest rollup: per (event_type, day) quantiles via
+    the same grouped aggregation with a window key — the hypertable-style
+    continuous-aggregate shape.  Day groups are small at sf0.01, well
+    inside the singleton-exact regime."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.col("ts"))
+    )
+    d = digest.digest_by(ev, "value", by=["event_type", "day"], delta=500.0)
+    return digest.quantiles_of(d, (0.5, 0.9), by=["event_type", "day"]).select(
+        "event_type",
+        F.col("day").cast("date").alias("day"),
+        F.col("q").cast("double").alias("q"),
+        "quantile",
+    )
+
+
+_SQL_HOURLY_EVENTS = """
+WITH g AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         list_sort(list(CAST(value AS DOUBLE))) AS xs, count(*) AS n
+  FROM events GROUP BY 1, 2
+), qs(q) AS (VALUES (0.5), (0.9))
+SELECT event_type, day, CAST(q AS DOUBLE) AS q,
+       xs[LEAST(CAST(floor(CAST(q AS DOUBLE) * n) AS BIGINT) + 1, n)] AS quantile
+FROM g CROSS JOIN qs
+"""
+
+
+def q_tdigest_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered-SQL surface end-to-end: build digests, register the
+    UDFs, query through spark.sql text."""
+    from .functions import register_sql_functions
+
+    register_sql_functions(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    d = digest.digest_by(docs, "n_chars", by=["lang"], delta=DOCS_DELTA)
+    d.createOrReplaceTempView("__q_digests")
+    return spark.sql(
+        """
+        SELECT lang,
+               tdigest_quantile(digest, 0.5d)  AS p50,
+               tdigest_quantile(digest, 0.99d) AS p99,
+               tdigest_cdf(digest, 300.0d)     AS cdf300,
+               round(tdigest_trimmed_mean(digest, 0.1d, 0.9d), 4) AS tmean
+        FROM __q_digests
+        """
+    )
+
+
+_SQL_SQL_SURFACE = """
+WITH g AS (
+  SELECT lang, list_sort(list(CAST(n_chars AS DOUBLE))) AS xs,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang
+), r AS (
+  SELECT lang, CAST(n_chars AS DOUBLE) AS x,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS DOUBLE) AS i,
+         CAST(count(*) OVER (PARTITION BY lang) AS DOUBLE) AS nn
+  FROM documents
+), tm AS (
+  SELECT lang, round(sum(wt * x) / sum(wt), 4) AS tmean FROM (
+    SELECT lang, x,
+           GREATEST(LEAST(i + 1, 0.9 * nn) - GREATEST(i, 0.1 * nn), 0) AS wt
+    FROM r) GROUP BY lang
+), cdf AS (
+  SELECT lang,
+         (count(*) FILTER (WHERE n_chars < 300)
+          + count(*) FILTER (WHERE n_chars = 300) / 2.0) / count(*) AS cdf300
+  FROM documents GROUP BY lang
+)
+SELECT g.lang,
+       xs[LEAST(CAST(floor(CAST(0.5 AS DOUBLE) * n) AS BIGINT) + 1, n)] AS p50,
+       xs[LEAST(CAST(floor(CAST(0.99 AS DOUBLE) * n) AS BIGINT) + 1, n)] AS p99,
+       cdf.cdf300, tm.tmean
+FROM g JOIN cdf ON g.lang = cdf.lang JOIN tm ON g.lang = tm.lang
+"""
+
+
 def q_tdigest_lineitem_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-regime global digest (60k rows @ delta=100) through the
     shuffle-free mapInPandas fast path. No SQL oracle (approximation);
@@ -740,6 +819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_trimmed_mean_by_lang": q_tdigest_trimmed_mean_by_lang,
         "tdigest_stats_by_lang": q_tdigest_stats_by_lang,
         "tdigest_events_by_type": q_tdigest_events_by_type,
+        "tdigest_daily_events": q_tdigest_hourly_events,
+        "tdigest_sql_surface": q_tdigest_sql_surface,
         "tdigest_lineitem_global": q_tdigest_lineitem_global,
         "loghistogram_events": q_loghistogram_events,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
@@ -766,6 +847,8 @@ def oracle_sql() -> dict[str, str]:
         "tdigest_trimmed_mean_by_lang": _SQL_TRIMMED_MEAN_BY_LANG,
         "tdigest_stats_by_lang": _SQL_STATS_BY_LANG,
         "tdigest_events_by_type": _SQL_EVENTS_BY_TYPE,
+        "tdigest_daily_events": _SQL_HOURLY_EVENTS,
+        "tdigest_sql_surface": _SQL_SQL_SURFACE,
         # tdigest_lineitem_global: approximate regime — rows-only check
         "loghistogram_events": _sql_loghistogram_events(),
         "lineitem_pricing_summary": _SQL_PRICING_SUMMARY,

@@ -1,0 +1,97 @@
+"""Physical-plan audits: the plans the operators promise are the plans
+Catalyst actually produces (pushdown, pruning, broadcast, shuffle shape).
+
+These are string-level assertions on `explain` output — deliberately so:
+a regression that adds a shuffle or drops pushdown should fail loudly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tdigest_spark.operators import digest, histogram_ops
+from tdigest_spark.plans import explain_str
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+def test_filter_pushdown_and_column_pruning(docs):
+    q = docs.filter(F.col("lang") == "en").select("n_chars")
+    plan = explain_str(q)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    # pruned read schema: only the referenced columns reach the scan
+    assert "n_chars" in plan.split("ReadSchema")[1][:200]
+    assert "text" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_grouped_digest_single_exchange(docs):
+    """Stage-1 digest build shuffles exactly once (on group+salt); the
+    value column is pruned at the scan."""
+    partials = digest.build_partials(docs, "n_chars", by=["lang"], salt=4)
+    simple = explain_str(partials, "simple")
+    assert simple.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" in simple
+    read = explain_str(partials).split("ReadSchema")[1][:200]
+    assert "lang" in read and "n_chars" in read and "text" not in read
+
+
+def test_partition_digest_no_shuffle(lineitem):
+    """The mapInPandas fast path builds partials with NO exchange at all —
+    only digest rows ever shuffle (in the separate merge stage)."""
+    partials = digest.build_partials_per_partition(lineitem, "l_extendedprice")
+    plan = explain_str(partials)
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_merge_shuffles_digest_rows_only(lineitem):
+    partials = digest.build_partials_per_partition(lineitem, "l_extendedprice")
+    merged = digest.merge_partials(partials, by=())
+    # one exchange for the merge groupBy; its input is the partials
+    # projection (digest binary + bookkeeping), not the data columns
+    assert explain_str(merged, "simple").count("Exchange") == 1
+    assert "l_extendedprice" in explain_str(merged).split("ReadSchema")[1][:200]
+
+
+def test_broadcast_join_used(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == cust.c_custkey,
+    )
+    plan = explain_str(j)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_histogram_merge_is_jvm_side(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    h = histogram_ops.histogram_by(ev, "value", 0.01, 500.0, by=["event_type"])
+    plan = explain_str(h, "simple")
+    # python appears exactly once (stage-1 mapInPandas partial build, no
+    # shuffle of raw rows); the merge is posexplode + sum, all JVM
+    assert plan.count("MapInPandas") == 1
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "posexplode" in plan
+    # the only exchanges carry (group, pos, cnt) partial rows
+    before_python = plan.split("MapInPandas")[1]
+    assert "Exchange" not in before_python
+
+
+def test_wholestage_codegen_on_text_ops(docs):
+    from tdigest_spark.operators.text import token_stats
+
+    plan = explain_str(token_stats(docs).select("doc_id", "n_tokens"), "simple")
+    assert "*(1)" in plan  # whole-stage-codegen marker
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
