@@ -789,6 +789,59 @@ FROM ranked WHERE rank <= {ANN_K}
 """
 
 
+def q_source_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: sources publishing in both en and fr (INTERSECT),
+    and en-only sources (EXCEPT), labeled and unioned."""
+    docs = load_table(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en").select("source").distinct()
+    fr = docs.filter(F.col("lang") == "fr").select("source").distinct()
+    both = en.intersect(fr).withColumn("op", F.lit("en_and_fr"))
+    only = en.exceptAll(fr).withColumn("op", F.lit("en_only"))
+    return both.unionAll(only)
+
+
+_SQL_SOURCE_SET_OPS = """
+SELECT source, 'en_and_fr' AS op FROM (
+  SELECT DISTINCT source FROM documents WHERE lang = 'en'
+  INTERSECT
+  SELECT DISTINCT source FROM documents WHERE lang = 'fr'
+)
+UNION ALL
+SELECT source, 'en_only' AS op FROM (
+  SELECT DISTINCT source FROM documents WHERE lang = 'en'
+  EXCEPT
+  SELECT DISTINCT source FROM documents WHERE lang = 'fr'
+)
+"""
+
+
+def q_token_freq_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface: LATERAL token_freq(text) over a doc sample."""
+    from .operators.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 25) == 0
+    )
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.freq
+        FROM __udtf_docs d, LATERAL token_freq(d.text) t
+        """
+    )
+
+
+_SQL_TOKEN_FREQ_UDTF = """
+SELECT doc_id, tok AS token, CAST(count(*) AS BIGINT) AS freq
+FROM (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+  FROM documents WHERE doc_id % 25 = 0
+)
+GROUP BY doc_id, tok
+"""
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing
 
@@ -829,6 +882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "doc_token_stats": q_doc_token_stats,
         "language_id": q_language_id,
+        "source_set_ops": q_source_set_ops,
+        "token_freq_udtf": q_token_freq_udtf,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
@@ -857,6 +912,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": _SQL_EVENTS_SESSIONS,
         "doc_token_stats": _sql_doc_token_stats(),
         "language_id": _sql_language_id(),
+        "source_set_ops": _SQL_SOURCE_SET_OPS,
+        "token_freq_udtf": _SQL_TOKEN_FREQ_UDTF,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_signatures": _sql_minhash(),
         "lsh_near_dup_pairs": _sql_lsh_near_dup_pairs(),
