@@ -95,3 +95,19 @@ def test_wholestage_codegen_on_text_ops(docs):
     plan = explain_str(token_stats(docs).select("doc_id", "n_tokens"), "simple")
     assert "*(1)" in plan  # whole-stage-codegen marker
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+
+
+def test_webpages_partition_pruning(spark, tmp_path):
+    """The Iceberg-style month-partitioned layout prunes partitions when
+    filtered on the partition column."""
+    from tdigest_spark.sources.webpages import write_webpages
+
+    path = str(tmp_path / "wp")
+    write_webpages(spark, 500, path)
+    df = spark.read.parquet(path)
+    q = df.filter(F.col("crawl_month") == "2024-03").select("url")
+    plan = explain_str(q)
+    assert "PartitionFilters" in plan
+    assert "crawl_month" in plan.split("PartitionFilters")[1][:200]
+    # non-partition columns pruned from the read schema
+    assert "html" not in plan.split("ReadSchema")[1][:150]

@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis): digest invariants under adversarial
+inputs — duplicates, constants, sorted/reverse-sorted, tiny/huge values —
+and merge associativity in the exact regime."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from tdigest_spark import MergingDigest
+from tdigest_spark.scale import K_1, K_2, K_3
+
+finite = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e12, max_value=1e12
+)
+value_lists = st.lists(finite, min_size=1, max_size=2000)
+
+
+@settings(max_examples=60, deadline=None)
+@given(vals=value_lists, scale=st.sampled_from([K_1, K_2, K_3]))
+def test_invariants_hold(vals, scale):
+    d = MergingDigest(100.0, scale=scale)
+    d.add(vals)
+    d.compress()
+    assert d.check_weights()
+    assert d.total_weight == len(vals)
+    assert d.quantile(0.0) == min(vals)
+    assert d.quantile(1.0) == max(vals)
+
+
+@settings(max_examples=40, deadline=None)
+@given(vals=value_lists)
+def test_quantile_monotone_and_bounded(vals):
+    d = MergingDigest(100.0)
+    d.add(vals)
+    qs = np.linspace(0, 1, 31)
+    est = [d.quantile(float(q)) for q in qs]
+    assert all(a <= b + 1e-12 for a, b in zip(est, est[1:]))
+    assert min(vals) <= est[0] and est[-1] <= max(vals)
+
+
+@settings(max_examples=40, deadline=None)
+@given(vals=value_lists)
+def test_cdf_monotone_and_bounded(vals):
+    d = MergingDigest(100.0)
+    d.add(vals)
+    lo, hi = min(vals), max(vals)
+    xs = np.linspace(lo, hi, 23)
+    est = [d.cdf(float(x)) for x in xs]
+    assert all(0.0 <= e <= 1.0 for e in est)
+    assert all(a <= b + 1e-12 for a, b in zip(est, est[1:]))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    vals=st.lists(finite, min_size=2, max_size=180),
+    cut=st.integers(min_value=1, max_value=10),
+)
+def test_merge_exact_in_singleton_regime(vals, cut):
+    """Below the buffer bound, merging arbitrary splits is a pure multiset
+    union: serialized bytes equal the single-shot digest's bytes."""
+    whole = MergingDigest(500.0)
+    whole.add(vals)
+
+    k = min(cut, len(vals))
+    parts = np.array_split(np.asarray(vals, dtype=np.float64), k)
+    merged = MergingDigest(500.0)
+    for p in parts:
+        dp = MergingDigest(500.0)
+        if p.size:
+            dp.add(p)
+        merged.merge(dp)
+    assert merged.to_bytes() == whole.to_bytes()
+
+
+@settings(max_examples=30, deadline=None)
+@given(vals=st.lists(finite, min_size=50, max_size=2000))
+def test_rank_error_within_bound(vals):
+    """Mid-range rank error stays within a conservative multiple of 1/delta
+    (the published bound is ~O(1/delta); duplicates make rank intervals)."""
+    d = MergingDigest(100.0)
+    d.add(vals)
+    sv = np.sort(np.asarray(vals, dtype=np.float64))
+    n = sv.size
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+        est = d.quantile(q)
+        lo = np.searchsorted(sv, est, side="left") / n
+        hi = np.searchsorted(sv, est, side="right") / n
+        err = 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
+        assert err <= 0.05, (q, err)
+
+
+@settings(max_examples=30, deadline=None)
+@given(vals=st.lists(finite, min_size=1, max_size=500))
+def test_serde_roundtrip_stable(vals):
+    d = MergingDigest(100.0)
+    d.add(vals)
+    b1 = d.to_bytes()
+    d2 = MergingDigest.from_bytes(b1)
+    assert d2.to_bytes() == b1
+    for q in (0.0, 0.3, 0.9, 1.0):
+        assert d2.quantile(q) == d.quantile(q)

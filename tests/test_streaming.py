@@ -89,3 +89,43 @@ def test_digest_sink_foreach_batch(spark, stream_env, tmp_path):
     for q_ in (0.1, 0.5, 0.9):
         rank = np.searchsorted(sv, d.quantile(q_)) / len(sv)
         assert abs(rank - q_) < 0.05
+
+
+def test_windowed_streaming_digest(spark, tmp_path):
+    """Event-time windowed digests: group key = (window, grp) through the
+    same stateful operator — the watermark+window rollup shape."""
+    import datetime as dt
+
+    src = str(tmp_path / "win_src")
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    rng = np.random.default_rng(4)
+    for m in range(4):  # four 10-minute windows
+        for v in rng.uniform(m * 10, m * 10 + 10, 200):
+            rows.append((base + dt.timedelta(minutes=10 * m, seconds=int(v) % 600),
+                         "a", float(v)))
+    spark.createDataFrame(rows, "ts timestamp, grp string, x double") \
+        .coalesce(1).write.parquet(src)
+
+    sdf = (
+        spark.readStream.schema("ts timestamp, grp string, x double")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .selectExpr("window(ts, '10 minutes') as win", "grp", "x")
+        .select(F.col("win.start").alias("win_start"), "grp", "x")
+    )
+    out = ST.streaming_digest_by(sdf, "x", ["win_start", "grp"], delta=100.0,
+                                 qs=(0.5,))
+    q = (
+        out.writeStream.format("memory").queryName("win_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.sql("select * from win_stream").collect()
+    assert len({r["win_start"] for r in res}) == 4
+    for r in res:
+        d = MergingDigest.from_bytes(bytes(r["digest"]))
+        assert d.total_weight == r["n_rows"] > 0
