@@ -200,48 +200,40 @@ class MergingDigest:
 
         total = self.total_weight
         norm = self.scale.normalizer(compression, total)
-        k = self.scale.k
-        q_of_k = self.scale.q
 
         cw = np.cumsum(counts)
-        out_mean = np.empty(n, dtype=np.float64)
-        out_count = np.empty(n, dtype=np.float64)
+        # Vectorized limits: the cluster starting right after prefix i may
+        # absorb while cumulative weight stays <= W*q(k(cw[i]/W)+1)
+        # (TDigest.jl:284-299).  Both scale maps are ufuncs, so ALL
+        # candidate limits cost two vectorized calls instead of two scalar
+        # calls per cluster — the former hot spot of ingestion.
+        limit_w = total * self.scale.q(self.scale.k(cw / total, norm) + 1.0, norm)
 
-        # cluster 0: first centroid alone (never merged into,
-        # TDigest.jl:309-311)
-        out_mean[0] = means[0]
-        out_count[0] = counts[0]
-        to = 1
-        start = 1
-        while start < n:
-            if start == n - 1:
-                # last centroid always survives as its own cluster
-                out_mean[to] = means[start]
-                out_count[to] = counts[start]
-                to += 1
-                break
-            # limit for the cluster starting at `start`: k at the cumulative
-            # weight *before* it, +1 (TDigest.jl:284-299)
-            k0 = float(k(cw[start - 1] / total, norm))
-            limit = total * float(q_of_k(k0 + 1.0, norm))
-            # absorb start+1.. while cumulative weight stays <= limit,
-            # never absorbing the final centroid
-            end = np.searchsorted(cw[: n - 1], limit, side="right") - 1
-            if end < start:
-                end = start
-            w = cw[end] - (cw[start - 1] if start > 0 else 0.0)
-            if end == start:
-                out_mean[to] = means[start]
-            else:
-                seg_m = means[start : end + 1]
-                seg_c = counts[start : end + 1]
-                out_mean[to] = float(np.dot(seg_m, seg_c)) / w
-            out_count[to] = w
-            to += 1
-            start = end + 1
+        # Greedy boundary walk: pure index hopping (searchsorted per
+        # cluster). Cluster 0 is the first centroid alone (never merged
+        # into, TDigest.jl:309-311); the final centroid always survives as
+        # its own cluster (bounded by cw[:n-1]).
+        bounds = [0, 1]
+        s = 1
+        nm1 = n - 1
+        cw_head = cw[:nm1]
+        while s < nm1:
+            e = int(np.searchsorted(cw_head, limit_w[s - 1], side="right")) - 1
+            if e < s:
+                e = s
+            bounds.append(e + 1)
+            s = e + 1
+        if s == nm1:
+            bounds.append(n)
 
-        self._mean[:to] = out_mean[:to]
-        self._count[:to] = out_count[:to]
+        b = np.asarray(bounds, dtype=np.int64)
+        to = b.size - 1
+        seg_w = np.add.reduceat(counts, b[:-1])
+        seg_mw = np.add.reduceat(means * counts, b[:-1])
+        singleton = (b[1:] - b[:-1]) == 1
+        out_mean = np.where(singleton, means[b[:-1]], seg_mw / seg_w)
+        self._mean[:to] = out_mean
+        self._count[:to] = seg_w
         self._n = to
         self.watermark = to
         if not to < compression:
