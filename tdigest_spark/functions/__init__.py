@@ -25,6 +25,33 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, IntegerType
 
 from ..core import MergingDigest
+from ..scale import get_scale
+
+
+def make_tdigest_agg(delta: float = 100.0, scale: str = "K_3"):
+    """Grouped-aggregate pandas UDF: `groupBy(...).agg(tdigest_agg(col))`
+    or, registered, a SQL aggregate: `SELECT k, tdigest_agg(v) GROUP BY k`.
+
+    Convenience surface ONLY: Spark grouped-agg Python UDFs do no map-side
+    combine, so the raw rows shuffle to the reducer.  The 100 TB path is
+    operators.digest.build_partials/merge_partials (salted two-stage,
+    KB-sized shuffle) or build_partials_per_partition (no shuffle).
+    """
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def tdigest_agg(v: pd.Series) -> bytes:
+        d = MergingDigest(delta, scale=get_scale(scale))
+        vals = v.to_numpy(dtype=np.float64)
+        vals = vals[~np.isnan(vals)]
+        if vals.size:
+            d.add(vals)
+        return d.to_bytes()
+
+    return tdigest_agg
+
+
+tdigest_agg_udf = make_tdigest_agg()
 
 
 def _digest_cache(blobs: pd.Series) -> dict:
@@ -102,6 +129,7 @@ def tdigest_centroid_count_udf(digest: pd.Series) -> pd.Series:
 
 def register_sql_functions(spark: SparkSession) -> None:
     """Expose the digest query surface to spark.sql(...)."""
+    spark.udf.register("tdigest_agg", tdigest_agg_udf)
     spark.udf.register("tdigest_quantile", tdigest_quantile_udf)
     spark.udf.register("tdigest_cdf", tdigest_cdf_udf)
     spark.udf.register("tdigest_trimmed_mean", tdigest_trimmed_mean_udf)

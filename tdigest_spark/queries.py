@@ -257,6 +257,37 @@ FROM g JOIN cdf ON g.lang = cdf.lang JOIN tm ON g.lang = tm.lang
 """
 
 
+def q_tdigest_agg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tdigest as a true SQL AGGREGATE (grouped-agg pandas UDF): one SQL
+    statement builds and queries digests. (lang, source) groups are <= 25
+    rows at sf0.01 — singleton-exact at delta=100."""
+    from .functions import register_sql_functions
+
+    register_sql_functions(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__agg_docs")
+    return spark.sql(
+        """
+        SELECT lang, source,
+               tdigest_quantile(tdigest_agg(CAST(n_chars AS DOUBLE)), 0.5d) AS p50,
+               tdigest_quantile(tdigest_agg(CAST(n_chars AS DOUBLE)), 0.9d) AS p90
+        FROM __agg_docs GROUP BY lang, source
+        """
+    )
+
+
+_SQL_AGG_SQL = """
+WITH g AS (
+  SELECT lang, source, list_sort(list(CAST(n_chars AS DOUBLE))) AS xs,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, source,
+       xs[LEAST(CAST(floor(CAST(0.5 AS DOUBLE) * n) AS BIGINT) + 1, n)] AS p50,
+       xs[LEAST(CAST(floor(CAST(0.9 AS DOUBLE) * n) AS BIGINT) + 1, n)] AS p90
+FROM g
+"""
+
+
 def q_tdigest_lineitem_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-regime global digest (60k rows @ delta=100) through the
     shuffle-free mapInPandas fast path. No SQL oracle (approximation);
@@ -874,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_events_by_type": q_tdigest_events_by_type,
         "tdigest_daily_events": q_tdigest_hourly_events,
         "tdigest_sql_surface": q_tdigest_sql_surface,
+        "tdigest_agg_sql": q_tdigest_agg_sql,
         "tdigest_lineitem_global": q_tdigest_lineitem_global,
         "loghistogram_events": q_loghistogram_events,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
@@ -904,6 +936,7 @@ def oracle_sql() -> dict[str, str]:
         "tdigest_events_by_type": _SQL_EVENTS_BY_TYPE,
         "tdigest_daily_events": _SQL_HOURLY_EVENTS,
         "tdigest_sql_surface": _SQL_SQL_SURFACE,
+        "tdigest_agg_sql": _SQL_AGG_SQL,
         # tdigest_lineitem_global: approximate regime — rows-only check
         "loghistogram_events": _sql_loghistogram_events(),
         "lineitem_pricing_summary": _SQL_PRICING_SUMMARY,

@@ -149,3 +149,45 @@ def test_histogram_by(spark, lineitem):
         h.add(grp[grp > 0])
         assert list(h.counts) == list(r["counts"]), r["l_returnflag"]
         assert r["n_rows"] == (grp > 0).sum()
+
+
+def test_tdigest_agg_sql_aggregate(spark):
+    """Grouped-agg pandas UDF surface: tdigest as a SQL AGGREGATE."""
+    from tdigest_spark.functions import register_sql_functions
+    from tdigest_spark import MergingDigest
+    import numpy as np
+
+    register_sql_functions(spark)
+    # keep groups < delta so the serialization-time compress keeps all
+    # singletons (exact rank semantics)
+    rows = [("a", float(v)) for v in range(80)] + [("b", float(v * 3)) for v in range(50)]
+    spark.createDataFrame(rows, "k string, v double").createOrReplaceTempView("t_agg")
+    out = {
+        r["k"]: r
+        for r in spark.sql(
+            "SELECT k, tdigest_agg(v) AS d, "
+            "tdigest_quantile(tdigest_agg(v), 0.5d) AS p50 FROM t_agg GROUP BY k"
+        ).collect()
+    }
+    assert MergingDigest.from_bytes(bytes(out["a"]["d"])).total_weight == 80
+    assert out["a"]["p50"] == 40.0  # rank oracle: sorted[floor(0.5*80)]
+    assert out["b"]["p50"] == 75.0
+
+
+def test_digest_by_empty_and_nan(spark):
+    """Edge inputs: empty frame -> empty result; all-NaN group -> zero-weight
+    digest row that queries to NaN."""
+    import math
+    from tdigest_spark.operators import digest
+    from tdigest_spark import MergingDigest
+
+    empty = spark.createDataFrame([], "k string, v double")
+    assert digest.digest_by(empty, "v", by=["k"]).count() == 0
+
+    rows = [("a", float("nan")), ("a", float("nan")), ("b", 1.0)]
+    d = digest.digest_by(spark.createDataFrame(rows, "k string, v double"), "v", by=["k"])
+    got = {r["k"]: r for r in d.collect()}
+    assert got["a"]["n_rows"] == 0
+    assert got["b"]["n_rows"] == 1
+    da = MergingDigest.from_bytes(bytes(got["a"]["digest"]))
+    assert da.total_weight == 0 and math.isnan(da.quantile(0.5))
