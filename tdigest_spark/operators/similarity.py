@@ -159,3 +159,88 @@ def ivf_assign(
         .drop("__rk", "__sim", "__n", "cv", "cn")
         .withColumnRenamed("cid", "ivf_cell")
     )
+
+
+def ivf_train(
+    emb: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    sample_fraction: float = 1.0,
+    iters: int = 10,
+    seed: int = 42,
+):
+    """Driver-side k-means (Lloyd's) over a sample: the coarse quantizer
+    for IVF.  The sample is small by design (centroid count x ~1000 rows
+    suffices); the full corpus is only ever *assigned* (ivf_assign, one
+    broadcast pass).  Returns a (centroid_id, centroid) DataFrame.
+    """
+    import numpy as np
+
+    sample = emb.select(vec_col)
+    if sample_fraction < 1.0:
+        sample = sample.sample(fraction=sample_fraction, seed=seed)
+    X = np.array([r[0] for r in sample.collect()], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cents = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = X[m].mean(axis=0)
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "centroid_id int, centroid array<double>",
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: corpus vectors are assigned to their nearest cell once
+    (the inverted lists); each query probes its `nprobe` nearest cells and
+    re-ranks exactly within them.  Recall grows with nprobe; cost is
+    ~nprobe/n_cells of brute force."""
+    cents = centroids.select(
+        F.col("centroid_id").alias("cid"), F.col("centroid").alias("cv")
+    ).withColumn("cn", norm_col(F.col("cv")))
+
+    corpus = ivf_assign(emb, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        F.col("ivf_cell").alias("cell"),
+    ).withColumn("nn", norm_col(F.col("nv")))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("qn", norm_col(F.col("qv")))
+    scored_cells = q.join(F.broadcast(cents)).withColumn(
+        "__sim", dot_col("qv", "cv") / (F.col("qn") * F.col("cn"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("cid"))
+    probes = (
+        scored_cells.withColumn("__rk", F.row_number().over(wc))
+        .filter(F.col("__rk") <= nprobe)
+        .select("query_id", "qv", "qn", F.col("cid").alias("cell"))
+    )
+
+    cand = corpus.join(F.broadcast(probes), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn(
+        "cosine", dot_col("nv", "qv") / (F.col("nn") * F.col("qn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -87,3 +87,28 @@ def test_ivf_assign(spark):
     )
     out = {r["vec_id"]: r["ivf_cell"] for r in S.ivf_assign(vecs, cents).collect()}
     assert out == {0: 0, 1: 1, 2: 0}  # (1,0.9) closer in cosine to (1,0)
+
+
+def test_ivf_train_and_topk_recall(spark):
+    """Clustered data: IVF with nprobe=2 recovers most of the exact top-k."""
+    rng = np.random.default_rng(21)
+    centers = rng.standard_normal((4, DIM)) * 5
+    rows = []
+    for i in range(200):
+        c = i % 4
+        rows.append((i, (centers[c] + rng.standard_normal(DIM) * 0.5).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = S.ivf_train(emb, n_cells=4, iters=8)
+    assert cents.count() == 4
+
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2, 3]))
+    approx = S.ivf_topk(emb, queries, cents, k=5, nprobe=2)
+    exact = S.cosine_topk(emb, queries, k=5)
+    ax = {}
+    for r in approx.collect():
+        ax.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(ax[q] & ex[q]) / 5 for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.8
