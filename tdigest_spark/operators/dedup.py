@@ -414,3 +414,73 @@ def embedding_near_dup(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------- resolution
+
+
+def resolve_dup_clusters(
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 10,
+) -> DataFrame:
+    """Resolve near-dup pairs into clusters: connected components by
+    min-label propagation over the pair graph.
+
+    Returns (id_col, cluster_id) for every id that appears in a pair,
+    cluster_id = minimum id in its component.  Dedup graphs are
+    star/clique-shaped (diameter 2-3), so propagation converges in a few
+    KB-sized-join rounds; `max_iters` bounds pathological chains.  Each
+    round persists its (id, label) frame — at 10^12 docs the frame holds
+    only *duplicated* ids, a small fraction of the corpus.
+    """
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels.count()
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), F.col("label"))
+        )
+        new_labels = (
+            labels.unionAll(neigh)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def apply_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one representative (the minimum id) per near-dup cluster:
+    df minus every clustered id that is not its cluster's representative.
+    One broadcast-sized anti-join against the (small) drop list."""
+    clusters = resolve_dup_clusters(pairs, id_col)
+    drop = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return df.join(drop, id_col, "left_anti")

@@ -134,3 +134,32 @@ def test_dot_col_sequential_order(spark):
     )
     d = df.select(D.dot_col("a", "b").alias("d")).collect()[0]["d"]
     assert d == ((0.0 + 1.0 * 4.0) + 2.0 * 5.0) + 3.0 * 6.0
+
+
+def test_resolve_dup_clusters_and_apply(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.resolve_dup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in [1, 2, 3, 4, 5, 10, 11, 20, 21, 22, 99]],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in D.apply_dedup(docs, pairs).collect())
+    assert kept == [1, 5, 10, 20, 99]
+
+
+def test_full_dedup_pipeline_end_to_end(spark, corpus):
+    """LSH near-dups -> clusters -> deduped corpus drops the twins and
+    exact copies but keeps every distinct base doc."""
+    pairs = D.ngram_jaccard_dedup(corpus, threshold=0.8).select("id_a", "id_b")
+    deduped = D.apply_dedup(corpus, pairs)
+    ids = {r["doc_id"] for r in deduped.collect()}
+    assert set(range(60)) <= ids          # all base docs kept
+    assert not any(2000 + i in ids for i in range(10, 15))  # exact copies gone
