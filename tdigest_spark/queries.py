@@ -301,6 +301,111 @@ def q_tdigest_lineitem_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# companion sketches: HLL / Count-Min (Bloom is test-covered; its driver
+# surface is membership over arbitrary probes, same construction)
+
+HLL_P = 12
+CM_DEPTH, CM_WIDTH, CM_PROBES = 4, 256, 10
+
+
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimates per event_type, next to the
+    exact count. The md5-lane construction is deterministic, so the
+    estimate itself is oracle-exact (rounded to absorb sum-order ulps)."""
+    from . import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = SK.hll_by(ev, F.col("user_id"), by=["event_type"], p=HLL_P)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type",
+        F.round(SK.hll_estimate_col("registers", HLL_P), 4).alias("n_distinct_est"),
+        "n_exact",
+    )
+
+
+def _sql_hll_distinct_users() -> str:
+    m = 1 << HLL_P
+    # e-notation so DuckDB parses a DOUBLE, not a DECIMAL(18,16)
+    alpha = "{:.17e}".format(0.7213 / (1.0 + 1.079 / m))
+    return f"""
+WITH h AS (
+  SELECT event_type, user_id, md5('hll:' || CAST(user_id AS VARCHAR)) AS hh
+  FROM events
+), br AS (
+  SELECT event_type,
+         ('0x' || substr(hh, 1, 3))::BIGINT AS bucket,
+         length(substr(hh, 4, 13))
+           - length(regexp_replace(substr(hh, 4, 13), '^0+', '')) AS z,
+         TRY_CAST('0x' || substr(regexp_replace(substr(hh, 4, 13), '^0+', ''), 1, 1)
+                  AS BIGINT) AS first
+  FROM h
+), rho AS (
+  SELECT event_type, bucket,
+         CASE WHEN z = 13 THEN 53
+              ELSE z * 4 + (CASE WHEN first >= 8 THEN 0 WHEN first >= 4 THEN 1
+                                 WHEN first >= 2 THEN 2 ELSE 3 END) + 1 END AS r
+  FROM br
+), regs AS (
+  SELECT event_type, bucket, max(r) AS maxrho FROM rho GROUP BY 1, 2
+), agg AS (
+  SELECT event_type,
+         sum(power(2.0, -maxrho)) + ({m} - count(*)) * 1.0 AS raw_sum,
+         CAST({m} - count(*) AS DOUBLE) AS zeros
+  FROM regs GROUP BY 1
+), ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
+)
+SELECT agg.event_type,
+       round(CASE WHEN ({alpha} * {m} * {m} / raw_sum) <= 2.5 * {m} AND zeros > 0
+                  THEN {m} * ln({m} / zeros)
+                  ELSE {alpha} * {m} * {m} / raw_sum END, 4) AS n_distinct_est,
+       ex.n_exact
+FROM agg JOIN ex ON agg.event_type = ex.event_type
+"""
+
+
+def q_countmin_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates for probe users 0..9 per event_type —
+    exact integers, value-exact against the oracle."""
+    from . import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = SK.countmin_by(
+        ev, F.col("user_id"), by=["event_type"], depth=CM_DEPTH, width=CM_WIDTH
+    )
+    probes = spark.range(CM_PROBES).select(F.col("id").alias("probe"))
+    return sk.crossJoin(F.broadcast(probes)).select(
+        "event_type",
+        "probe",
+        SK.countmin_query_col("counts", F.col("probe"), CM_DEPTH, CM_WIDTH).alias(
+            "freq_est"
+        ),
+    )
+
+
+def _sql_countmin_user_freq() -> str:
+    import hashlib
+
+    parts = []
+    for pr in range(CM_PROBES):
+        cnts = []
+        for j in range(CM_DEPTH):
+            b = int(hashlib.md5(f"cm{j}:{pr}".encode()).hexdigest()[:8], 16) % CM_WIDTH
+            cnts.append(
+                f"count(*) FILTER (WHERE ('0x' || substr(md5('cm{j}:' || "
+                f"CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % {CM_WIDTH} = {b})"
+            )
+        parts.append(
+            f"SELECT event_type, CAST({pr} AS BIGINT) AS probe, "
+            f"LEAST({', '.join(cnts)}) AS freq_est FROM events GROUP BY event_type"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+# --------------------------------------------------------------------------
 # LogHistogram
 
 
@@ -907,6 +1012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_sql_surface": q_tdigest_sql_surface,
         "tdigest_agg_sql": q_tdigest_agg_sql,
         "tdigest_lineitem_global": q_tdigest_lineitem_global,
+        "hll_distinct_users": q_hll_distinct_users,
+        "countmin_user_freq": q_countmin_user_freq,
         "loghistogram_events": q_loghistogram_events,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "orders_by_segment": q_orders_by_segment,
@@ -938,6 +1045,8 @@ def oracle_sql() -> dict[str, str]:
         "tdigest_sql_surface": _SQL_SQL_SURFACE,
         "tdigest_agg_sql": _SQL_AGG_SQL,
         # tdigest_lineitem_global: approximate regime — rows-only check
+        "hll_distinct_users": _sql_hll_distinct_users(),
+        "countmin_user_freq": _sql_countmin_user_freq(),
         "loghistogram_events": _sql_loghistogram_events(),
         "lineitem_pricing_summary": _SQL_PRICING_SUMMARY,
         "orders_by_segment": _SQL_ORDERS_BY_SEGMENT,

@@ -1,0 +1,246 @@
+"""Companion mergeable sketches: HyperLogLog, Count-Min, Bloom.
+
+The t-digest answers quantile/cdf; these cover the other three questions
+a web-scale profile asks — distinct counts (HLL), heavy-hitter frequency
+(Count-Min), and membership (Bloom).  All three are built **entirely with
+JVM built-ins** (no Python anywhere): hashing is md5-derived (engine-
+neutral and oracle-exact — the same construction is expressible in any
+SQL engine), sketch state is plain integer arrays, and merging is
+element-wise max / sum / bit-or via `zip_with` — associative, so rollups
+compose (per-group sketches merge into global ones without touching the
+data again).
+
+Determinism note: rho (HLL) and bucket indices are computed with pure
+string/integer algebra (no float log2), so sketch state is bit-identical
+across engines and runs.
+
+State encodings (columns):
+    HLL:       registers array<int>   (2^p entries, p<=16)
+    Count-Min: counts    array<long>  (depth*width, row-major)
+    Bloom:     bits      array<int>   (m bits as 0/1 ints; kept simple —
+                                       a packed long[] variant is a pure
+                                       representation change)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ------------------------------------------------------------------ hashing
+
+
+def _hex_to_long(col: Column) -> Column:
+    return F.conv(col, 16, 10).cast("long")
+
+
+def _h128(prefix: str, col: Column) -> Column:
+    """md5 hex of a salted value — the engine-neutral hash primitive."""
+    return F.md5(F.concat(F.lit(prefix), col.cast("string")))
+
+
+# ---------------------------------------------------------------------- HLL
+
+
+def _rho_from_hex(h13: Column) -> Column:
+    """Position (1-based) of the first 1-bit in the 52-bit value encoded
+    by 13 hex chars, computed with string algebra only (no float log):
+    4*(leading '0' chars) + leading zeros of the first non-zero nibble + 1;
+    all-zero -> 53."""
+    z = F.length(h13) - F.length(F.regexp_replace(h13, "^0+", ""))
+    first = F.conv(F.substring(F.regexp_replace(h13, "^0+", ""), 1, 1), 16, 10).cast(
+        "int"
+    )
+    nib_lz = (
+        F.when(first >= 8, 0)
+        .when(first >= 4, 1)
+        .when(first >= 2, 2)
+        .when(first >= 1, 3)
+    )
+    return (
+        F.when(z == 13, F.lit(53)).otherwise((z * 4 + nib_lz + 1).cast("int"))
+    ).alias("rho")
+
+
+def hll_by(
+    df: DataFrame,
+    value_col,
+    by: Sequence[str] = (),
+    p: int = 12,
+) -> DataFrame:
+    """Grouped HyperLogLog: returns (by..., registers array<int>).
+
+    bucket = first 3 hex chars (p=12 -> 4096 registers; p must be a
+    multiple of 4 here so the bucket is a whole hex prefix), rho from the
+    next 13 hex chars.  Plan: project hash -> groupBy(keys, bucket) max
+    (partial agg, map-side combine) -> assemble dense register array
+    JVM-side.  Standard error ~1.04/sqrt(2^p) (~1.6% at p=12).
+    """
+    if p % 4 != 0 or not 4 <= p <= 16:
+        raise ValueError("p must be 4, 8, 12, or 16 (whole hex prefix)")
+    m = 1 << p
+    keys = list(by)
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    h = _h128("hll:", value)
+    hashed = df.select(
+        *keys,
+        _hex_to_long(F.substring(h, 1, p // 4)).cast("int").alias("__bucket"),
+        _rho_from_hex(F.substring(h, p // 4 + 1, 13)).alias("__rho"),
+    )
+    per_bucket = hashed.groupBy(*keys, "__bucket").agg(
+        F.max("__rho").alias("__maxrho")
+    )
+    dense = per_bucket.groupBy(*keys).agg(
+        F.map_from_entries(F.collect_list(F.struct("__bucket", "__maxrho"))).alias(
+            "__regmap"
+        )
+    )
+    idx = F.sequence(F.lit(0), F.lit(m - 1))
+    registers = F.transform(
+        idx, lambda i: F.coalesce(F.element_at("__regmap", i), F.lit(0)).cast("int")
+    )
+    return dense.select(*keys, registers.alias("registers"))
+
+
+def hll_merge(sketches: DataFrame, by: Sequence[str] = ()) -> DataFrame:
+    """Merge register arrays (element-wise max) — fully JVM-side rollup.
+    Seeding the fold with the first array is safe: max is idempotent."""
+    keys = list(by)
+    grouped = sketches.groupBy(*keys).agg(
+        F.collect_list("registers").alias("__all")
+    )
+    merged = F.reduce(
+        F.col("__all"),
+        F.element_at("__all", 1),
+        lambda acc, r: F.zip_with(acc, r, lambda a, b: F.greatest(a, b)),
+    )
+    return grouped.select(*keys, merged.alias("registers"))
+
+
+def hll_estimate_col(registers: Column | str, p: int = 12) -> Column:
+    """Bias-corrected HLL estimate from a register array — pure SQL
+    expression (alpha*m^2 / sum(2^-reg), linear counting for small range).
+    """
+    reg = F.col(registers) if isinstance(registers, str) else registers
+    m = F.lit(1 << p).cast("double")
+    alpha = F.lit(0.7213 / (1.0 + 1.079 / (1 << p)))
+    raw_sum = F.aggregate(
+        reg, F.lit(0.0), lambda acc, r: acc + F.pow(F.lit(2.0), -r.cast("double"))
+    )
+    raw = alpha * m * m / raw_sum
+    zeros = F.size(F.filter(reg, lambda r: r == 0)).cast("double")
+    linear = m * F.log(m / zeros)
+    return F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
+
+
+# ----------------------------------------------------------------- CountMin
+
+
+def countmin_by(
+    df: DataFrame,
+    value_col,
+    by: Sequence[str] = (),
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Grouped Count-Min sketch: (by..., counts array<long>) of length
+    depth*width, row-major.  Row j buckets by md5(j||':'||v).  Point
+    estimates via countmin_query_col.  Error: +eps*N with
+    eps ~ e/width at confidence 1-(1/2)^depth."""
+    keys = list(by)
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    pos_cols = []
+    for j in range(depth):
+        b = _hex_to_long(F.substring(_h128(f"cm{j}:", value), 1, 8)) % width
+        pos_cols.append((b + j * width).cast("int"))
+    hashed = df.select(*keys, F.explode(F.array(*pos_cols)).alias("__pos"))
+    per_pos = hashed.groupBy(*keys, "__pos").agg(F.count("*").alias("__c"))
+    dense = per_pos.groupBy(*keys).agg(
+        F.map_from_entries(F.collect_list(F.struct("__pos", "__c"))).alias("__m")
+    )
+    idx = F.sequence(F.lit(0), F.lit(depth * width - 1))
+    counts = F.transform(
+        idx, lambda i: F.coalesce(F.element_at("__m", i), F.lit(0)).cast("long")
+    )
+    return dense.select(*keys, counts.alias("counts"))
+
+
+def countmin_merge(sketches: DataFrame, by: Sequence[str] = ()) -> DataFrame:
+    """Merge = element-wise sum (associative)."""
+    keys = list(by)
+    grouped = sketches.groupBy(*keys).agg(F.collect_list("counts").alias("__all"))
+    merged = F.reduce(
+        F.col("__all"),
+        F.transform(F.element_at("__all", 1), lambda _: F.lit(0).cast("long")),
+        lambda acc, r: F.zip_with(acc, r, lambda a, b: a + b),
+    )
+    return grouped.select(*keys, merged.alias("counts"))
+
+
+def countmin_query_col(
+    counts: Column | str, probe: Column, depth: int = 4, width: int = 256
+) -> Column:
+    """Point-frequency estimate: min over rows of counts[row_bucket(probe)]."""
+    c = F.col(counts) if isinstance(counts, str) else counts
+    ests = []
+    for j in range(depth):
+        b = _hex_to_long(F.substring(_h128(f"cm{j}:", probe), 1, 8)) % width
+        ests.append(F.element_at(c, (b + j * width).cast("int") + 1))
+    return F.least(*ests)
+
+
+# -------------------------------------------------------------------- Bloom
+
+
+def bloom_by(
+    df: DataFrame,
+    value_col,
+    by: Sequence[str] = (),
+    m_bits: int = 4096,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Grouped Bloom filter: (by..., bits array<int> of 0/1).  False-
+    positive rate ~(1-e^(-k n/m))^k."""
+    keys = list(by)
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    pos = [
+        (_hex_to_long(F.substring(_h128(f"bf{j}:", value), 1, 8)) % m_bits).cast("int")
+        for j in range(k_hashes)
+    ]
+    hashed = df.select(*keys, F.explode(F.array(*pos)).alias("__pos")).distinct()
+    dense = hashed.groupBy(*keys).agg(F.collect_set("__pos").alias("__set"))
+    idx = F.sequence(F.lit(0), F.lit(m_bits - 1))
+    bits = F.transform(
+        idx, lambda i: F.array_contains("__set", i.cast("int")).cast("int")
+    )
+    return dense.select(*keys, bits.alias("bits"))
+
+
+def bloom_merge(sketches: DataFrame, by: Sequence[str] = ()) -> DataFrame:
+    """Merge = element-wise OR (max)."""
+    keys = list(by)
+    grouped = sketches.groupBy(*keys).agg(F.collect_list("bits").alias("__all"))
+    merged = F.reduce(
+        F.col("__all"),
+        F.transform(F.element_at("__all", 1), lambda _: F.lit(0)),
+        lambda acc, r: F.zip_with(acc, r, lambda a, b: F.greatest(a, b)),
+    )
+    return grouped.select(*keys, merged.alias("bits"))
+
+
+def bloom_contains_col(
+    bits: Column | str, probe: Column, m_bits: int = 4096, k_hashes: int = 5
+) -> Column:
+    """Membership test: all k bit positions set (no false negatives)."""
+    b = F.col(bits) if isinstance(bits, str) else bits
+    checks = []
+    for j in range(k_hashes):
+        pos = (_hex_to_long(F.substring(_h128(f"bf{j}:", probe), 1, 8)) % m_bits).cast(
+            "int"
+        )
+        checks.append(F.element_at(b, pos + 1) == 1)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
