@@ -300,6 +300,31 @@ def q_tdigest_lineitem_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kll_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantiles per lang (k=500 > every group, so no compaction has
+    happened and answers equal the rank oracle exactly — same regime and
+    same oracle as the t-digest query)."""
+    from .kll import kll_by, kll_quantile_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    sk = kll_by(docs, "n_chars", by=["lang"], k=500, salt=2)
+    qudf = kll_quantile_udf()
+    out = sk.select(
+        "lang",
+        "kll",
+        F.explode(F.array(*[F.lit(float(q)) for q in QUANTILES])).alias("q"),
+    )
+    return out.select(
+        "lang",
+        F.col("q").cast("double").alias("q"),
+        qudf(F.col("kll"), F.col("q")).alias("quantile"),
+    )
+
+
+# reuse the identical rank-oracle SQL as the t-digest by-lang query
+_SQL_KLL_QUANTILES = _SQL_QUANTILES_BY_LANG
+
+
 # --------------------------------------------------------------------------
 # companion sketches: HLL / Count-Min (Bloom is test-covered; its driver
 # surface is membership over arbitrary probes, same construction)
@@ -1012,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_sql_surface": q_tdigest_sql_surface,
         "tdigest_agg_sql": q_tdigest_agg_sql,
         "tdigest_lineitem_global": q_tdigest_lineitem_global,
+        "kll_quantiles_by_lang": q_kll_quantiles_by_lang,
         "hll_distinct_users": q_hll_distinct_users,
         "countmin_user_freq": q_countmin_user_freq,
         "loghistogram_events": q_loghistogram_events,
@@ -1045,6 +1071,7 @@ def oracle_sql() -> dict[str, str]:
         "tdigest_sql_surface": _SQL_SQL_SURFACE,
         "tdigest_agg_sql": _SQL_AGG_SQL,
         # tdigest_lineitem_global: approximate regime — rows-only check
+        "kll_quantiles_by_lang": _SQL_KLL_QUANTILES,
         "hll_distinct_users": _sql_hll_distinct_users(),
         "countmin_user_freq": _sql_countmin_user_freq(),
         "loghistogram_events": _sql_loghistogram_events(),
