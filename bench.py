@@ -119,6 +119,27 @@ def main() -> None:
         lambda: Q.q_lineitem_pricing_summary(spark, SF_DIR).collect(),
     )
 
+    # 9. companion sketches: HLL distinct counts (pure JVM md5-lane build)
+    from tdigest_spark import sketches as SK
+
+    def hll():
+        sk = SK.hll_by(ev, F.col("user_id"), by=["event_type"], p=12)
+        sk.select(
+            "event_type", SK.hll_estimate_col("registers", 12).alias("est")
+        ).collect()
+
+    bench("hll_distinct_users", hll)
+
+    # 10. KLL grouped quantiles (second quantile sketch family)
+    def kll():
+        from tdigest_spark.kll import kll_by, kll_quantile_udf
+
+        sk = kll_by(li, "l_extendedprice", by=["l_returnflag"], k=200, salt=8)
+        qudf = kll_quantile_udf()
+        sk.select("l_returnflag", qudf(F.col("kll"), F.lit(0.99))).collect()
+
+    bench("kll_by_returnflag", kll)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_suite_sec",

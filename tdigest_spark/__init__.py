@@ -18,6 +18,7 @@ Public surface:
 
 from .core import MergingDigest, merge_all
 from .histogram import LogHistogram, SignedLogHistogram
+from .kll import KLL
 from .scale import K_0, K_1, K_2, K_3, SCALES
 
 __version__ = "0.1.0"
@@ -25,6 +26,7 @@ __version__ = "0.1.0"
 __all__ = [
     "MergingDigest",
     "merge_all",
+    "KLL",
     "LogHistogram",
     "SignedLogHistogram",
     "K_0",
