@@ -166,40 +166,35 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: distinct (id_a < id_b) sharing any LSH
     band bucket.  Buckets larger than `max_bucket` are dropped from
-    pairwise expansion (template clusters — quadratic blowup guard)."""
-    from pyspark import StorageLevel
+    pairwise expansion (template clusters — quadratic blowup guard).
 
+    Plan shape: ONE shuffle — groupBy(band, key) collects the bucket's id
+    list, then all unordered pairs are expanded JVM-side with nested array
+    transforms (no self-join, no window, no cached intermediate).  The
+    shuffle carries (band, key, id) rows — bytes per doc per band."""
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
     keys = lsh_band_keys(sigs, id_col, bands, rows_per_band)
-    sized = keys.withColumn(
-        "__bn", F.count("*").over(__bucket_window())
-    ).filter(F.col("__bn") <= max_bucket)
-    # materialize the (id, band, key) table: it is ~50 B/doc/band — tiny
-    # next to the corpus — and the self-join would otherwise recompute the
-    # whole shingle+minhash subtree for each side.  The eager count()
-    # guarantees single materialization (two stages racing on a cold
-    # cached relation can each compute it).
-    sized = sized.persist(StorageLevel.MEMORY_AND_DISK)
-    sized.count()
-    a = sized.select(
-        F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a")
+    buckets = (
+        keys.groupBy("band", "band_key")
+        .agg(F.collect_list(id_col).alias("__ids"))
+        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket))
+        .select(F.array_sort("__ids").alias("__ids"))
     )
-    b = sized.select(
-        F.col("band"), F.col("band_key"), F.col(id_col).alias("id_b")
+    pairs = F.flatten(
+        F.transform(
+            "__ids",
+            lambda x, i: F.transform(
+                F.slice("__ids", i + 2, F.size("__ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
     return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pairs).alias("__p"))
+        .select(F.col("__p.id_a"), F.col("__p.id_b"))
         .distinct()
     )
-
-
-def __bucket_window():
-    from pyspark.sql import Window
-
-    return Window.partitionBy("band", "band_key")
 
 
 # ------------------------------------------------------------------- jaccard
