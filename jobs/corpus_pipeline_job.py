@@ -1,0 +1,138 @@
+"""spark-submit entry point: the full training-data curation pipeline.
+
+    zip -r tdigest_spark.zip tdigest_spark
+    spark-submit --py-files tdigest_spark.zip jobs/corpus_pipeline_job.py \
+        --input /data/webpages --output /data/curated --checkpoint /data/ck
+
+Stages (each a library operator; all narrow or KB-shuffle):
+  1. extract_text(html)      — Arrow-batched byte-exact extraction
+  2. quality filter          — stopword/alpha-ratio/token-count gates (JVM)
+  3. exact + MinHash-LSH dedup -> cluster resolution -> keep representatives
+  4. profile                 — per-lang t-digest of text length, HLL of
+                               distinct hosts, token-count KLL
+  5. write curated parquet (partitioned by lang) + one JSON report line
+
+Deterministic end to end: rerunning over the same input produces the
+same curated set and byte-identical digests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--min-tokens", type=int, default=20)
+    ap.add_argument("--min-stopword-ratio", type=float, default=0.05)
+    ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument("--max-bucket", type=int, default=200,
+                    help="LSH buckets above this are template clusters: "
+                         "skipped pairwise, collapsed via exact dedup only")
+    ap.add_argument("--delta", type=float, default=200.0)
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.appName("tdigest-corpus-pipeline")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        # local-mode default; a cluster submit overrides via --conf/--driver-memory
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
+        .getOrCreate()
+    )
+    from pyspark import StorageLevel
+
+    from tdigest_spark import sketches as SK
+    from tdigest_spark.kll import kll_by, kll_quantile_udf
+    from tdigest_spark.operators import digest
+    from tdigest_spark.operators.dedup import (
+        apply_dedup,
+        exact_dedup,
+        ngram_jaccard_dedup,
+    )
+    from tdigest_spark.operators.text import quality_score
+    from tdigest_spark.sources.webpages import extract_text_column
+
+    report: dict = {}
+
+    # 1-2. extract + quality gates
+    raw = spark.read.parquet(args.input)
+    docs = (
+        extract_text_column(raw)
+        .select(
+            "url",
+            "lang",
+            F.col("extracted_text").alias("text"),
+            F.xxhash64("url").alias("doc_id"),
+        )
+    )
+    scored = quality_score(docs)
+    kept = scored.filter(
+        (F.col("n_tokens") >= args.min_tokens)
+        & (F.col("stopword_ratio") >= args.min_stopword_ratio)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    report["n_input"] = raw.count()
+    report["n_quality"] = kept.count()
+
+    # 3. dedup: exact first (cheap), then near-dup on the survivors
+    exact = exact_dedup(kept, ("text",), "doc_id")
+    exact_keep = exact.select(F.col("keep_id").alias("doc_id"))
+    uniq = kept.join(exact_keep, "doc_id", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    report["n_exact_unique"] = uniq.count()
+
+    from tdigest_spark.operators.dedup import jaccard_pairs, lsh_candidate_pairs
+
+    cands = lsh_candidate_pairs(uniq, "text", "doc_id", max_bucket=args.max_bucket)
+    # verified pairs are tiny; materialize them so cluster resolution's
+    # iterations never re-run the jaccard join
+    pairs = (
+        jaccard_pairs(uniq, cands, "text", "doc_id")
+        .filter(F.col("jaccard") >= args.jaccard)
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    report["n_near_dup_pairs"] = pairs.count()
+    curated = apply_dedup(uniq, pairs, "doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    report["n_curated"] = curated.count()
+
+    # 4. profile the curated corpus
+    d = digest.digest_by(
+        curated, F.length("text"), by=["lang"], delta=args.delta, salt=8
+    )
+    qs = digest.quantiles_of(d, (0.5, 0.9, 0.99), by=["lang"]).collect()
+    report["text_len_quantiles"] = {
+        f"{r['lang']}@{r['q']}": r["quantile"] for r in qs
+    }
+    hll = SK.hll_by(curated, F.col("url"), by=(), p=12)
+    report["distinct_urls_est"] = round(
+        hll.select(SK.hll_estimate_col("registers", 12)).collect()[0][0], 1
+    )
+    kll = kll_by(curated, F.col("n_tokens").cast("double"), by=(), k=200)
+    qudf = kll_quantile_udf()
+    report["token_p99"] = kll.select(qudf(F.col("kll"), F.lit(0.99))).collect()[0][0]
+
+    # 5. write curated output
+    curated.select("url", "lang", "text").write.mode("overwrite").partitionBy(
+        "lang"
+    ).parquet(args.output)
+    report["output"] = args.output
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

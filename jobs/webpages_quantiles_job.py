@@ -44,6 +44,8 @@ def main() -> None:
         SparkSession.builder.appName("tdigest-webpages-quantiles")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
+        # local-mode default; a cluster submit overrides via --conf/--driver-memory
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .getOrCreate()
     )
 

@@ -425,25 +425,31 @@ def resolve_dup_clusters(
     Returns (id_col, cluster_id) for every id that appears in a pair,
     cluster_id = minimum id in its component.  Dedup graphs are
     star/clique-shaped (diameter 2-3), so propagation converges in a few
-    KB-sized-join rounds; `max_iters` bounds pathological chains.  Each
-    round persists its (id, label) frame — at 10^12 docs the frame holds
-    only *duplicated* ids, a small fraction of the corpus.
-    """
-    from pyspark import StorageLevel
+    KB-sized-join rounds; `max_iters` bounds pathological chains (a giant
+    chain component converges to per-node labels within max_iters hops —
+    still a valid clustering, just possibly split).
 
+    Iteration discipline: every round's frame is localCheckpoint()ed.
+    Each round references the previous labels twice (union + change
+    check), so carrying lineage would DOUBLE the logical plan per round —
+    2^rounds copies of the upstream dedup pipeline is a guaranteed
+    driver OOM in Catalyst long before any executor touches data.
+    Checkpointing cuts the plan to the materialized partitions; at 10^12
+    docs the frame holds only *duplicated* ids, a small fraction of the
+    corpus.
+    """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    labels.count()
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.dst == labels.id)
@@ -453,7 +459,7 @@ def resolve_dup_clusters(
             labels.unionAll(neigh)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -461,7 +467,6 @@ def resolve_dup_clusters(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -69,7 +69,7 @@ def _h(ids: np.ndarray, stream: int) -> np.ndarray:
     return _mix64(ids.astype(np.uint64) ^ (GLOBAL_SEED + np.uint64(stream) * np.uint64(0x9E37)))
 
 
-def _make_corpus(lang: str, n_words: int = 20_000) -> str:
+def _make_corpus(lang: str, n_words: int = 200_000) -> str:
     """Deterministic word soup for one language, markers interleaved.
 
     Fully vectorized (this runs once per language per Python worker; a
@@ -184,7 +184,14 @@ def generate_webpages(
         partitions = max(int(spark.sparkContext.defaultParallelism), 1)
     rng = spark.range(0, n_docs, numPartitions=partitions)
 
+    # build the per-language word pools once on the driver and broadcast
+    # them: rebuilding ~2 MB pools in every Python worker dominated
+    # generation time
+    pools = {lang: _corpus(lang) for lang in LANGS}
+    bc = spark.sparkContext.broadcast(pools)
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _CORPUS_CACHE.update(bc.value)
         for pdf in batches:
             if len(pdf):
                 yield _gen_batch(pdf["id"].to_numpy())
