@@ -95,12 +95,19 @@ class KLL:
         lv = np.sort(self.levels[i], kind="stable")
         off = self.offsets[i] & 1
         self.offsets[i] += 1
+        # weight conservation: an odd-length level keeps one survivor at
+        # level i (only the even-length prefix compacts), so stored_weight
+        # always equals n exactly — the standard KLL leftover rule.  The
+        # retained end alternates with the offset so no tail bias builds up.
+        if len(lv) & 1:
+            if off:
+                leftover, lv = lv[:1], lv[1:]
+            else:
+                leftover, lv = lv[-1:], lv[:-1]
+        else:
+            leftover = np.empty(0, dtype=np.float64)
         promoted = lv[off::2]
-        # odd length + offset 1 can drop/keep an extra item; the leftover
-        # (unpromoted survivor accounting) is inherent to KLL — total
-        # weight is preserved in expectation and the deterministic
-        # alternation bounds the drift
-        self.levels[i] = np.empty(0, dtype=np.float64)
+        self.levels[i] = leftover
         if i + 1 == len(self.levels):
             self.levels.append(np.empty(0, dtype=np.float64))
             self.offsets.append(0)
@@ -202,21 +209,26 @@ def kll_by(
     by: Sequence[str] = (),
     k: int = 200,
     salt: int = 0,
+    combine: str = "map",
 ):
-    """Grouped KLL build+merge over a DataFrame (same two-stage salted
-    shape as operators.digest.digest_by).  Returns (by..., kll binary,
-    n_rows long)."""
+    """Grouped KLL build+merge over a DataFrame (same two-stage shape as
+    operators.digest.digest_by).  Returns (by..., kll binary, n_rows long).
+
+    `combine="map"` (default): stage 1 is mapInPandas keeping a dict
+    group→sketch per input partition — the raw rows NEVER shuffle, only
+    (group, KB-sketch) partials do.  `combine="shuffle"`: salted
+    groupBy build, the fallback for cardinality-explosive group keys
+    (per-partition dict state would exceed memory).  `salt` only applies
+    to the shuffle path; mix of repeated values is irrelevant on the map
+    path because partitioning, not value hashing, spreads hot groups.
+    """
+    from typing import Iterator
+
     from pyspark.sql import functions as F
 
     keys = list(by)
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     sdf = df.select(*[F.col(c) for c in keys], value.cast("double").alias("__v"))
-    if salt and salt > 1:
-        sdf = sdf.withColumn(
-            "__s", F.pmod(F.xxhash64(F.col("__v")), F.lit(salt)).cast("int")
-        )
-    else:
-        sdf = sdf.withColumn("__s", F.lit(0))
 
     key_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
@@ -228,19 +240,62 @@ def kll_by(
     )
     out_schema = ", ".join(x for x in (key_schema, "kll binary, n_rows long") if x)
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        sk = KLL(k)
-        vals = pdf["__v"].to_numpy(dtype=np.float64)
-        vals = vals[~np.isnan(vals)]
-        if vals.size:
-            sk.add(vals)
-        row = {c: [pdf[c].iloc[0]] for c in keys}
-        row["__s"] = [int(pdf["__s"].iloc[0])]
-        row["kll"] = [sk.to_bytes()]
-        row["n_rows"] = [int(vals.size)]
-        return pd.DataFrame(row)
+    if combine == "map":
+        mdf = sdf.withColumn("__pid", F.spark_partition_id())
 
-    partials = sdf.groupBy(*keys, "__s").applyInPandas(build, schema=part_schema)
+        def build_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            sks: dict[tuple, KLL] = {}
+            rows: dict[tuple, int] = {}
+            pid = 0
+            for pdf in batches:
+                if len(pdf):
+                    pid = int(pdf["__pid"].iloc[0])
+                vals = pdf["__v"].to_numpy(dtype=np.float64)
+                ok = ~np.isnan(vals)
+                if keys:
+                    idx_by_group = pdf.groupby(keys, sort=False, dropna=False).indices
+                else:
+                    idx_by_group = {(): np.arange(len(pdf))}
+                for g, idx in idx_by_group.items():
+                    g = g if isinstance(g, tuple) else (g,)
+                    sk = sks.get(g)
+                    if sk is None:
+                        sk = sks[g] = KLL(k)
+                        rows[g] = 0
+                    v = vals[idx]
+                    v = v[ok[idx]]
+                    if v.size:
+                        sk.add(v)
+                        rows[g] += int(v.size)
+            if sks:
+                out = {c: [g[i] for g in sks] for i, c in enumerate(keys)}
+                out["__s"] = [pid] * len(sks)
+                out["kll"] = [sk.to_bytes() for sk in sks.values()]
+                out["n_rows"] = [rows[g] for g in sks]
+                yield pd.DataFrame(out)
+
+        partials = mdf.mapInPandas(build_partition, schema=part_schema)
+    else:
+        if salt and salt > 1:
+            sdf = sdf.withColumn(
+                "__s", F.pmod(F.xxhash64(F.col("__v")), F.lit(salt)).cast("int")
+            )
+        else:
+            sdf = sdf.withColumn("__s", F.lit(0))
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            sk = KLL(k)
+            vals = pdf["__v"].to_numpy(dtype=np.float64)
+            vals = vals[~np.isnan(vals)]
+            if vals.size:
+                sk.add(vals)
+            row = {c: [pdf[c].iloc[0]] for c in keys}
+            row["__s"] = [int(pdf["__s"].iloc[0])]
+            row["kll"] = [sk.to_bytes()]
+            row["n_rows"] = [int(vals.size)]
+            return pd.DataFrame(row)
+
+        partials = sdf.groupBy(*keys, "__s").applyInPandas(build, schema=part_schema)
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__s", kind="stable")

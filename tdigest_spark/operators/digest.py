@@ -4,10 +4,11 @@ The reference library IS a partial+final aggregation (SURVEY.md §2.2):
 update = vectorized fit over a batch, merge = digest ⊕ digest, evaluate =
 compress + quantile/cdf.  Spark-first mapping:
 
-    stage 1 (update):  groupBy(keys + salt).applyInPandas(build)
-                       — one digest per (group, salt); Arrow delivers
-                       10k-row batches, the same amortization granularity
-                       as the reference's ingestion chunking
+    stage 1 (update):  mapInPandas builds one digest per (group, input
+                       partition) — *map-side combine*: no raw row ever
+                       shuffles; Arrow delivers 10k-row batches, the same
+                       amortization granularity as the reference's
+                       ingestion chunking (build_partials_grouped)
     stage 2 (merge):   groupBy(keys).applyInPandas(merge)
                        — digests are ~8·delta bytes, so the shuffle moves
                        KBs per group regardless of input size
@@ -15,12 +16,20 @@ compress + quantile/cdf.  Spark-first mapping:
                        (tdigest_quantile / tdigest_cdf / ...)
 
 Scale notes (100 TB / 1000 executors):
-- The only full-data shuffle is stage 1's groupBy. With `salt=S`, a skewed
-  group (e.g. lang='en' at 60% of a trillion rows) splits into S reducers;
-  merge cost is S tiny digests. AQE skew handling stays on as backstop.
-- `build_partials_per_partition` (mapInPandas) skips the stage-1 shuffle
-  entirely when no grouping is needed: each input split emits one digest
-  row, and only digest rows ever shuffle. This is the 100 TB fast path.
+- The DEFAULT grouped path (`digest_by(combine="map")`) shuffles ZERO raw
+  rows: stage 1 is mapInPandas keeping a dict group→digest per input
+  partition, so the only shuffle carries (group, KB-digest) partials —
+  splits × groups rows, independent of input size.  A hot group (e.g.
+  lang='en' at 60% of a trillion rows) is automatically spread over every
+  input split, so there is no skewed reducer to salt away.
+- The salted groupBy path (`combine="shuffle"`) remains for cardinality-
+  explosive keys (e.g. group-by-user_id with 10^9 groups), where the
+  per-partition dict would exceed executor memory and partials would
+  outnumber raw rows.  With `salt=S` a skewed group splits into S
+  reducers; merge cost is S tiny digests.
+- `build_partials_per_partition` (mapInPandas) is the ungrouped variant:
+  each input split emits one digest row. This is the 100 TB fast path for
+  global digests.
 - Merge order is canonicalized (sort by salt/split id) so re-runs are
   byte-identical; within the singleton regime ANY order is byte-identical
   (tests/test_determinism.py).
@@ -57,6 +66,7 @@ def build_partials(
     delta: float = 100.0,
     scale: str = "K_3",
     salt: int = 0,
+    salt_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Stage-1 digest build: one digest row per (group, salt bucket).
 
@@ -65,18 +75,28 @@ def build_partials(
     (deterministic w.r.t. data, independent of input partitioning), which
     un-skews hot groups like Zipf-heavy `lang` at the cost of `salt` extra
     KB-sized rows in stage 2.
+
+    Salt degeneracy: hashing the value alone means a group dominated by ONE
+    repeated value stays in one salt bucket (fine for continuous values,
+    degenerate for discrete ones).  Pass `salt_cols` (e.g. a row-unique id
+    column) to mix extra entropy into the salt hash — the digest result is
+    unchanged (salting only partitions work), but constant-valued hot
+    groups then split evenly.
     """
     keys = list(by)
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     proj = [F.col(k) for k in keys] + [value.cast("double").alias(_VALUE)]
+    proj += [F.col(c) for c in salt_cols if c not in keys]
     sdf = df.select(*proj)
     group_cols = list(keys)
     if salt and salt > 1:
+        salt_inputs = [F.col(_VALUE)] + [F.col(c) for c in salt_cols]
         sdf = sdf.withColumn(
-            _SALT, F.pmod(F.xxhash64(F.col(_VALUE)), F.lit(salt)).cast("int")
+            _SALT, F.pmod(F.xxhash64(*salt_inputs), F.lit(salt)).cast("int")
         )
     else:
         sdf = sdf.withColumn(_SALT, F.lit(0))
+    sdf = sdf.drop(*[c for c in salt_cols if c not in keys])
     group_cols.append(_SALT)
 
     key_schema = ", ".join(
@@ -97,6 +117,73 @@ def build_partials(
         return pd.DataFrame(row)
 
     return sdf.groupBy(*group_cols).applyInPandas(build, schema=out_schema)
+
+
+def build_partials_grouped(
+    df: DataFrame,
+    value_col,
+    by: Sequence[str],
+    delta: float = 100.0,
+    scale: str = "K_3",
+) -> DataFrame:
+    """Map-side-combining stage 1 for GROUPED digests: mapInPandas keeps a
+    dict group→digest per input partition and emits one digest row per
+    (group, partition).  The raw data NEVER shuffles — only (group,
+    KB-digest) partials do, exactly like `histogram_ops.histogram_by`.
+
+    State per task is bounded by (#groups seen in this partition) × digest
+    size; a hot group is spread across every input split, so skew needs no
+    salting.  For cardinality-explosive keys (millions of groups) prefer
+    `build_partials` (salted shuffle), where reducer state is one group.
+
+    Output schema matches `build_partials` (`_SALT` carries the input
+    partition id) so `merge_partials` consumes either interchangeably.
+    """
+    keys = list(by)
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    sdf = df.select(
+        *[F.col(k) for k in keys], value.cast("double").alias(_VALUE)
+    ).withColumn("__pid", F.spark_partition_id())
+
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields
+        if f.name in keys
+    )
+    out_schema = ", ".join(
+        x for x in (key_schema, f"{_SALT} int", DIGEST_FIELDS) if x
+    )
+
+    def build_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        digests: dict[tuple, MergingDigest] = {}
+        rows: dict[tuple, int] = {}
+        pid = 0
+        for pdf in batches:
+            if len(pdf):
+                pid = int(pdf["__pid"].iloc[0])
+            vals = pdf[_VALUE].to_numpy(dtype=np.float64)
+            ok = ~np.isnan(vals)
+            # groupby().indices: one pass over the batch, index arrays per
+            # group (not a per-group boolean scan of the whole batch)
+            idx_by_group = pdf.groupby(keys, sort=False, dropna=False).indices
+            for g, idx in idx_by_group.items():
+                g = g if isinstance(g, tuple) else (g,)
+                d = digests.get(g)
+                if d is None:
+                    d = digests[g] = MergingDigest(delta, scale=get_scale(scale))
+                    rows[g] = 0
+                v = vals[idx]
+                v = v[ok[idx]]
+                if v.size:
+                    d.add(v)
+                    rows[g] += int(v.size)
+        if digests:
+            out = {k: [g[i] for g in digests] for i, k in enumerate(keys)}
+            out[_SALT] = [pid] * len(digests)
+            out["digest"] = [d.to_bytes() for d in digests.values()]
+            out["n_rows"] = [rows[g] for g in digests]
+            yield pd.DataFrame(out)
+
+    return sdf.mapInPandas(build_partition, schema=out_schema)
 
 
 def build_partials_per_partition(
@@ -196,9 +283,22 @@ def digest_by(
     delta: float = 100.0,
     scale: str = "K_3",
     salt: int = 0,
+    combine: str = "map",
 ) -> DataFrame:
-    """Convenience: grouped digest build+merge. Returns (by..., digest, n_rows)."""
-    partials = build_partials(df, value_col, by=by, delta=delta, scale=scale, salt=salt)
+    """Convenience: grouped digest build+merge. Returns (by..., digest, n_rows).
+
+    `combine="map"` (default): map-side-combining build — zero raw-row
+    shuffle, the 100 TB path.  `combine="shuffle"`: salted groupBy build —
+    the fallback for cardinality-explosive group keys (see module doc).
+    """
+    if combine == "map" and by:
+        partials = build_partials_grouped(df, value_col, by=by, delta=delta, scale=scale)
+    elif combine == "map":
+        partials = build_partials_per_partition(df, value_col, delta=delta, scale=scale)
+    else:
+        partials = build_partials(
+            df, value_col, by=by, delta=delta, scale=scale, salt=salt
+        )
     return merge_partials(partials, by=by)
 
 

@@ -36,14 +36,43 @@ def test_filter_pushdown_and_column_pruning(docs):
 
 
 def test_grouped_digest_single_exchange(docs):
-    """Stage-1 digest build shuffles exactly once (on group+salt); the
-    value column is pruned at the scan."""
+    """Stage-1 digest build (shuffle fallback path) shuffles exactly once
+    (on group+salt); the value column is pruned at the scan."""
     partials = digest.build_partials(docs, "n_chars", by=["lang"], salt=4)
     simple = explain_str(partials, "simple")
     assert simple.count("Exchange") == 1
     assert "FlatMapGroupsInPandas" in simple
     read = explain_str(partials).split("ReadSchema")[1][:200]
     assert "lang" in read and "n_chars" in read and "text" not in read
+
+
+def test_grouped_digest_map_combine_no_raw_shuffle(docs):
+    """The DEFAULT grouped digest path (digest_by combine='map') never
+    shuffles raw rows: stage 1 is mapInPandas with zero upstream
+    exchanges; the single exchange in the full plan carries only
+    (group, digest) partial rows into the merge."""
+    merged = digest.digest_by(docs, "n_chars", by=["lang"], delta=500.0)
+    simple = explain_str(merged, "simple")
+    assert simple.count("MapInPandas") == 1
+    # exactly one exchange in the WHOLE plan: the KB-row merge groupBy
+    assert simple.count("Exchange") == 1
+    # nothing between the scan and the python build stage shuffles
+    before_python = simple.split("MapInPandas")[1]
+    assert "Exchange" not in before_python
+    read = explain_str(merged).split("ReadSchema")[1][:200]
+    assert "lang" in read and "n_chars" in read and "text" not in read
+
+
+def test_grouped_kll_map_combine_no_raw_shuffle(lineitem):
+    """kll_by's default map-side-combine path: same zero-raw-shuffle shape
+    as the digest build."""
+    from tdigest_spark.kll import kll_by
+
+    sk = kll_by(lineitem, "l_extendedprice", by=["l_returnflag"], k=200)
+    simple = explain_str(sk, "simple")
+    assert simple.count("MapInPandas") == 1
+    assert simple.count("Exchange") == 1
+    assert "Exchange" not in simple.split("MapInPandas")[1]
 
 
 def test_partition_digest_no_shuffle(lineitem):

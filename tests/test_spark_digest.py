@@ -62,6 +62,60 @@ def test_salted_build_same_result_in_singleton_regime(spark):
     assert a == b
 
 
+def test_map_combine_equals_shuffle_build_in_singleton_regime(spark):
+    """The default map-side-combine grouped build and the salted-shuffle
+    fallback are the same multiset union -> byte-identical digests while
+    in the singleton regime."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    mapped = digest_by(docs, "n_chars", by=["lang"], delta=500, combine="map")
+    shuffled = digest_by(
+        docs, "n_chars", by=["lang"], delta=500, salt=8, combine="shuffle"
+    )
+    a = {r["lang"]: (bytes(r["digest"]), r["n_rows"]) for r in mapped.collect()}
+    b = {r["lang"]: (bytes(r["digest"]), r["n_rows"]) for r in shuffled.collect()}
+    assert a == b
+
+
+def test_map_combine_multi_key_with_date(spark):
+    """Map-combine grouping over a (string, date) composite key round-trips
+    key types through Arrow and matches per-group exact quantiles."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "day", F.to_date(F.col("ts"))
+    )
+    out = digest_by(ev, "value", by=["event_type", "day"], delta=5000).collect()
+    pdf = ev.select("event_type", "day", "value").toPandas()
+    assert len(out) == len(pdf.groupby(["event_type", "day"]))
+    for r in out[:10]:
+        grp = pdf[(pdf["event_type"] == r["event_type"]) & (pdf["day"] == r["day"])]
+        vals = grp["value"].to_numpy(dtype=float)
+        d = MergingDigest.from_bytes(bytes(r["digest"]))
+        assert d.total_weight == len(vals)
+        assert d.quantile(0.5) == quantile_ref(vals, 0.5)
+
+
+def test_salt_cols_split_constant_hot_group(spark):
+    """A group whose value is one repeated constant degenerates to a single
+    salt bucket when salting on the value alone; mixing a row-unique column
+    via salt_cols splits it across buckets (same final digest)."""
+    rows = [(i, "hot", 42.0) for i in range(400)] + [(1000 + i, "cold", float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "row_id long, k string, v double").repartition(8)
+
+    value_only = build_partials(df, "v", by=["k"], salt=8)
+    n_value = value_only.filter(F.col("k") == "hot").count()
+    assert n_value == 1  # degenerate: one bucket holds all 400 rows
+
+    entropic = build_partials(df, "v", by=["k"], salt=8, salt_cols=["row_id"])
+    n_entropic = entropic.filter(F.col("k") == "hot").count()
+    assert n_entropic == 8  # spread across every salt bucket
+
+    # the final digest is identical either way (multiset union, singleton regime)
+    a = merge_partials(value_only, by=["k"]).collect()
+    b = merge_partials(entropic, by=["k"]).collect()
+    da = {r["k"]: bytes(r["digest"]) for r in a}
+    db = {r["k"]: bytes(r["digest"]) for r in b}
+    assert da == db
+
+
 def test_quantiles_of_table(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     digests = digest_by(docs, "n_chars", by=["lang"], delta=500)
