@@ -241,6 +241,13 @@ class MergingDigest:
                 f"Merging was ineffective: {to} clusters at compression {compression}"
             )
 
+    def max_step(self, q: float, private: bool = True) -> float:
+        """Largest dq at q keeping dk <= 1, at the digest's compression
+        (TDigest.jl:125-128: dispatches to the scale's (compression, n)
+        form with n = current centroid count)."""
+        compression = self.private_compression if private else self.public_compression
+        return float(self.scale.max_step_cn(q, compression, self._n))
+
     def _force_ascending(self) -> None:
         self._compact(force=True, compression=self.private_compression)
 

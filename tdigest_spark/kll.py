@@ -311,6 +311,25 @@ def kll_by(
     return partials.groupBy(*keys).applyInPandas(merge, schema=out_schema)
 
 
+def kll_stored_weight_udf():
+    """Sum of level weights inside the sketch — equals n exactly (the
+    odd-compaction leftover rule conserves weight), which makes weight
+    conservation a driver-gateable integer."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def _w(blob: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                int(KLL.from_bytes(bytes(b)).stored_weight) if b is not None else 0
+                for b in blob
+            ]
+        )
+
+    return _w
+
+
 def kll_quantile_udf():
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType

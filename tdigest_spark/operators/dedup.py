@@ -255,13 +255,14 @@ def ngram_jaccard_dedup(
     shingle_k: int = 3,
     n_hashes: int = 8,
     bands: int = 4,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact Jaccard >= threshold.
     Returns (id_a, id_b, jaccard)."""
     from pyspark import StorageLevel
 
     cands = lsh_candidate_pairs(
-        df, text_col, id_col, n_hashes, shingle_k, bands
+        df, text_col, id_col, n_hashes, shingle_k, bands, max_bucket
     ).persist(StorageLevel.MEMORY_AND_DISK)
     cands.count()
     scored = jaccard_pairs(df, cands, text_col, id_col, shingle_k)
@@ -314,14 +315,33 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """SimHash near-dup pairs: block on the 4 16-bit chunks of the
     signature (pigeonhole: hamming<=3 pairs share at least one exact
-    chunk), verify hamming distance <= max_hamming nibble-wise."""
-    sh = simhash64(df, text_col, id_col)
+    chunk), verify hamming distance <= max_hamming nibble-wise.
+
+    The pigeonhole guarantee only covers max_hamming <= 3 with 4 chunks —
+    a larger radius would silently miss pairs differing in all chunks, so
+    it is rejected.
+
+    Plan shape mirrors `lsh_candidate_pairs`: ONE shuffle groups ids by
+    chunk value, pairs expand JVM-side from each bucket's sorted id list,
+    and buckets larger than `max_bucket` are dropped (hot-chunk quadratic
+    guard: near-dup-heavy or short-doc corpora concentrate on few chunk
+    values; such template clusters are handled separately, not pairwise).
+    Signatures re-attach to the surviving pairs via two KB-per-row joins,
+    so the chunk shuffle carries only (chunk, id) rows."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4-chunk pigeonhole blocking only guarantees completeness for "
+            f"max_hamming <= 3 (got {max_hamming})"
+        )
+    from pyspark import StorageLevel
+
+    sh = simhash64(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     chunks = sh.select(
         F.col(id_col),
-        F.col("simhash"),
         F.explode(
             F.array(*[
                 F.concat(F.lit(f"{c}:"), F.substring("simhash", c * 4 + 1, 4))
@@ -329,22 +349,29 @@ def simhash_near_pairs(
             ])
         ).alias("chunk"),
     )
-    a = chunks.select(
-        F.col("chunk"),
-        F.col(id_col).alias("id_a"),
-        F.col("simhash").alias("sh_a"),
+    buckets = (
+        chunks.groupBy("chunk")
+        .agg(F.collect_list(id_col).alias("__ids"))
+        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket))
+        .select(F.array_sort("__ids").alias("__ids"))
     )
-    b = chunks.select(
-        F.col("chunk"),
-        F.col(id_col).alias("id_b"),
-        F.col("simhash").alias("sh_b"),
+    pairs = F.flatten(
+        F.transform(
+            "__ids",
+            lambda x, i: F.transform(
+                F.slice("__ids", i + 2, F.size("__ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
     cand = (
-        a.join(b, "chunk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        buckets.select(F.explode(pairs).alias("__p"))
+        .select(F.col("__p.id_a"), F.col("__p.id_b"))
         .distinct()
     )
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    cand = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     ham = None
     for nb in range(16):
         na = F.conv(F.substring("sh_a", nb + 1, 1), 16, 10).cast("int")

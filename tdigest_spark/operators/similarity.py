@@ -105,9 +105,15 @@ def lsh_cosine_topk(
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: exact re-rank restricted to corpus
     vectors in the query's hyperplane bucket.  Recall < 1 by construction;
-    multiplying probes (bit-flip neighbors) is the standard extension."""
+    multiplying probes (bit-flip neighbors) is the standard extension.
+
+    `dim` is required: inferring it would cost a first() job over the
+    corpus before the plan even builds (a full scan stage at 100 TB)."""
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        raise ValueError(
+            "pass dim= explicitly (embedding width); inferring it would run "
+            "a scan job before planning"
+        )
     planes = hyperplanes(n_planes, dim, seed)
     c = emb.select(
         F.col(id_col).alias("neighbor_id"),
@@ -165,21 +171,28 @@ def ivf_train(
     emb: DataFrame,
     n_cells: int = 16,
     vec_col: str = "embedding",
-    sample_fraction: float = 1.0,
+    sample_fraction: float | None = None,
     iters: int = 10,
     seed: int = 42,
+    max_sample_per_cell: int = 1000,
 ):
-    """Driver-side k-means (Lloyd's) over a sample: the coarse quantizer
-    for IVF.  The sample is small by design (centroid count x ~1000 rows
-    suffices); the full corpus is only ever *assigned* (ivf_assign, one
-    broadcast pass).  Returns a (centroid_id, centroid) DataFrame.
+    """Driver-side k-means (Lloyd's) over a BOUNDED sample: the coarse
+    quantizer for IVF.  The sample is small by design (~`max_sample_per_cell`
+    rows per centroid suffices) and is hard-capped with limit() regardless
+    of `sample_fraction`, so the driver never collects more than
+    n_cells*max_sample_per_cell vectors no matter the corpus size; the
+    full corpus is only ever *assigned* (ivf_assign, one broadcast pass).
+    `sample_fraction=None` (default) takes the cap straight off the scan
+    (zero-shuffle); pass a fraction to randomize which rows feed the cap.
+    Returns a (centroid_id, centroid) DataFrame.
     """
     import numpy as np
 
+    cap = int(n_cells * max_sample_per_cell)
     sample = emb.select(vec_col)
-    if sample_fraction < 1.0:
+    if sample_fraction is not None and sample_fraction < 1.0:
         sample = sample.sample(fraction=sample_fraction, seed=seed)
-    X = np.array([r[0] for r in sample.collect()], dtype=np.float64)
+    X = np.array([r[0] for r in sample.limit(cap).collect()], dtype=np.float64)
     rng = np.random.RandomState(seed)
     cents = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
     for _ in range(iters):

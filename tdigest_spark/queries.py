@@ -50,6 +50,12 @@ DOCS_DELTA = 500.0  # > max lang group (218 @ sf0.01) -> singleton regime
 EVENTS_DELTA = 4000.0  # > max event_type group (~2020 @ sf0.01)
 HIST_MIN, HIST_MAX, HIST_EPS = 0.01, 500.0, 0.1
 MINHASH_K, SHINGLE_K, LSH_BANDS = 8, 3, 4  # 32-bit lanes, 2 rows/band
+LSH_MAX_BUCKET = 1000  # template-cluster guard, mirrored in the oracle SQL
+SIMHASH_MAX_HAMMING = 3
+BLOOM_M, BLOOM_K = 4096, 5
+BLOOM_PROBES = (0, 1, 2, 3, 4, 900001, 900002, 900003, 900004, 900005)
+IVF_CENT_MOD = 97  # vec_id % 97 == 1 rows serve as deterministic centroids
+IVF_NPROBE = 2
 NEARDUP_MOD = 10  # doc_id % 10 == 0 gets a truncated twin
 EMB_SCALE_MOD = 5  # vec_id % 5 == 0 gets a 1.01-scaled twin
 ANN_QUERY_MOD = 50  # vec_id % 50 == 0 are ANN query points
@@ -288,16 +294,118 @@ FROM g
 """
 
 
+TD_RANK_BOUND = 0.01  # 1/delta at delta=100: the published t-digest bound
+KLL_CHECK_QS = (0.1, 0.25, 0.5, 0.75, 0.9)
+KLL_CHECK_K = 200
+KLL_RANK_BOUND = 0.025  # ~5/k for the deterministic-compaction variant
+
+
+def _rank_err_ok(
+    data: DataFrame, value_col: str, estimates: DataFrame, by, bound: float
+) -> DataFrame:
+    """Exact mid-rank of each quantile estimate against the raw data, as a
+    hash-matchable boolean: |rank(estimate) - q| <= bound.
+
+    This is how the APPROXIMATE regime gets a hard oracle: the estimate
+    itself is engine-specific, but the claim "its exact rank is within the
+    algorithm's bound of q" is decidable from the data — Spark computes
+    the rank in one broadcast pass (estimates are a handful of rows), and
+    the DuckDB oracle asserts the same booleans are all TRUE.
+    """
+    keys = list(by)
+    vals = data.select(
+        *keys, F.col(value_col).cast("double").alias("__v")
+    )
+    joined = vals.join(F.broadcast(estimates), keys) if keys else vals.crossJoin(
+        F.broadcast(estimates)
+    )
+    ranks = joined.groupBy(*keys, "q", "quantile").agg(
+        (
+            (
+                F.sum((F.col("__v") < F.col("quantile")).cast("double"))
+                + F.sum((F.col("__v") == F.col("quantile")).cast("double")) / 2.0
+            )
+            / F.count("*")
+        ).alias("__rank")
+    )
+    return ranks.select(
+        *keys,
+        F.col("q").cast("double").alias("q"),
+        (F.abs(F.col("__rank") - F.col("q")) <= F.lit(bound)).alias("rank_err_ok"),
+    )
+
+
 def q_tdigest_lineitem_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate-regime global digest (60k rows @ delta=100) through the
-    shuffle-free mapInPandas fast path. No SQL oracle (approximation);
-    accuracy is bounded by tests/test_spark_digest.py rank-error checks."""
+    """APPROXIMATE-regime gate: global digest over 60k+ rows at delta=100
+    (compaction fully engaged) through the shuffle-free mapInPandas fast
+    path.  Emits, per q: the digest's total weight (must equal the exact
+    row count — ingest completeness) and whether the estimate's exact
+    rank is within the t-digest bound (1/delta).  The oracle computes the
+    exact count and asserts every rank check holds."""
+    from .functions import tdigest_total_weight_udf
+
     li = load_table(spark, sf_dir, "lineitem")
     partials = digest.build_partials_per_partition(li, "l_extendedprice", delta=100.0)
     merged = digest.merge_partials(partials, by=())
-    return digest.quantiles_of(merged, QUANTILES, by=()).select(
+    est = digest.quantiles_of(merged, QUANTILES, by=()).select(
         F.col("q").cast("double").alias("q"), "quantile"
     )
+    weight = merged.select(
+        tdigest_total_weight_udf("digest").cast("long").alias("n_rows")
+    )
+    checks = _rank_err_ok(li, "l_extendedprice", est, by=(), bound=TD_RANK_BOUND)
+    return checks.crossJoin(F.broadcast(weight)).select("q", "n_rows", "rank_err_ok")
+
+
+_SQL_TDIGEST_GLOBAL = f"""
+WITH qs(q) AS (VALUES {", ".join(f"({q})" for q in QUANTILES)})
+SELECT CAST(q AS DOUBLE) AS q,
+       (SELECT count(*) FROM lineitem) AS n_rows,
+       TRUE AS rank_err_ok
+FROM qs
+"""
+
+
+def q_kll_rank_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE-regime gate for KLL: k=200 over ~20k-row l_returnflag
+    groups (many compaction rounds) — per (group, q), is the estimate's
+    exact mid-rank within the KLL bound?  Plus the sketch's INTERNAL
+    stored weight == exact group count (the odd-compaction leftover rule
+    conserves weight exactly — a driver-gateable integer)."""
+    from .kll import kll_by, kll_quantile_udf, kll_stored_weight_udf
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = kll_by(li, "l_extendedprice", by=["l_returnflag"], k=KLL_CHECK_K)
+    qudf = kll_quantile_udf()
+    wudf = kll_stored_weight_udf()
+    est = sk.select(
+        "l_returnflag",
+        "kll",
+        wudf(F.col("kll")).alias("n_rows"),
+        F.explode(F.array(*[F.lit(float(q)) for q in KLL_CHECK_QS])).alias("q"),
+    ).select(
+        "l_returnflag",
+        "n_rows",
+        F.col("q").cast("double").alias("q"),
+        qudf(F.col("kll"), F.col("q")).alias("quantile"),
+    )
+    checks = _rank_err_ok(
+        li, "l_extendedprice", est.drop("n_rows"), by=["l_returnflag"],
+        bound=KLL_RANK_BOUND,
+    )
+    counts = est.select("l_returnflag", "n_rows").distinct()
+    return checks.join(F.broadcast(counts), "l_returnflag").select(
+        "l_returnflag", "q", "n_rows", "rank_err_ok"
+    )
+
+
+_SQL_KLL_RANK_CHECK = f"""
+WITH qs(q) AS (VALUES {", ".join(f"({q})" for q in KLL_CHECK_QS)})
+SELECT l_returnflag, CAST(q AS DOUBLE) AS q, count(*) AS n_rows,
+       TRUE AS rank_err_ok
+FROM lineitem CROSS JOIN qs
+GROUP BY l_returnflag, q
+"""
 
 
 def q_kll_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -758,6 +866,7 @@ def q_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_k=SHINGLE_K,
         n_hashes=MINHASH_K,
         bands=LSH_BANDS,
+        max_bucket=LSH_MAX_BUCKET,
     )
 
 
@@ -772,9 +881,15 @@ WITH sigs AS ({base}),
 bands AS (
   {band_sel}
 ),
+qual AS (
+  -- mirror of the Spark-side max_bucket template-cluster guard
+  SELECT band, band_key FROM bands GROUP BY band, band_key
+  HAVING count(*) BETWEEN 2 AND {LSH_MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b USING (band, band_key)
+  FROM qual JOIN bands a USING (band, band_key)
+            JOIN bands b USING (band, band_key)
   WHERE a.doc_id < b.doc_id
 ),
 sets AS (
@@ -801,7 +916,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(docs, "text", "doc_id")
 
 
-def _sql_simhash() -> str:
+def _sql_simhash(table_sql: str = "documents") -> str:
     hexcase = lambda p: (  # noqa: E731
         "CASE substr(h, " + str(p) + ", 1) "
         + " ".join(f"WHEN '{x:x}' THEN {x}" for x in range(16))
@@ -824,7 +939,7 @@ def _sql_simhash() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_filter(string_split(text, ' '), tk -> tk != '')) AS tok
-  FROM documents
+  FROM {table_sql}
 ),
 th AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM toks),
 nib AS (
@@ -838,6 +953,141 @@ sums AS (
   FROM nib GROUP BY doc_id
 )
 SELECT doc_id, {nibout} AS simhash FROM sums
+"""
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over the twin corpus: 16-bit-chunk pigeonhole
+    blocking (complete for hamming <= 3) + bucket-grouped pair expansion
+    with the max_bucket hot-chunk guard, verified by exact hamming."""
+    from .operators.dedup import simhash_near_pairs
+
+    corpus = _docs_with_twins(load_table(spark, sf_dir, "documents"))
+    return simhash_near_pairs(
+        corpus, "text", "doc_id",
+        max_hamming=SIMHASH_MAX_HAMMING, max_bucket=LSH_MAX_BUCKET,
+    )
+
+
+def _sql_simhash_near_pairs() -> str:
+    # pigeonhole blocking is COMPLETE for hamming <= 3, and the sf corpus
+    # (<= LSH_MAX_BUCKET docs total) cannot trigger the bucket guard, so
+    # the oracle is the plain all-pairs hamming join over the same
+    # signatures (bit_count over the xor of the two 64-bit values)
+    base = _sql_simhash(f"({_SQL_DOCS_WITH_TWINS})")
+    return f"""
+WITH sims AS ({base})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(('0x' || a.simhash)::UBIGINT,
+                          ('0x' || b.simhash)::UBIGINT)) AS BIGINT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(('0x' || a.simhash)::UBIGINT,
+                    ('0x' || b.simhash)::UBIGINT)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership per event_type over probe user ids (5 present,
+    5 absent): all-JVM md5 bit algebra, value-exact against the oracle
+    (false positives, if any, are deterministic — both engines compute the
+    identical bit array)."""
+    from . import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = SK.bloom_by(
+        ev, F.col("user_id"), by=["event_type"], m_bits=BLOOM_M, k_hashes=BLOOM_K
+    )
+    probes = spark.createDataFrame(
+        [(int(p),) for p in BLOOM_PROBES], "probe long"
+    )
+    return sk.crossJoin(F.broadcast(probes)).select(
+        "event_type",
+        "probe",
+        SK.bloom_contains_col("bits", F.col("probe"), BLOOM_M, BLOOM_K).alias(
+            "maybe_member"
+        ),
+    )
+
+
+def _sql_bloom_membership() -> str:
+    import hashlib
+
+    parts = []
+    for pr in BLOOM_PROBES:
+        checks = []
+        for j in range(BLOOM_K):
+            pos = (
+                int(hashlib.md5(f"bf{j}:{pr}".encode()).hexdigest()[:8], 16) % BLOOM_M
+            )
+            checks.append(
+                f"count(*) FILTER (WHERE ('0x' || substr(md5('bf{j}:' || "
+                f"CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % {BLOOM_M} = {pos}) > 0"
+            )
+        parts.append(
+            f"SELECT event_type, CAST({pr} AS BIGINT) AS probe, "
+            f"({' AND '.join(checks)}) AS maybe_member FROM events GROUP BY event_type"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search end-to-end with deterministic centroids (the embeddings
+    of vec_id % IVF_CENT_MOD == 1 serve as the coarse quantizer, so the
+    whole path — assign, probe, in-cell re-rank — is oracle-expressible;
+    the trainer itself is covered by the pytest recall suite)."""
+    from .operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.filter((F.col("vec_id") % IVF_CENT_MOD) == 1).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    queries_df = emb.filter((F.col("vec_id") % ANN_QUERY_MOD) == 0)
+    out = ivf_topk(emb, queries_df, cents, k=ANN_K, nprobe=IVF_NPROBE)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
+    )
+
+
+_SQL_IVF_TOPK = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % {IVF_CENT_MOD} = 1),
+assigned AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT c.vec_id, c.v, cents.cid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY list_cosine_similarity(c.v, cents.cv) DESC,
+                                       cents.cid ASC) AS rk
+    FROM c CROSS JOIN cents
+  ) WHERE rk = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id % {ANN_QUERY_MOD} = 0),
+probes AS (
+  SELECT query_id, qv, cid AS cell FROM (
+    SELECT q.query_id, q.qv, cents.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(q.qv, cents.cv) DESC,
+                                       cents.cid ASC) AS rk
+    FROM q CROSS JOIN cents
+  ) WHERE rk <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(a.v, p.qv) AS cos_raw
+  FROM assigned a JOIN probes p USING (cell)
+  WHERE a.vec_id != p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       round(cos_raw, 4) AS cosine
+FROM ranked WHERE rank <= {ANN_K}
 """
 
 
@@ -1038,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_agg_sql": q_tdigest_agg_sql,
         "tdigest_lineitem_global": q_tdigest_lineitem_global,
         "kll_quantiles_by_lang": q_kll_quantiles_by_lang,
+        "kll_rank_check": q_kll_rank_check,
         "hll_distinct_users": q_hll_distinct_users,
         "countmin_user_freq": q_countmin_user_freq,
         "loghistogram_events": q_loghistogram_events,
@@ -1053,9 +1304,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
         "simhash": q_simhash,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "bloom_membership": q_bloom_membership,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "binary_meta": q_binary_meta,
     }
 
@@ -1070,8 +1324,9 @@ def oracle_sql() -> dict[str, str]:
         "tdigest_daily_events": _SQL_HOURLY_EVENTS,
         "tdigest_sql_surface": _SQL_SQL_SURFACE,
         "tdigest_agg_sql": _SQL_AGG_SQL,
-        # tdigest_lineitem_global: approximate regime — rows-only check
+        "tdigest_lineitem_global": _SQL_TDIGEST_GLOBAL,
         "kll_quantiles_by_lang": _SQL_KLL_QUANTILES,
+        "kll_rank_check": _SQL_KLL_RANK_CHECK,
         "hll_distinct_users": _sql_hll_distinct_users(),
         "countmin_user_freq": _sql_countmin_user_freq(),
         "loghistogram_events": _sql_loghistogram_events(),
@@ -1087,9 +1342,12 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _sql_minhash(),
         "lsh_near_dup_pairs": _sql_lsh_near_dup_pairs(),
         "simhash": _sql_simhash(),
+        "simhash_near_pairs": _sql_simhash_near_pairs(),
+        "bloom_membership": _sql_bloom_membership(),
         "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
         "ann_bruteforce_topk": _SQL_ANN_BRUTEFORCE,
         "ann_lsh_topk": _sql_ann_lsh(),
+        "ivf_topk": _SQL_IVF_TOPK,
         "binary_meta": _SQL_BINARY_META,
     }
 

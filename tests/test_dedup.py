@@ -163,3 +163,28 @@ def test_full_dedup_pipeline_end_to_end(spark, corpus):
     ids = {r["doc_id"] for r in deduped.collect()}
     assert set(range(60)) <= ids          # all base docs kept
     assert not any(2000 + i in ids for i in range(10, 15))  # exact copies gone
+
+
+def test_simhash_near_pairs_rejects_wide_radius(corpus):
+    """4-chunk pigeonhole blocking is only complete for hamming <= 3."""
+    import pytest
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        D.simhash_near_pairs(corpus, max_hamming=4)
+
+
+def test_simhash_near_pairs_hot_chunk_guard(spark):
+    """A template cluster (hundreds of identical docs sharing every chunk)
+    is excluded from pairwise expansion by max_bucket; normal pairs
+    survive."""
+    rows = [(i, "the same boilerplate page body " * 3) for i in range(60)]
+    rows += [(1000, "alpha beta gamma delta unique one"),
+             (2000, "alpha beta gamma delta unique one")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_pairs(df, max_bucket=50).collect()
+    }
+    # the 60-doc identical cluster (60 > max_bucket buckets) produced no pairs
+    assert all(a >= 1000 for a, _ in out)
+    assert out.get((1000, 2000)) == 0

@@ -89,3 +89,20 @@ def test_max_step_formulas():
     assert abs(K_2.max_step(q, norm2) - q * (1 - q) / norm2) < 1e-15
     norm3 = K_3.normalizer(d, n)
     assert abs(K_3.max_step(q, norm3) - min(q, 1 - q) / norm3) < 1e-15
+
+
+def test_digest_level_max_step():
+    """Digest wrapper dispatches to the scale's (compression, n) form with
+    n = centroid count, at private/public compression (TDigest.jl:125-128)."""
+    from tdigest_spark.core import MergingDigest
+
+    d = MergingDigest(100.0, scale=K_2)
+    d.add(np.linspace(0.0, 1.0, 5000))
+    n_cent = len(d)
+    for q in (0.1, 0.5, 0.9):
+        priv = d.max_step(q)
+        pub = d.max_step(q, private=False)
+        assert priv == K_2.max_step_cn(q, d.private_compression, n_cent)
+        assert pub == K_2.max_step_cn(q, d.public_compression, n_cent)
+        # two-level: private compression > public -> smaller step
+        assert priv < pub

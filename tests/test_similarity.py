@@ -112,3 +112,25 @@ def test_ivf_train_and_topk_recall(spark):
         ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recalls = [len(ax[q] & ex[q]) / 5 for q in ex]
     assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_ivf_train_sample_is_bounded(spark):
+    """The trainer hard-caps the driver-side collect regardless of corpus
+    size: training on a corpus far larger than the cap works and returns
+    exactly n_cells centroids of the right width."""
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(5000)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = S.ivf_train(emb, n_cells=4, iters=2, max_sample_per_cell=10)
+    got = cents.collect()
+    assert len(got) == 4
+    assert all(len(r["centroid"]) == 8 for r in got)
+
+
+def test_lsh_topk_requires_dim(spark):
+    import pytest
+
+    rows = [(i, [float(i), 0.0]) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="dim"):
+        S.lsh_cosine_topk(emb, emb, k=1)
