@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -40,8 +42,19 @@ def main() -> None:
     spark = get_spark(app_name="tdigest_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + Python worker pool so q1 doesn't pay startup cost
+    # warm the JVM + the Python worker pool (one trivial pandas-UDF stage
+    # across all cores) so q1 doesn't pay JVM codegen or worker-fork cost
     spark.range(1_000_000).select(F.sum("id")).collect()
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    @_pudf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    cpus_warm = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(cpus_warm * 10).repartition(cpus_warm).select(
+        F.sum(_warm("id"))
+    ).collect()
 
     li = load_table(spark, SF_DIR, "lineitem")
     docs = load_table(spark, SF_DIR, "documents")
@@ -60,11 +73,16 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         log(f"{name}: {timings[name]:.2f}s")
 
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
     # 1. global t-digest over lineitem: shuffle-free partial build
-    #    (mapInPandas per partition) + canonical merge + quantiles
+    #    (mapInPandas per partition) + canonical merge + quantiles.
+    #    min_parallelism rescues the LOCAL run only: the sf parquet is one
+    #    unsplittable row group, which would pin the build to one Python
+    #    worker; at real scale splits >> cores and this is a no-op.
     def global_digest():
         partials = digest.build_partials_per_partition(
-            li, "l_extendedprice", delta=100.0
+            li, "l_extendedprice", delta=100.0, min_parallelism=cpus
         )
         merged = digest.merge_partials(partials, by=())
         digest.quantiles_of(merged, (0.001, 0.01, 0.5, 0.99, 0.999), by=()).collect()
@@ -72,12 +90,27 @@ def main() -> None:
     bench("tdigest_global_lineitem", global_digest)
     digest_build_sec = timings["tdigest_global_lineitem"]
 
-    # 2. salted grouped digest (skew-safe two-stage aggregation)
-    def grouped_digest():
-        d = digest.digest_by(docs, "n_chars", by=["lang"], delta=200.0, salt=8)
+    # 2a. grouped digest, DEFAULT map-side-combine path (zero raw-row
+    #     shuffle: stage 1 is mapInPandas partials per input partition)
+    def grouped_digest_map():
+        partials = digest.build_partials_grouped(
+            docs, "n_chars", by=["lang"], delta=200.0, min_parallelism=cpus
+        )
+        d = digest.merge_partials(partials, by=["lang"])
         digest.quantiles_of(d, (0.5, 0.9, 0.99), by=["lang"]).collect()
 
-    bench("tdigest_by_lang_salted", grouped_digest)
+    bench("tdigest_by_lang_mapcombine", grouped_digest_map)
+
+    # 2b. the salted-shuffle fallback on the same data (shuffles every raw
+    #     row) — kept in the suite so the stage-1 shuffle elimination is
+    #     visible as mapcombine <= salted across rounds
+    def grouped_digest_salted():
+        d = digest.digest_by(
+            docs, "n_chars", by=["lang"], delta=200.0, salt=8, combine="shuffle"
+        )
+        digest.quantiles_of(d, (0.5, 0.9, 0.99), by=["lang"]).collect()
+
+    bench("tdigest_by_lang_salted", grouped_digest_salted)
 
     # 3. grouped digest over events (bigger groups, same δ regime)
     bench(

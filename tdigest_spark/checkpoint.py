@@ -64,15 +64,31 @@ class BuildReport:
         return self.completed_before > 0
 
 
+def _canon_path(p: str) -> str:
+    """Canonical split id: inputFiles() and input_file_name() URL-encode
+    special characters differently across Spark versions — unquote both
+    sides so manifest identity is stable for any path."""
+    from urllib.parse import unquote
+
+    return unquote(p)
+
+
 def _list_input_files(spark: SparkSession, input_path: str) -> list[str]:
-    return sorted(spark.read.parquet(input_path).inputFiles())
+    return sorted(_canon_path(f) for f in spark.read.parquet(input_path).inputFiles())
 
 
 def read_manifest(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """Empty frame iff the checkpoint doesn't exist yet; any OTHER read
+    error (corrupt files, permission) propagates — masking it would
+    silently trigger a full rebuild plus duplicate appends."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.schema(MANIFEST_SCHEMA).parquet(checkpoint_dir)
-    except Exception:
-        return spark.createDataFrame([], MANIFEST_SCHEMA)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], MANIFEST_SCHEMA)
+        raise
 
 
 def checkpointed_build(
@@ -109,6 +125,8 @@ def checkpointed_build(
     d_scale = scale
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        from urllib.parse import unquote
+
         dg = MergingDigest(delta, scale=get_scale(d_scale))
         vals = pdf["__v"].to_numpy(dtype=np.float64)
         vals = vals[~np.isnan(vals)]
@@ -117,7 +135,7 @@ def checkpointed_build(
         blob = dg.to_bytes()
         return pd.DataFrame(
             {
-                "split_id": [pdf["__split"].iloc[0]],
+                "split_id": [unquote(pdf["__split"].iloc[0])],
                 "digest": [blob],
                 "n_rows": [int(vals.size)],
                 "digest_sha": [hashlib.sha256(blob).hexdigest()],
@@ -128,6 +146,25 @@ def checkpointed_build(
 
     new_rows = df.groupBy("__split").applyInPandas(build, schema=MANIFEST_SCHEMA)
     new_rows.write.mode("append").parquet(checkpoint_dir)
+
+    # a pending split with ZERO rows never reaches the grouped builder (no
+    # group), so it would stay "pending" forever; record it explicitly with
+    # an empty digest so built_now converges to 0
+    written = {
+        r["split_id"]
+        for r in read_manifest(spark, checkpoint_dir)
+        .select("split_id").distinct().collect()
+    }
+    missing = [f for f in pending if f not in written]
+    if missing:
+        empty_blob = MergingDigest(delta, scale=get_scale(scale)).to_bytes()
+        sha = hashlib.sha256(empty_blob).hexdigest()
+        rows = [
+            (f, empty_blob, 0, sha, float(delta), scale) for f in missing
+        ]
+        spark.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(checkpoint_dir)
     return BuildReport(len(files), len(done), len(pending), [])
 
 
@@ -144,6 +181,7 @@ def final_digest(spark: SparkSession, checkpoint_dir: str) -> MergingDigest:
     rows.sort(key=lambda r: r["split_id"])
     seen: set[str] = set()
     out: MergingDigest | None = None
+    params: tuple[float, str] | None = None
     for r in rows:
         if r["split_id"] in seen:  # duplicate append from a rerun race: skip
             continue
@@ -151,6 +189,15 @@ def final_digest(spark: SparkSession, checkpoint_dir: str) -> MergingDigest:
         blob = bytes(r["digest"])
         if hashlib.sha256(blob).hexdigest() != r["digest_sha"]:
             raise ValueError(f"corrupt checkpoint record for {r['split_id']}")
+        if params is None:
+            params = (float(r["delta"]), str(r["scale"]))
+        elif (float(r["delta"]), str(r["scale"])) != params:
+            # conformality: a resume run with different build parameters
+            # must not silently merge into a digest of the first run's shape
+            raise ValueError(
+                f"non-conformal checkpoint record {r['split_id']}: "
+                f"(delta={r['delta']}, scale={r['scale']}) != {params}"
+            )
         d = MergingDigest.from_bytes(blob)
         if out is None:
             out = MergingDigest(r["delta"], scale=get_scale(r["scale"]))

@@ -125,6 +125,7 @@ def build_partials_grouped(
     by: Sequence[str],
     delta: float = 100.0,
     scale: str = "K_3",
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Map-side-combining stage 1 for GROUPED digests: mapInPandas keeps a
     dict group→digest per input partition and emits one digest row per
@@ -138,12 +139,21 @@ def build_partials_grouped(
 
     Output schema matches `build_partials` (`_SALT` carries the input
     partition id) so `merge_partials` consumes either interchangeably.
+
+    `min_parallelism` (opt-in): repartition iff the input has fewer
+    partitions than this — rescues local runs over few/unsplittable files
+    (single-row-group parquet pins the whole build to one Python worker).
+    At real scale input splits outnumber cores, so leave it None: the plan
+    stays exchange-free.
     """
     keys = list(by)
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     sdf = df.select(
         *[F.col(k) for k in keys], value.cast("double").alias(_VALUE)
-    ).withColumn("__pid", F.spark_partition_id())
+    )
+    if min_parallelism and sdf.rdd.getNumPartitions() < min_parallelism:
+        sdf = sdf.repartition(min_parallelism)
+    sdf = sdf.withColumn("__pid", F.spark_partition_id())
 
     key_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields
@@ -191,14 +201,19 @@ def build_partials_per_partition(
     value_col,
     delta: float = 100.0,
     scale: str = "K_3",
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Shuffle-free stage 1 for ungrouped digests: mapInPandas emits ONE
     digest row per input partition (the 100 TB fast path — the raw data
-    never crosses the network; only ~KB digest rows do)."""
+    never crosses the network; only ~KB digest rows do).
+
+    `min_parallelism`: same opt-in low-partition rescue as
+    `build_partials_grouped` — None keeps the plan exchange-free."""
     value = F.col(value_col) if isinstance(value_col, str) else value_col
-    sdf = df.select(value.cast("double").alias(_VALUE)).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    sdf = df.select(value.cast("double").alias(_VALUE))
+    if min_parallelism and sdf.rdd.getNumPartitions() < min_parallelism:
+        sdf = sdf.repartition(min_parallelism)
+    sdf = sdf.withColumn("__pid", F.spark_partition_id())
 
     def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         d = None

@@ -1353,12 +1353,10 @@ def oracle_sql() -> dict[str, str]:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: per-lang text-length quantiles via salted digest build +
-    canonical merge + SQL-surface quantile UDFs, on sf0.001."""
+    """Flagship: per-lang text-length quantiles via the map-side-combining
+    digest build (zero raw-row shuffle) + canonical merge + quantile UDFs,
+    on sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
     docs = load_table(spark, sf_dir, "documents")
-    partials = digest.build_partials(
-        docs, "n_chars", by=["lang"], delta=100.0, salt=4
-    )
-    merged = digest.merge_partials(partials, by=["lang"])
+    merged = digest.digest_by(docs, "n_chars", by=["lang"], delta=100.0)
     return digest.quantiles_of(merged, (0.5, 0.9, 0.99), by=["lang"])

@@ -109,20 +109,25 @@ def digest_sink(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         import pandas as pd
 
-        pdfs = batch_df.select(
-            F.col(value_col).cast("double").alias("__v")
-        ).toPandas()
-        vals = pdfs["__v"].to_numpy(dtype=np.float64)
-        vals = vals[~np.isnan(vals)]
+        from .operators.digest import _SALT, build_partials_per_partition
+
+        # executor-side partial build (mapInPandas, no shuffle): the driver
+        # only ever merges KB-sized digest rows, never the batch itself —
+        # large triggers stay distributed
+        partials = build_partials_per_partition(
+            batch_df, value_col, delta=delta, scale=scale
+        ).collect()
         d = MergingDigest(delta, scale=get_scale(scale))
-        if vals.size:
-            d.add(vals)
+        n = 0
+        for r in sorted(partials, key=lambda r: r[_SALT]):
+            d.merge(MergingDigest.from_bytes(bytes(r["digest"])))
+            n += int(r["n_rows"])
         blob = d.to_bytes()
         row = pd.DataFrame(
             {
                 "split_id": [f"batch={batch_id:020d}"],
                 "digest": [blob],
-                "n_rows": [int(vals.size)],
+                "n_rows": [n],
                 "digest_sha": [hashlib.sha256(blob).hexdigest()],
                 "delta": [float(delta)],
                 "scale": [scale],

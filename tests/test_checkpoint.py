@@ -109,3 +109,46 @@ def test_corrupt_manifest_detected(spark, dataset, tmp_path):
     bad.write.parquet(ck_bad)
     with pytest.raises(ValueError, match="corrupt"):
         C.final_digest(spark, ck_bad)
+
+
+def test_zero_row_split_converges(spark, tmp_path):
+    """A source file with zero rows still gets a manifest record (empty
+    digest), so a rerun reports built_now == 0 instead of retrying the
+    empty split forever."""
+    src = str(tmp_path / "src0")
+    spark.createDataFrame([(1.0,), (2.0,)], "x double").coalesce(1).write.parquet(src)
+    # add an empty (schema-only) parquet file alongside
+    spark.createDataFrame([], "x double").coalesce(1).write.mode("append").parquet(src)
+    ck = str(tmp_path / "ck0")
+    rep1 = C.checkpointed_build(spark, src, "x", ck)
+    assert rep1.built_now == rep1.total_splits
+    rep2 = C.checkpointed_build(spark, src, "x", ck)
+    assert rep2.built_now == 0 and rep2.completed_before == rep1.total_splits
+    d = C.final_digest(spark, ck)
+    assert d.total_weight == 2
+
+
+def test_non_conformal_resume_rejected(spark, dataset, tmp_path):
+    """Manifest records built at different (delta, scale) must not merge
+    silently."""
+    src, _ = dataset
+    ck = str(tmp_path / "ck_mix")
+    C.checkpointed_build(spark, src, "x", ck, delta=100.0)
+    df = C.read_manifest(spark, ck)
+    # forge one record claiming a different delta
+    forged = df.limit(1).withColumn("delta", F.lit(200.0)).withColumn(
+        "split_id", F.lit("zzz-forged-split")
+    )
+    forged.write.mode("append").parquet(ck)
+    with pytest.raises(ValueError, match="non-conformal"):
+        C.final_digest(spark, ck)
+
+
+def test_unreadable_manifest_propagates(spark, tmp_path):
+    """A manifest path that exists but cannot be read as parquet raises
+    instead of silently rebuilding from scratch."""
+    bad = tmp_path / "ck_garbage"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception):
+        C.read_manifest(spark, str(bad)).collect()
