@@ -56,6 +56,7 @@ class MergingDigest:
         "use_alternating_sort",
         "watermark",
         "is_reversed",
+        "log",
     )
 
     def __init__(
@@ -64,6 +65,7 @@ class MergingDigest:
         scale: ScaleFunction | str = K_3,
         max_pending: float | None = None,
         use_two_level_compression: bool = True,
+        log_data: bool = False,
     ):
         compression = float(compression)
         if compression < 10:
@@ -91,6 +93,11 @@ class MergingDigest:
         self.use_alternating_sort = True
         self.watermark = 0
         self.is_reversed = False
+        # per-centroid sample log (TDigest.jl:68-69): debug feature, one
+        # list of raw samples per centroid, regrouped on every compaction.
+        # None when disabled (the at-scale default — SURVEY §2.1 documents
+        # why a sample log cannot survive 10^12 rows); never serialized.
+        self.log: list[list[float]] | None = [] if log_data else None
 
     # ------------------------------------------------------------------ state
 
@@ -120,6 +127,9 @@ class MergingDigest:
     def _add_chunk(self, vals: np.ndarray) -> None:
         b = vals.size
         self.total_weight += b
+        if self.log is not None:
+            # one singleton log entry per appended sample (TDigest.jl:148-151)
+            self.log.extend([x] for x in vals.tolist())
         if self._n + b > self.max_size:
             # merge on a logically-temporary tail region: append then compact
             # (the preallocated buffer has chunk slack, so this mirrors the
@@ -140,6 +150,11 @@ class MergingDigest:
         b = means.size
         if b == 0:
             return
+        if self.log is not None and len(self.log) != self._n + b:
+            raise ValueError(
+                "weighted centroids carry no sample log — merge() logging "
+                "digests instead of calling add_weighted directly"
+            )
         self.total_weight += float(counts.sum())
         if self._n + b > self._mean.size:
             grow = max(self._mean.size * 2, self._n + b)
@@ -157,6 +172,13 @@ class MergingDigest:
         Digest-digest merges always compact ascending (forced) when the
         combined buffer would exceed max_size — intent of TDigest.jl:197.
         """
+        if self.log is not None:
+            if other.log is None:
+                raise ValueError(
+                    "Can't merge a digest that hasn't logged samples to one "
+                    "that has"  # TDigest.jl:185-187
+                )
+            self.log.extend(list(entry) for entry in other.log)
         self.add_weighted(other.means, other.counts)
         return self
 
@@ -181,6 +203,8 @@ class MergingDigest:
             # flips (TDigest.jl:238-243)
             means[: self.watermark] = means[: self.watermark][::-1]
             counts[: self.watermark] = counts[: self.watermark][::-1]
+            if self.log is not None:
+                self.log[: self.watermark] = self.log[: self.watermark][::-1]
 
         # stable sort; descending = stable ascending sort of negated keys
         if reverse_order:
@@ -189,6 +213,8 @@ class MergingDigest:
             order = np.argsort(means, kind="stable")
         means[:] = means[order]
         counts[:] = counts[order]
+        if self.log is not None:  # permute!(log, order), TDigest.jl:256-258
+            self.log = [self.log[i] for i in order.tolist()]
         self.is_reversed = reverse_order
 
         if not reverse_order and n < compression:
@@ -234,6 +260,14 @@ class MergingDigest:
         out_mean = np.where(singleton, means[b[:-1]], seg_mw / seg_w)
         self._mean[:to] = out_mean
         self._count[:to] = seg_w
+        if self.log is not None:
+            # regroup sample lists along the same cluster boundaries
+            # (append! of member logs, TDigest.jl:303-315)
+            bl = b.tolist()
+            self.log = [
+                [x for member in self.log[s:e] for x in member]
+                for s, e in zip(bl[:-1], bl[1:])
+            ]
         self._n = to
         self.watermark = to
         if not to < compression:
@@ -265,6 +299,12 @@ class MergingDigest:
             raise AssertionError("Digest sketch is oversized")
         if not np.isclose(self.counts.sum(), self.total_weight):
             raise AssertionError("Digest has lost track of size")
+        if self.log is not None:
+            # TDigest.jl:381-383: every ingested sample is logged somewhere
+            if not np.isclose(
+                sum(len(entry) for entry in self.log), self.total_weight
+            ):
+                raise AssertionError("Digest has lost track of logged samples")
         means = self.means[::-1] if self.is_reversed else self.means
         counts = self.counts[::-1] if self.is_reversed else self.counts
         order = np.argsort(means, kind="stable")

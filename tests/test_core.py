@@ -303,3 +303,59 @@ def test_merge_all():
     assert merged.total_weight == 8000
     allv = np.concatenate(allv)
     assert abs(merged.quantile(0.5) - np.quantile(allv, 0.5)) < 0.02
+
+
+class TestLogData:
+    """Per-centroid sample log (TDigest.jl:52-69, 148-151, 256-315):
+    debug feature tracking which raw samples each centroid absorbed."""
+
+    def test_log_partition_of_inputs(self):
+        import numpy as np
+        from tdigest_spark.core import MergingDigest
+
+        rng = np.random.default_rng(11)
+        vals = rng.uniform(0, 100, 5000)
+        d = MergingDigest(100, log_data=True)
+        d.add(vals)
+        d.compress()
+        assert d.check_weights()
+        # the logs partition the input multiset exactly
+        logged = np.sort(np.concatenate([np.asarray(e) for e in d.log]))
+        assert np.array_equal(logged, np.sort(vals))
+        # per-centroid: log size == centroid weight, log mean == centroid mean
+        for mean, cnt, entry in zip(d.means, d.counts, d.log):
+            assert len(entry) == int(cnt)
+            assert abs(np.mean(entry) - mean) < 1e-9
+
+    def test_log_merge(self):
+        import numpy as np
+        from tdigest_spark.core import MergingDigest
+
+        a = MergingDigest(100, log_data=True)
+        b = MergingDigest(100, log_data=True)
+        a.add(np.arange(500.0))
+        b.add(np.arange(500.0, 1000.0))
+        a.merge(b)
+        a.compress()
+        assert a.check_weights()
+        logged = sorted(x for e in a.log for x in e)
+        assert logged == [float(x) for x in range(1000)]
+
+    def test_log_merge_requires_both_logging(self):
+        import numpy as np
+        import pytest
+        from tdigest_spark.core import MergingDigest
+
+        a = MergingDigest(100, log_data=True)
+        b = MergingDigest(100)
+        b.add(np.arange(10.0))
+        with pytest.raises(ValueError, match="logged"):
+            a.merge(b)
+
+    def test_disabled_by_default(self):
+        import numpy as np
+        from tdigest_spark.core import MergingDigest
+
+        d = MergingDigest(100)
+        d.add(np.arange(100.0))
+        assert d.log is None

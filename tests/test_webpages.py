@@ -86,3 +86,73 @@ def test_schema(spark):
         "text": "string",
         "lang": "string",
     }
+
+
+def test_fused_extract_digest_equals_chained(spark, tmp_path):
+    """The fused extract+build stage (one Arrow pass) produces byte-
+    identical digests to the chained generic operators (extract pandas_udf
+    -> length -> grouped map-combine build)."""
+    from pyspark.sql import functions as F
+
+    from tdigest_spark.operators import digest
+    from tdigest_spark.sources.webpages import (
+        extract_digest_partials,
+        extract_text_column,
+        write_webpages,
+    )
+
+    path = str(tmp_path / "wp_fused")
+    write_webpages(spark, 2000, path)
+    df = spark.read.parquet(path)
+
+    fused = digest.merge_partials(
+        extract_digest_partials(df, by=("lang",), delta=5000.0), by=["lang"]
+    )
+    chained_src = extract_text_column(df).select(
+        "lang", F.length("extracted_text").cast("double").alias("text_len")
+    )
+    chained = digest.digest_by(chained_src, "text_len", by=["lang"], delta=5000.0)
+
+    a = {r["lang"]: (bytes(r["digest"]), r["n_rows"]) for r in fused.collect()}
+    b = {r["lang"]: (bytes(r["digest"]), r["n_rows"]) for r in chained.collect()}
+    assert a == b
+
+
+def test_jvm_extraction_byte_identical(spark, tmp_path):
+    """The whole-stage-codegen extraction column equals the Python
+    extract_text byte-for-byte on every row (the per-url invariant)."""
+    from tdigest_spark.sources.webpages import (
+        extract_text,
+        extract_text_jvm,
+        write_webpages,
+    )
+
+    path = str(tmp_path / "wp_jvm")
+    write_webpages(spark, 3000, path)
+    df = spark.read.parquet(path)
+    rows = df.select(
+        "url",
+        "html",
+        extract_text_jvm("html").alias("jvm_text"),
+        extract_text_jvm("html", fixed_suffix=None).alias("jvm_text_generic"),
+    ).collect()
+    assert len(rows) == 3000
+    for r in rows:
+        py_text = extract_text(bytes(r["html"]))
+        assert r["jvm_text"] == py_text, r["url"]           # arithmetic path
+        assert r["jvm_text_generic"] == py_text, r["url"]   # reverse-scan path
+        assert r["jvm_text"].encode("utf-8") == py_text.encode("utf-8")
+
+
+def test_jvm_extraction_is_codegen(spark, tmp_path):
+    from tdigest_spark.plans import explain_str
+    from tdigest_spark.sources.webpages import extract_text_jvm, write_webpages
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "wp_cg")
+    write_webpages(spark, 200, path)
+    df = spark.read.parquet(path)
+    q = df.select("lang", F.length(extract_text_jvm("html")).alias("n"))
+    plan = explain_str(q, "simple")
+    assert "*(1)" in plan  # whole-stage codegen
+    assert "Python" not in plan and "Arrow" not in plan
