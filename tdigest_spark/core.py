@@ -57,6 +57,9 @@ class MergingDigest:
         "watermark",
         "is_reversed",
         "log",
+        "_pending_unit",
+        "_scratch_m",
+        "_scratch_c",
     )
 
     def __init__(
@@ -98,6 +101,12 @@ class MergingDigest:
         # None when disabled (the at-scale default — SURVEY §2.1 documents
         # why a sample log cannot survive 10^12 rows); never serialized.
         self.log: list[list[float]] | None = [] if log_data else None
+        # True while every pending (post-watermark) centroid has unit weight
+        # — the ingest fast path; add_weighted clears it, compaction restores
+        # it.  Scratch buffers for the two-run merge are lazily allocated.
+        self._pending_unit = True
+        self._scratch_m: np.ndarray | None = None
+        self._scratch_c: np.ndarray | None = None
 
     # ------------------------------------------------------------------ state
 
@@ -163,6 +172,7 @@ class MergingDigest:
         self._mean[self._n : self._n + b] = means
         self._count[self._n : self._n + b] = counts
         self._n += b
+        self._pending_unit = False
         if self._n > self.max_size:
             self._compact(force=True, compression=self.private_compression)
 
@@ -206,20 +216,82 @@ class MergingDigest:
             if self.log is not None:
                 self.log[: self.watermark] = self.log[: self.watermark][::-1]
 
-        # stable sort; descending = stable ascending sort of negated keys
-        if reverse_order:
-            order = np.argsort(-means, kind="stable")
+        wm = self.watermark
+        fast = self.log is None and self._pending_unit
+        if fast and wm > 1:
+            # cluster means are weighted averages whose rounding can break
+            # monotonicity by ~1 ulp (visible with heavy duplicates); the
+            # two-run merge needs a truly sorted prefix, so verify (O(wm),
+            # wm <= max_size) and fall back to the full stable sort if not.
+            # The prefix is already reversal-normalized to the TARGET
+            # direction at this point, so test against reverse_order.
+            pfx_chk = self._mean[:wm]
+            if reverse_order:
+                fast = bool(np.all(pfx_chk[1:] <= pfx_chk[:-1]))
+            else:
+                fast = bool(np.all(pfx_chk[1:] >= pfx_chk[:-1]))
+        if fast:
+            # Ingest fast path (the former hot spot): the prefix [0:wm] is
+            # already sorted in the target direction (watermark invariant +
+            # the reversal above) and every pending centroid has unit
+            # weight, so a full stable argsort of the buffer is equivalent
+            # to sort(new values) + one stable two-run merge — ~8x cheaper.
+            # Bit-exactness vs the stable argsort: equal-comparing doubles
+            # are bit-identical (NaN is rejected at add) EXCEPT -0.0/+0.0,
+            # so quicksort is used unless the pending run mixes signed
+            # zeros (then stable sort keeps their original order, which is
+            # observable through order-sensitive cluster sums).
+            key_p = -means[:wm] if reverse_order else means[:wm]
+            raw = means[wm:n]
+            key_s = -raw if reverse_order else raw
+            z = key_s == 0.0
+            if z.any():
+                sb = np.signbit(key_s[z])
+                stable_needed = sb.any() and not sb.all()
+            else:
+                stable_needed = False
+            key_s = np.sort(key_s, kind="stable" if stable_needed else None)
+            if wm == 0:
+                if reverse_order:
+                    np.negative(key_s, out=means)
+                else:
+                    means[:] = key_s
+                counts[:] = 1.0
+            else:
+                ws = n - wm
+                # stable merge: prefix elements precede equal pending ones
+                pos_p = np.arange(wm) + key_s.searchsorted(key_p, "left")
+                pos_s = np.arange(ws) + key_p.searchsorted(key_s, "right")
+                if self._scratch_m is None:
+                    self._scratch_m = np.empty_like(self._mean)
+                    self._scratch_c = np.empty_like(self._count)
+                sm = self._scratch_m[:n]
+                sc = self._scratch_c[:n]
+                sm[pos_p] = key_p
+                sc[pos_p] = counts[:wm]
+                sm[pos_s] = key_s
+                sc[pos_s] = 1.0
+                if reverse_order:
+                    np.negative(sm, out=means)
+                else:
+                    means[:] = sm
+                counts[:] = sc
         else:
-            order = np.argsort(means, kind="stable")
-        means[:] = means[order]
-        counts[:] = counts[order]
-        if self.log is not None:  # permute!(log, order), TDigest.jl:256-258
-            self.log = [self.log[i] for i in order.tolist()]
+            # stable sort; descending = stable ascending sort of negated keys
+            if reverse_order:
+                order = np.argsort(-means, kind="stable")
+            else:
+                order = np.argsort(means, kind="stable")
+            means[:] = means[order]
+            counts[:] = counts[order]
+            if self.log is not None:  # permute!(log, order), TDigest.jl:256-258
+                self.log = [self.log[i] for i in order.tolist()]
         self.is_reversed = reverse_order
 
         if not reverse_order and n < compression:
             # freshly sorted and small: already a trivial t-digest
             self.watermark = n
+            self._pending_unit = True
             return
 
         self.merge_count += 1
@@ -243,8 +315,9 @@ class MergingDigest:
         s = 1
         nm1 = n - 1
         cw_head = cw[:nm1]
+        ss = cw_head.searchsorted  # bound method: skips the ufunc dispatch
         while s < nm1:
-            e = int(np.searchsorted(cw_head, limit_w[s - 1], side="right")) - 1
+            e = int(ss(limit_w[s - 1], "right")) - 1
             if e < s:
                 e = s
             bounds.append(e + 1)
@@ -270,6 +343,7 @@ class MergingDigest:
             ]
         self._n = to
         self.watermark = to
+        self._pending_unit = True
         if not to < compression:
             raise AssertionError(
                 f"Merging was ineffective: {to} clusters at compression {compression}"

@@ -359,3 +359,60 @@ class TestLogData:
         d = MergingDigest(100)
         d.add(np.arange(100.0))
         assert d.log is None
+
+
+class TestFastCompactionPath:
+    """The ingest fast path (sort-pending + stable two-run merge) must be
+    bit-identical to the stable-argsort path (which the log_data=True
+    debug mode still uses) on every input shape, including the 1-ulp
+    non-monotone cluster means produced by duplicate-heavy data and the
+    -0.0/+0.0 stability corner."""
+
+    def _differential(self, vals, delta):
+        import numpy as np
+        from tdigest_spark.core import MergingDigest
+
+        a = MergingDigest(delta)
+        b = MergingDigest(delta, log_data=True)
+        for lo in range(0, vals.size, 33333):
+            a.add(vals[lo:lo + 33333])
+            b.add(vals[lo:lo + 33333])
+        assert a.to_bytes() == b.to_bytes()
+        assert a.to_bytes(small=True) == b.to_bytes(small=True)
+
+    def test_uniform(self):
+        import numpy as np
+        rng = np.random.default_rng(1)
+        self._differential(rng.uniform(0, 1, 150_000), 100.0)
+
+    def test_duplicate_heavy_triggers_ulp_fallback(self):
+        import numpy as np
+        rng = np.random.default_rng(2)
+        for delta in (20.0, 100.0, 500.0):
+            self._differential(rng.integers(0, 50, 150_000).astype(float), delta)
+            self._differential(np.full(60_000, 3.14), delta)
+
+    def test_signed_zero_stability(self):
+        import numpy as np
+        rng = np.random.default_rng(3)
+        vals = np.concatenate([
+            rng.uniform(-1, 1, 80_000),
+            np.full(4000, 0.0), np.full(4000, -0.0),
+            rng.choice([0.0, -0.0], 8000),
+        ])
+        self._differential(vals, 100.0)
+
+    def test_merge_interleaved_with_ingest(self):
+        import numpy as np
+        from tdigest_spark.core import MergingDigest
+        rng = np.random.default_rng(4)
+        a = MergingDigest(100)
+        b = MergingDigest(100, log_data=True)
+        for _ in range(5):
+            part = rng.uniform(0, 1, 30_000)
+            pa = MergingDigest(100); pa.add(part)
+            pb = MergingDigest(100, log_data=True); pb.add(part)
+            a.merge(pa); b.merge(pb)
+            extra = rng.uniform(0, 1, 12_000)
+            a.add(extra); b.add(extra)
+        assert a.to_bytes() == b.to_bytes()
