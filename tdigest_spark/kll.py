@@ -34,7 +34,7 @@ _C = 2.0 / 3.0
 
 
 class KLL:
-    __slots__ = ("k", "n", "levels", "offsets")
+    __slots__ = ("k", "n", "levels", "offsets", "_caps", "_tcap", "_stored")
 
     def __init__(self, k: int = 200):
         if k < 8:
@@ -43,18 +43,26 @@ class KLL:
         self.n = 0
         self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
         self.offsets: list[int] = [0]
+        self._stored = 0
+        self._recaps()
 
     # ------------------------------------------------------------------ sizing
 
     def _cap(self, i: int, height: int) -> int:
         return max(2, int(np.ceil(self.k * _C ** (height - 1 - i))))
 
-    def _total_cap(self) -> int:
+    def _recaps(self) -> None:
+        # capacities depend only on the stack height — cache them (the
+        # per-call ceil/pow was ~40% of single-core ingest cost)
         h = len(self.levels)
-        return sum(self._cap(i, h) for i in range(h))
+        self._caps = [self._cap(i, h) for i in range(h)]
+        self._tcap = sum(self._caps)
+
+    def _total_cap(self) -> int:
+        return self._tcap
 
     def __len__(self) -> int:
-        return sum(len(lv) for lv in self.levels)
+        return self._stored
 
     # ------------------------------------------------------------------ ingest
 
@@ -66,6 +74,7 @@ class KLL:
             raise ValueError("Cannot add NaN to KLL sketch")
         self.levels[0] = np.concatenate([self.levels[0], vals])
         self.n += int(vals.size)
+        self._stored += int(vals.size)
         self._compress()
 
     def merge(self, other: "KLL") -> "KLL":
@@ -74,25 +83,39 @@ class KLL:
         while len(self.levels) < len(other.levels):
             self.levels.append(np.empty(0, dtype=np.float64))
             self.offsets.append(0)
+        self._recaps()
         for i, lv in enumerate(other.levels):
             if lv.size:
                 self.levels[i] = np.concatenate([self.levels[i], lv])
         self.n += other.n
+        self._stored += other._stored
         self._compress()
         return self
 
     def _compress(self) -> None:
-        while len(self) > self._total_cap():
-            h = len(self.levels)
-            for i in range(h):
-                if len(self.levels[i]) >= self._cap(i, h):
+        while self._stored > self._tcap:
+            caps = self._caps
+            for i, lv in enumerate(self.levels):
+                if len(lv) >= caps[i]:
                     self._compact_level(i)
                     break
             else:
                 break
 
     def _compact_level(self, i: int) -> None:
-        lv = np.sort(self.levels[i], kind="stable")
+        x = self.levels[i]
+        # quicksort where bit-exactness permits: equal-comparing doubles
+        # are bit-identical (NaN rejected at add) except -0.0/+0.0, whose
+        # relative order decides which copies get promoted — keep the
+        # stable sort only for levels mixing signed zeros (same discipline
+        # as core.MergingDigest's fast compaction path).
+        z = x == 0.0
+        if z.any():
+            sb = np.signbit(x[z])
+            stable = bool(sb.any() and not sb.all())
+        else:
+            stable = False
+        lv = np.sort(x, kind="stable" if stable else None)
         off = self.offsets[i] & 1
         self.offsets[i] += 1
         # weight conservation: an odd-length level keeps one survivor at
@@ -111,7 +134,10 @@ class KLL:
         if i + 1 == len(self.levels):
             self.levels.append(np.empty(0, dtype=np.float64))
             self.offsets.append(0)
+            self._recaps()
         self.levels[i + 1] = np.concatenate([self.levels[i + 1], promoted])
+        # each compaction drops half the compacted items from storage
+        self._stored -= promoted.size
 
     # ----------------------------------------------------------------- queries
 
@@ -197,6 +223,8 @@ class KLL:
             )
             sk.offsets.append(comp_off)
             off += 8 * ln
+        sk._stored = sum(len(lv) for lv in sk.levels)
+        sk._recaps()
         return sk
 
 
