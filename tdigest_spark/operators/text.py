@@ -202,3 +202,51 @@ def minhash_fingerprint(
         out_col,
         F.array_min(F.transform(shingles_from_tokens(F.col("__mfp_toks"), k), F.md5)),
     ).drop("__mfp_toks")
+
+
+# BPE-style pre-tokenizer pattern (GPT-2 family), constrained to the
+# regex subset Java regex and RE2 (DuckDB) evaluate identically: no
+# lookaheads, Unicode categories only (\p{L}, \p{N}), leftmost-first
+# alternation.  \s differs between the engines only on U+000B — absent
+# from any text corpus this pipeline ingests.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def regex_token_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    pattern: str = BPE_TOKEN_PATTERN,
+) -> DataFrame:
+    """BPE-ish token counting: the GPT-2 pre-tokenizer split as a pure
+    JVM regexp, complementing the whitespace counts of token_stats.
+
+    Appends integer columns (all exactly oracle-expressible):
+    - n_bpe_tokens:    total pre-tokenizer matches (whitespace runs incl.)
+    - n_bpe_words:     matches that are not pure whitespace — the count a
+                       tokenizer's vocabulary would actually see
+    - n_bpe_alpha:     word matches containing a letter
+    - bpe_chars_per_token: length(text) / n_bpe_words (double; NULL when
+                       the text has no word tokens)
+
+    Runs inside whole-stage codegen in the scan stage; no UDF, no shuffle.
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)
+    words = F.filter(toks, lambda t: ~t.rlike(r"^\s+$"))
+    return (
+        df.withColumn("__bpe", toks)
+        .withColumn("__bpe_w", words)
+        .withColumn("n_bpe_tokens", F.size("__bpe").cast("long"))
+        .withColumn("n_bpe_words", F.size("__bpe_w").cast("long"))
+        .withColumn(
+            "n_bpe_alpha",
+            F.size(F.filter("__bpe_w", lambda t: t.rlike(r"\p{L}"))).cast("long"),
+        )
+        .withColumn(
+            "bpe_chars_per_token",
+            F.when(
+                F.col("n_bpe_words") > 0,
+                F.length(text_col).cast("double") / F.col("n_bpe_words"),
+            ),
+        )
+        .drop("__bpe", "__bpe_w")
+    )

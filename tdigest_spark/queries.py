@@ -718,6 +718,44 @@ FROM t
 """
 
 
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish (GPT-2 pre-tokenizer) token counting — the second half of
+    the brief's token-counting pair (whitespace counts: doc_token_stats).
+    Pure JVM regexp in the scan stage; the ratio column is a rational of
+    integers, so it divides identically in DuckDB."""
+    from tdigest_spark.operators.text import regex_token_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return regex_token_stats(docs).select(
+        "doc_id", "n_bpe_tokens", "n_bpe_words", "n_bpe_alpha",
+        "bpe_chars_per_token",
+    )
+
+
+def _sql_bpe_token_stats() -> str:
+    from tdigest_spark.operators.text import BPE_TOKEN_PATTERN
+
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, regexp_extract_all(text, '{pat}') AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id, text, toks,
+         list_filter(toks, tk -> NOT regexp_matches(tk, '^\\s+$')) AS words
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(words) AS BIGINT) AS n_bpe_words,
+       CAST(len(list_filter(words, tk -> regexp_matches(tk, '\\p{{L}}'))) AS BIGINT) AS n_bpe_alpha,
+       CASE WHEN len(words) > 0
+            THEN CAST(length(text) AS DOUBLE) / len(words) END AS bpe_chars_per_token
+FROM w
+"""
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return language_id(docs)
@@ -1297,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_last_by_user": q_events_last_by_user,
         "events_sessions": q_events_sessions,
         "doc_token_stats": q_doc_token_stats,
+        "bpe_token_stats": q_bpe_token_stats,
         "language_id": q_language_id,
         "source_set_ops": q_source_set_ops,
         "token_freq_udtf": q_token_freq_udtf,
@@ -1335,6 +1374,7 @@ def oracle_sql() -> dict[str, str]:
         "events_last_by_user": _SQL_EVENTS_LAST_BY_USER,
         "events_sessions": _SQL_EVENTS_SESSIONS,
         "doc_token_stats": _sql_doc_token_stats(),
+        "bpe_token_stats": _sql_bpe_token_stats(),
         "language_id": _sql_language_id(),
         "source_set_ops": _SQL_SOURCE_SET_OPS,
         "token_freq_udtf": _SQL_TOKEN_FREQ_UDTF,

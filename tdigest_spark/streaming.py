@@ -15,9 +15,11 @@ Two composable pieces:
   the stream's running digest is recoverable by merging the manifest
   (tdigest_spark.checkpoint.final_digest-style canonical order).
 
-Watermark/window variants compose from built-ins: group by
-`F.window(ts, ...)` + keys before streaming_digest_by and the state
-machinery is identical (the window struct is just part of the key).
+- windowed_digest_by: event-time tumbling/sliding windows with a
+  watermark — late rows are dropped by Spark before they reach the
+  operator, and GroupStateTimeout.EventTimeTimeout evicts a window's
+  state (emitting a final closed=true row) once the watermark passes its
+  end, so state stays bounded on unbounded streams.
 """
 
 from __future__ import annotations
@@ -90,6 +92,148 @@ def streaming_digest_by(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def windowed_digest_by(
+    sdf: DataFrame,
+    ts_col: str,
+    value_col: str,
+    by: Sequence[str] = (),
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    delta: float = 100.0,
+    scale: str = "K_3",
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Event-time windowed digests with watermark-driven late-data
+    handling and state eviction — the "windowed agg for late data" shape
+    of the north rule, as a custom stateful operator.
+
+    Semantics:
+    - every event lands in its tumbling window (or each overlapping
+      sliding window when `slide` < `window`), computed as plain
+      timestamp arithmetic so the state key stays (window_start, by...)
+      — no struct keys;
+    - `withWatermark(ts, watermark)` makes Spark drop rows arriving
+      later than the watermark BEFORE they reach the operator, so a
+      closed window's digest never silently changes;
+    - state eviction uses GroupStateTimeout.EventTimeTimeout: once the
+      watermark passes a window's end, the state times out and a FINAL
+      row is emitted with closed=true, then the state is removed (bounded
+      state under unbounded windows);
+    - per trigger, updated (still-open) windows emit closed=false rows
+      with the current digest + quantiles; output mode "update".
+
+    The digest state is the serialized sketch itself, exactly like
+    streaming_digest_by; window membership is the only addition.
+    """
+    keys = list(by)
+    win_sec = _interval_seconds(window)
+    slide_sec = _interval_seconds(slide) if slide else win_sec
+    if win_sec % slide_sec != 0:
+        raise ValueError("window must be a multiple of slide")
+
+    key_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in sdf.schema.fields
+        if f.name in keys
+    )
+    q_fields = ", ".join(f"q{int(q * 1000):03d} double" for q in qs)
+    out_schema = ", ".join(
+        x
+        for x in (
+            "window_start long, window_end long",
+            key_fields,
+            _STATE_SCHEMA,
+            q_fields,
+            "closed boolean",
+        )
+        if x
+    )
+
+    ts_long = F.unix_timestamp(F.col(ts_col))
+    # every window with start in (ts - window, ts] on the slide grid;
+    # window starts travel as epoch-second longs (plain group keys — no
+    # struct keys, no timezone round-trips through the Arrow boundary)
+    n_windows = win_sec // slide_sec
+    starts = F.sequence(
+        (F.floor(ts_long / slide_sec) - (n_windows - 1)) * slide_sec,
+        F.floor(ts_long / slide_sec) * slide_sec,
+        F.lit(slide_sec),
+    )
+    proj = (
+        sdf.withWatermark(ts_col, watermark)
+        .select(
+            F.col(ts_col),
+            *keys,
+            F.col(value_col).cast("double").alias("__v"),
+            F.explode(starts).alias("window_start"),
+        )
+        .filter(F.col("window_start") >= 0)
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        win_start = int(key[0])
+        if state.hasTimedOut:
+            (blob, n) = state.get
+            d = MergingDigest.from_bytes(bytes(blob))
+            state.remove()
+            yield _window_row(win_start, win_sec, keys, key, d, n, qs, True)
+            return
+        if state.exists:
+            (blob, n) = state.get
+            d = MergingDigest.from_bytes(bytes(blob))
+        else:
+            d, n = MergingDigest(delta, scale=get_scale(scale)), 0
+        for pdf in pdfs:
+            vals = pdf["__v"].to_numpy(dtype=np.float64)
+            vals = vals[~np.isnan(vals)]
+            if vals.size:
+                d.add(vals)
+                n += int(vals.size)
+        state.update((d.to_bytes(), n))
+        # evict when the watermark passes the window end (ms); the timeout
+        # timestamp must exceed the current watermark or Spark rejects it
+        end_ms = (win_start + win_sec) * 1000
+        state.setTimeoutTimestamp(max(end_ms, state.getCurrentWatermarkMs() + 1))
+        yield _window_row(win_start, win_sec, keys, key, d, n, qs, False)
+
+    return proj.groupBy("window_start", *keys).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _interval_seconds(interval: str) -> int:
+    qty, unit = interval.split()
+    mult = {
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+        "day": 86400, "days": 86400,
+    }[unit]
+    return int(qty) * mult
+
+
+def _window_row(win_start, win_sec, keys, key, d, n, qs, closed):
+    row = {
+        "window_start": [win_start],
+        "window_end": [win_start + win_sec],
+    }
+    for i, k in enumerate(keys):
+        row[k] = [key[i + 1]]
+    row["digest"] = [d.to_bytes()]
+    row["n_rows"] = [n]
+    for q in qs:
+        row[f"q{int(q * 1000):03d}"] = [d.quantile(q)]
+    row["closed"] = [closed]
+    return pd.DataFrame(row)
 
 
 def digest_sink(

@@ -129,3 +129,104 @@ def test_windowed_streaming_digest(spark, tmp_path):
     for r in res:
         d = MergingDigest.from_bytes(bytes(r["digest"]))
         assert d.total_weight == r["n_rows"] > 0
+
+
+def test_windowed_digest_watermark_and_eviction(spark, tmp_path):
+    """Event-time tumbling windows: per-trigger updates, watermark-based
+    late-row drop, EventTimeTimeout eviction emitting closed=true."""
+    import datetime as dt
+
+    src = str(tmp_path / "win_src")
+    ckpt = str(tmp_path / "win_ckpt")
+
+    def write_file(rows):
+        df = spark.createDataFrame(
+            [(dt.datetime.utcfromtimestamp(t), g, float(v)) for t, g, v in rows],
+            "ts timestamp, grp string, x double",
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: two windows [60,120) and [120,180), group g1
+    write_file(
+        [(100, "g1", v) for v in (1.0, 2.0, 3.0, 4.0)]
+        + [(130, "g1", v) for v in (10.0, 20.0)]
+    )
+
+    sdf = spark.readStream.schema("ts timestamp, grp string, x double").parquet(src)
+    out = ST.windowed_digest_by(
+        sdf, "ts", "x", ["grp"], window="60 seconds",
+        watermark="30 seconds", delta=100.0, qs=(0.5,),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_stream")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: event at t=400 advances the watermark to 370 -> both
+        # earlier windows pass their ends and time out on the next batch
+        write_file([(400, "g1", 100.0)])
+        q.processAllAvailable()
+        # batch 3: a LATE row for the closed [60,120) window (t=110 < wm)
+        # must be dropped before the operator; also triggers the timeouts
+        write_file([(110, "g1", 999.0)])
+        q.processAllAvailable()
+        write_file([(410, "g1", 101.0)])   # one more batch to flush timeouts
+        q.processAllAvailable()
+        rows = spark.sql("select * from win_stream").collect()
+    finally:
+        q.stop()
+
+    closed = {r["window_start"]: r for r in rows if r["closed"]}
+    assert 60 in closed and 120 in closed, sorted(
+        (r["window_start"], r["closed"]) for r in rows
+    )
+    # closed [60,120): the 4 on-time values only — the late 999.0 excluded
+    r60 = closed[60]
+    assert r60["window_end"] == 120 and r60["n_rows"] == 4
+    d = MergingDigest.from_bytes(bytes(r60["digest"]))
+    assert d.total_weight == 4
+    assert r60["q500"] == pytest.approx(2.5, abs=1.0)
+    # closed [120,180): the two mid values
+    assert closed[120]["n_rows"] == 2
+    # no update row for window 60 ever contains the late value
+    for r in rows:
+        if r["window_start"] == 60:
+            assert r["n_rows"] <= 4
+    # the open [360,420) window has per-trigger update rows, never closed
+    open_rows = [r for r in rows if r["window_start"] == 360]
+    assert open_rows and all(not r["closed"] for r in open_rows)
+
+
+def test_windowed_digest_sliding_membership(spark, tmp_path):
+    """Sliding windows: an event lands in window/slide overlapping panes."""
+    import datetime as dt
+
+    src = str(tmp_path / "slide_src")
+    df = spark.createDataFrame(
+        [(dt.datetime.utcfromtimestamp(125), "g", 5.0)],
+        "ts timestamp, grp string, x double",
+    )
+    df.coalesce(1).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema("ts timestamp, grp string, x double").parquet(src)
+    out = ST.windowed_digest_by(
+        sdf, "ts", "x", ["grp"], window="60 seconds", slide="30 seconds",
+        watermark="10 seconds", qs=(0.5,),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("slide_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "slide_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from slide_stream").collect()
+    # t=125 belongs to [90,150) and [120,180)
+    assert sorted(r["window_start"] for r in rows) == [90, 120]
+    for r in rows:
+        assert r["n_rows"] == 1 and r["q500"] == 5.0
