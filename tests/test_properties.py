@@ -104,3 +104,31 @@ def test_serde_roundtrip_stable(vals):
     assert d2.to_bytes() == b1
     for q in (0.0, 0.3, 0.9, 1.0):
         assert d2.quantile(q) == d.quantile(q)
+
+
+# values designed to stress the fast compaction path: duplicates, signed
+# zeros, infinities, tiny/huge magnitudes
+_stress = st.one_of(
+    st.floats(allow_nan=False, allow_infinity=True, width=64),
+    st.sampled_from([0.0, -0.0, 1.0, -1.0, float("inf"), float("-inf"), 3.14]),
+    st.integers(min_value=-5, max_value=5).map(float),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    vals=st.lists(_stress, min_size=2, max_size=3000),
+    delta=st.sampled_from([10.0, 37.0, 100.0]),
+    chunk=st.sampled_from([7, 100, 997]),
+)
+def test_fast_compaction_bit_equals_stable(vals, delta, chunk):
+    """Property form of TestFastCompactionPath: the sort-pending+merge
+    fast path is byte-identical to the stable-argsort path (log_data=True
+    forces it) for arbitrary float streams and chunkings."""
+    a = MergingDigest(delta)
+    b = MergingDigest(delta, log_data=True)
+    arr = np.asarray(vals, dtype=np.float64)
+    for lo in range(0, arr.size, chunk):
+        a.add(arr[lo : lo + chunk])
+        b.add(arr[lo : lo + chunk])
+    assert a.to_bytes() == b.to_bytes()
