@@ -72,6 +72,35 @@ def exact_dedup(
     )
 
 
+def _bounded_buckets(
+    keyed: DataFrame, key_cols: Sequence[str], id_col: str, max_bucket: int
+) -> DataFrame:
+    """Bucket id lists with the size guard applied BEFORE materialization.
+
+    Filtering on size(collect_list(...)) would still build the full list
+    for a template cluster inside one reducer first — at 100 TB a hot
+    bucket (boilerplate band, constant SimHash chunk) holds 10^7+ ids and
+    that single array is an executor OOM.  Instead: count per key
+    (partial-aggregating, bytes per distinct key), keep keys with
+    2..max_bucket members, co-partitioned left-semi join back, THEN
+    collect.  The id stream still shuffles once; the count pass shuffles
+    only per-partition key partials.
+
+    Returns one row per surviving bucket: (sorted id array `__ids`).
+    """
+    kc = [F.col(c) for c in key_cols]
+    sizes = keyed.groupBy(*kc).agg(F.count("*").alias("__n"))
+    ok = sizes.filter(
+        (F.col("__n") >= 2) & (F.col("__n") <= max_bucket)
+    ).select(*key_cols)
+    return (
+        keyed.join(ok, list(key_cols), "left_semi")
+        .groupBy(*kc)
+        .agg(F.array_sort(F.collect_list(id_col)).alias("__ids"))
+        .select("__ids")
+    )
+
+
 # ------------------------------------------------------------------- minhash
 
 
@@ -168,19 +197,15 @@ def lsh_candidate_pairs(
     band bucket.  Buckets larger than `max_bucket` are dropped from
     pairwise expansion (template clusters — quadratic blowup guard).
 
-    Plan shape: ONE shuffle — groupBy(band, key) collects the bucket's id
-    list, then all unordered pairs are expanded JVM-side with nested array
-    transforms (no self-join, no window, no cached intermediate).  The
-    shuffle carries (band, key, id) rows — bytes per doc per band."""
+    Plan shape: the (band, key, id) stream shuffles once into
+    size-guarded buckets (_bounded_buckets: oversized template clusters
+    are excluded BEFORE any id list materializes), then all unordered
+    pairs are expanded JVM-side with nested array transforms (no
+    self-join, no window, no cached intermediate)."""
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
     keys = lsh_band_keys(sigs, id_col, bands, rows_per_band)
-    buckets = (
-        keys.groupBy("band", "band_key")
-        .agg(F.collect_list(id_col).alias("__ids"))
-        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket))
-        .select(F.array_sort("__ids").alias("__ids"))
-    )
+    buckets = _bounded_buckets(keys, ("band", "band_key"), id_col, max_bucket)
     pairs = F.flatten(
         F.transform(
             "__ids",
@@ -325,11 +350,11 @@ def simhash_near_pairs(
     a larger radius would silently miss pairs differing in all chunks, so
     it is rejected.
 
-    Plan shape mirrors `lsh_candidate_pairs`: ONE shuffle groups ids by
-    chunk value, pairs expand JVM-side from each bucket's sorted id list,
-    and buckets larger than `max_bucket` are dropped (hot-chunk quadratic
-    guard: near-dup-heavy or short-doc corpora concentrate on few chunk
-    values; such template clusters are handled separately, not pairwise).
+    Plan shape mirrors `lsh_candidate_pairs`: the (chunk, id) stream
+    shuffles into size-guarded buckets (_bounded_buckets — oversized
+    chunks dropped before their id list materializes; hot-chunk quadratic
+    guard for near-dup-heavy or short-doc corpora), pairs expand JVM-side
+    from each bucket's sorted id list.
     Signatures re-attach to the surviving pairs via two KB-per-row joins,
     so the chunk shuffle carries only (chunk, id) rows."""
     if max_hamming > 3:
@@ -349,12 +374,7 @@ def simhash_near_pairs(
             ])
         ).alias("chunk"),
     )
-    buckets = (
-        chunks.groupBy("chunk")
-        .agg(F.collect_list(id_col).alias("__ids"))
-        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket))
-        .select(F.array_sort("__ids").alias("__ids"))
-    )
+    buckets = _bounded_buckets(chunks, ("chunk",), id_col, max_bucket)
     pairs = F.flatten(
         F.transform(
             "__ids",
