@@ -137,18 +137,56 @@ def main() -> None:
     ap.add_argument("--levels", default="4,16")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--lens", default=LENS)
+    ap.add_argument(
+        "--interleave", type=int, default=0,
+        help="R > 0: measure the two levels in R adjacent lo/hi rounds "
+        "(fresh JVMs per round) instead of two sequential phases — the "
+        "shared-virtio host drifts on the minutes scale, and adjacent "
+        "pairs cancel that drift; reports per-round and pooled-best "
+        "efficiency",
+    )
     args = ap.parse_args()
 
     files = glob.glob(os.path.join(args.lens, "*.parquet"))
     if not files:
         raise SystemExit(f"no lens table at {args.lens}; run bench_scaling.py once")
 
+    levels = sorted(int(c) for c in args.levels.split(","))
+    if args.interleave:
+        lo, hi = levels
+        rounds = []
+        for r in range(args.interleave):
+            rl = run_level(lo, files, 1)
+            rh = run_level(hi, files, 1)
+            eff_r = (rh["rows_per_sec"] / rl["rows_per_sec"]) / (hi / lo)
+            rounds.append({"round": r, "lo": rl, "hi": rh, "eff": round(eff_r, 3)})
+            print(json.dumps(rounds[-1]), flush=True)
+        best_lo = max(r["lo"]["rows_per_sec"] for r in rounds)
+        best_hi = max(r["hi"]["rows_per_sec"] for r in rounds)
+        effs = sorted(r["eff"] for r in rounds)
+        pooled = (best_hi / best_lo) / (hi / lo)
+        med = effs[len(effs) // 2] if len(effs) % 2 else (
+            (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
+        )
+        print(json.dumps({
+            "metric": "executor_scaling_efficiency",
+            "mode": "interleaved", "rounds": args.interleave,
+            "low_executors": lo, "high_executors": hi,
+            "rows": rounds[0]["lo"]["rows"],
+            "rows_per_sec": {str(lo): best_lo, str(hi): best_hi},
+            "per_round_efficiency": [r["eff"] for r in rounds],
+            "median_efficiency": round(med, 3),
+            "efficiency": round(pooled, 3),
+            "target": 0.8, "pass": pooled >= 0.8,
+        }))
+        return
+
     results = {}
-    for n in (int(c) for c in args.levels.split(",")):
+    for n in levels:
         results[n] = run_level(n, files, args.runs)
         print(json.dumps(results[n]), flush=True)
 
-    lo, hi = sorted(results)
+    lo, hi = levels
     eff = (results[hi]["rows_per_sec"] / results[lo]["rows_per_sec"]) / (hi / lo)
     print(json.dumps({
         "metric": "executor_scaling_efficiency",
