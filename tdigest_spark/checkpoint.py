@@ -91,6 +91,73 @@ def read_manifest(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
         raise
 
 
+def _split_build_frame(
+    spark: SparkSession,
+    pending: list[str],
+    value_col: str,
+    delta: float,
+    scale: str,
+) -> DataFrame:
+    """One manifest row per pending split, built map-side: scan ->
+    mapInPandas keeping one digest per __split seen in the partition.
+    With whole-file partitions (caller raises maxPartitionBytes past the
+    largest file) every split completes inside one partition, so the
+    plan contains NO Exchange before the write — zero raw-row shuffle
+    (plan-asserted in tests/test_checkpoint.py)."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    d_scale = scale
+    df = spark.read.parquet(*pending).select(
+        F.col(value_col).cast("double").alias("__v"),
+        F.input_file_name().alias("__split"),
+    )
+
+    def build_splits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from urllib.parse import unquote
+
+        digs: dict[str, MergingDigest] = {}
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            col = pdf["__v"].to_numpy(dtype=np.float64)
+            for split, idx in pdf.groupby("__split", sort=False).indices.items():
+                vals = col[idx]
+                vals = vals[~np.isnan(vals)]
+                dg = digs.get(split)
+                if dg is None:
+                    dg = digs[split] = MergingDigest(delta, scale=get_scale(d_scale))
+                    counts[split] = 0
+                if vals.size:
+                    dg.add(vals)
+                    counts[split] += int(vals.size)
+        if digs:
+            rows = []
+            for split, dg in digs.items():
+                blob = dg.to_bytes()
+                rows.append(
+                    (
+                        unquote(split),
+                        blob,
+                        counts[split],
+                        hashlib.sha256(blob).hexdigest(),
+                        float(delta),
+                        d_scale,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "split_id", "digest", "n_rows",
+                    "digest_sha", "delta", "scale",
+                ],
+            )
+
+    return df.mapInPandas(build_splits, schema=MANIFEST_SCHEMA)
+
+
 def checkpointed_build(
     spark: SparkSession,
     input_path: str,
@@ -114,38 +181,39 @@ def checkpointed_build(
     if not pending:
         return BuildReport(len(files), len(done), 0, [])
 
-    df = spark.read.parquet(*pending).select(
-        F.col(value_col).cast("double").alias("__v"),
-        F.input_file_name().alias("__split"),
-    )
+    # Whole-file tasks: raise maxPartitionBytes past the largest pending
+    # file so Spark's partition packing never splits a file — every
+    # split's digest then completes inside the partition that scanned it
+    # and NO raw row ever shuffles (the previous shape shuffled the whole
+    # input by __split; at corpus scale that is a full-data shuffle).
+    # Byte-determinism of resume is preserved: a split's digest is a
+    # function of its own rows in file order, independent of which other
+    # files share the partition or which run built it.  Trade-off: one
+    # very large file = one long task (IO granularity, not memory — the
+    # digest streams over Arrow batches in O(delta) space).
+    def _local_size(p: str) -> int:
+        from urllib.parse import urlparse
 
-    import numpy as np
-    import pandas as pd
+        u = urlparse(p)
+        if u.scheme not in ("", "file"):
+            return -1
+        try:
+            return os.path.getsize(u.path or p)
+        except OSError:
+            return -1
 
-    d_scale = scale
-
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        from urllib.parse import unquote
-
-        dg = MergingDigest(delta, scale=get_scale(d_scale))
-        vals = pdf["__v"].to_numpy(dtype=np.float64)
-        vals = vals[~np.isnan(vals)]
-        if vals.size:
-            dg.add(vals)
-        blob = dg.to_bytes()
-        return pd.DataFrame(
-            {
-                "split_id": [unquote(pdf["__split"].iloc[0])],
-                "digest": [blob],
-                "n_rows": [int(vals.size)],
-                "digest_sha": [hashlib.sha256(blob).hexdigest()],
-                "delta": [float(delta)],
-                "scale": [d_scale],
-            }
-        )
-
-    new_rows = df.groupBy("__split").applyInPandas(build, schema=MANIFEST_SCHEMA)
-    new_rows.write.mode("append").parquet(checkpoint_dir)
+    sizes = [_local_size(f) for f in pending]
+    if sizes and all(s >= 0 for s in sizes):
+        bound = max(max(sizes) + (4 << 20), 128 << 20)
+    else:
+        bound = 8 << 30  # non-local fs: generous whole-file bound
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(bound))
+    try:
+        new_rows = _split_build_frame(spark, pending, value_col, delta, scale)
+        new_rows.write.mode("append").parquet(checkpoint_dir)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
 
     # a pending split with ZERO rows never reaches the grouped builder (no
     # group), so it would stay "pending" forever; record it explicitly with

@@ -152,3 +152,25 @@ def test_unreadable_manifest_propagates(spark, tmp_path):
     (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
     with pytest.raises(Exception):
         C.read_manifest(spark, str(bad)).collect()
+
+
+def test_split_build_plan_has_no_exchange(spark, tmp_path):
+    """The per-split checkpoint build must not shuffle raw rows: scan ->
+    mapInPandas -> (manifest rows).  The previous groupBy(__split) shape
+    shuffled the entire input."""
+    import pyspark.sql.functions as F
+
+    from tdigest_spark import checkpoint as C
+    from tdigest_spark.plans import explain_str
+
+    src = str(tmp_path / "split_src")
+    spark.range(0, 10_000, 1, 4).select(
+        (F.col("id") % 97).cast("double").alias("v")
+    ).write.parquet(src)
+    files = C._list_input_files(spark, src)
+    frame = C._split_build_frame(spark, files, "v", 100.0, "K_3")
+    plan = explain_str(frame, "simple")
+    assert "Exchange" not in plan, plan
+    rows = frame.collect()
+    assert sum(r["n_rows"] for r in rows) == 10_000
+    assert {r["split_id"] for r in rows} == set(files)
