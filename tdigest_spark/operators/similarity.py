@@ -209,6 +209,90 @@ def ivf_train(
     )
 
 
+def ivf_refine(
+    emb: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    iters: int = 1,
+) -> DataFrame:
+    """Distributed Lloyd refinement of IVF centroids over the FULL corpus.
+
+    `ivf_train` fits a bounded driver-side sample; this polishes those
+    centroids against every vector without ever collecting them: each
+    iteration is one mapInPandas pass emitting per-(partition, cell)
+    partial sums — (cell, sum vector, count), KBs per partition — merged
+    driver-side into new means.  No shuffle, no raw-row collect; cost is
+    `iters` scans.
+
+    Assignment uses cosine (argmax dot/|v||c|), the same metric
+    `ivf_assign`/`ivf_topk` use at query time, so refinement optimizes
+    the quantizer actually deployed (spherical k-means; the unnormalized
+    member mean assigns identically to the normalized one because a
+    centroid's scale cancels in its own cosine).  Empty cells keep their
+    previous centroid.  Returns the same (centroid_id, centroid) schema
+    as ivf_train.
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    spark = emb.sparkSession
+    rows = sorted(
+        ((int(r["centroid_id"]), np.asarray(r["centroid"], dtype=np.float64))
+         for r in centroids.collect()),
+        key=lambda t: t[0],
+    )
+    cids = [t[0] for t in rows]
+    C = np.vstack([t[1] for t in rows])
+    src = emb.select(vec_col)
+
+    for _ in range(max(0, iters)):
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        bc = spark.sparkContext.broadcast(Cn)
+        n_cells, dim = C.shape
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cn = bc.value
+            sums = np.zeros((n_cells, dim))
+            counts = np.zeros(n_cells, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.vstack(pdf.iloc[:, 0].to_numpy())
+                nv = np.linalg.norm(X, axis=1, keepdims=True)
+                nv[nv == 0] = 1.0
+                cells = ((X / nv) @ cn.T).argmax(axis=1)
+                np.add.at(sums, cells, X)
+                np.add.at(counts, cells, 1)
+            hit = counts > 0
+            if hit.any():
+                idx = np.nonzero(hit)[0]
+                yield pd.DataFrame(
+                    {
+                        "cell": idx.astype("int32"),
+                        "vsum": [sums[i].tolist() for i in idx],
+                        "n": counts[idx],
+                    }
+                )
+
+        agg = src.mapInPandas(
+            partials, schema="cell int, vsum array<double>, n long"
+        ).collect()
+        bc.unpersist()
+        tot = np.zeros_like(C)
+        cnt = np.zeros(n_cells, dtype=np.int64)
+        for r in agg:
+            tot[r["cell"]] += np.asarray(r["vsum"])
+            cnt[r["cell"]] += r["n"]
+        upd = cnt > 0
+        C = np.where(upd[:, None], tot / np.maximum(cnt, 1)[:, None], C)
+
+    return spark.createDataFrame(
+        [(cids[i], [float(x) for x in C[i]]) for i in range(len(cids))],
+        "centroid_id int, centroid array<double>",
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -134,3 +134,56 @@ def test_lsh_topk_requires_dim(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="dim"):
         S.lsh_cosine_topk(emb, emb, k=1)
+
+
+def test_ivf_refine_improves_quantizer(spark):
+    """Distributed Lloyd refinement over the full corpus must tighten the
+    coarse quantizer trained on a tiny bounded sample, and its plan must
+    move only per-cell partials (no shuffle of vectors)."""
+    import numpy as np
+    from tdigest_spark.operators.similarity import (
+        ivf_assign, ivf_refine, ivf_train,
+    )
+
+    rng = np.random.default_rng(5)
+    true_means = rng.normal(0, 1, (4, 8)) * 5
+    rows = []
+    for i in range(2000):
+        c = i % 4
+        v = true_means[c] + rng.normal(0, 0.4, 8)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # deliberately poor init: sample cap of 8 vectors total
+    init = ivf_train(emb, n_cells=4, max_sample_per_cell=2, seed=1)
+    refined = ivf_refine(emb, init, iters=3)
+
+    def quantizer_cost(cents):
+        # mean best-cosine over the corpus (higher = tighter quantizer)
+        a = ivf_assign(emb, cents)
+        from tdigest_spark.operators.dedup import dot_col
+        from tdigest_spark.operators.similarity import norm_col
+        from pyspark.sql import functions as F
+        scored = a.join(
+            cents.select(
+                F.col("centroid_id").alias("ivf_cell"),
+                F.col("centroid").alias("cv"),
+            ),
+            "ivf_cell",
+        ).select(
+            (dot_col("embedding", "cv")
+             / (norm_col(F.col("embedding")) * norm_col(F.col("cv")))
+             ).alias("cos")
+        )
+        return scored.agg(F.avg("cos")).first()[0]
+
+    c0 = quantizer_cost(init)
+    c1 = quantizer_cost(refined)
+    assert c1 >= c0 - 1e-9, (c0, c1)
+    assert c1 > 0.9  # tight clusters: refined quantizer must fit well
+
+    # refined centroids sit near the true cluster means (up to permutation)
+    C = np.vstack([np.asarray(r["centroid"]) for r in refined.collect()])
+    for tm in true_means:
+        d = np.linalg.norm(C - tm, axis=1).min()
+        assert d < 0.5, d
