@@ -202,8 +202,18 @@ def lsh_candidate_pairs(
     are excluded BEFORE any id list materializes), then all unordered
     pairs are expanded JVM-side with nested array transforms (no
     self-join, no window, no cached intermediate)."""
+    from pyspark import StorageLevel
+
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    # The plan references sigs from every band branch AND from both
+    # _bounded_buckets passes; Spark does NOT reliably reuse the aggregate
+    # exchange across union branches (measured: 8 independent FileScans —
+    # the full shingle+md5 pipeline executed 8x per call).  Persisting
+    # makes the signature pass run exactly once: the cache's per-partition
+    # locking dedupes computation even within a single action.  The entry
+    # is session-LRU-managed (MEMORY_AND_DISK) and ~100 B/doc.
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     keys = lsh_band_keys(sigs, id_col, bands, rows_per_band)
     buckets = _bounded_buckets(keys, ("band", "band_key"), id_col, max_bucket)
     pairs = F.flatten(
@@ -243,6 +253,11 @@ def jaccard_pairs(
     non-candidate docs twice)."""
     from pyspark import StorageLevel
 
+    # `pairs` is referenced three times (two id projections + the final
+    # join); if it arrives unpersisted its whole upstream pipeline (e.g.
+    # LSH candidates) would re-execute per reference — persist the tiny
+    # pair list instead.
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionAll(pairs.select(F.col("id_b").alias(id_col)))
