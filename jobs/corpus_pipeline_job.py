@@ -35,6 +35,15 @@ def main() -> None:
     ap.add_argument("--min-tokens", type=int, default=20)
     ap.add_argument("--min-stopword-ratio", type=float, default=0.05)
     ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument("--verify", choices=("exact", "estimate"), default="exact",
+                    help="candidate verification: 'exact' re-joins shingle "
+                         "sets (bit-exact Jaccard; fine at normal dup "
+                         "density), 'estimate' uses MinHash lane agreement "
+                         "(constant bytes/pair; required for template-heavy "
+                         "corpora where the shingle join explodes)")
+    ap.add_argument("--n-hashes", type=int, default=8,
+                    help="MinHash lanes (also the --verify estimate "
+                         "granularity: thresholds round to 1/n_hashes)")
     ap.add_argument("--max-bucket", type=int, default=200,
                     help="LSH buckets above this are template clusters: "
                          "skipped pairwise, collapsed via exact dedup only")
@@ -91,23 +100,46 @@ def main() -> None:
         StorageLevel.MEMORY_AND_DISK
     )
     report["n_exact_unique"] = uniq.count()
+    kept.unpersist()  # uniq is materialized; drop the pre-dedup blocks
 
-    from tdigest_spark.operators.dedup import jaccard_pairs, lsh_candidate_pairs
-
-    cands = lsh_candidate_pairs(uniq, "text", "doc_id", max_bucket=args.max_bucket)
-    # verified pairs are tiny; materialize them so cluster resolution's
-    # iterations never re-run the jaccard join
-    pairs = (
-        jaccard_pairs(uniq, cands, "text", "doc_id")
-        .filter(F.col("jaccard") >= args.jaccard)
-        .select("id_a", "id_b")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    from tdigest_spark.operators.dedup import (
+        estimated_jaccard_pairs,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
     )
+
+    sigs = minhash_signatures(uniq, "text", "doc_id", n_hashes=args.n_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cands = lsh_candidate_pairs(
+        uniq, "text", "doc_id", n_hashes=args.n_hashes,
+        max_bucket=args.max_bucket, sigs=sigs,
+    )
+    if args.verify == "estimate":
+        verified = estimated_jaccard_pairs(sigs, cands, "doc_id").filter(
+            F.col("jaccard_est") >= args.jaccard
+        )
+    else:
+        verified = jaccard_pairs(uniq, cands, "text", "doc_id").filter(
+            F.col("jaccard") >= args.jaccard
+        )
+    # verified pairs are tiny; materialize them so cluster resolution's
+    # iterations never re-run the verification join
+    pairs = verified.select("id_a", "id_b").persist(StorageLevel.MEMORY_AND_DISK)
     report["n_near_dup_pairs"] = pairs.count()
+    # pairs is materialized — release the dedup operators' internal caches
+    # (signatures, shingle sets) so their disk blocks don't outlive stage 3
+    from tdigest_spark.operators.dedup import release_cached
+
+    release_cached()
+    sigs.unpersist()
     curated = apply_dedup(uniq, pairs, "doc_id").persist(
         StorageLevel.MEMORY_AND_DISK
     )
     report["n_curated"] = curated.count()
+    uniq.unpersist()
+    pairs.unpersist()
 
     # 4. profile the curated corpus
     d = digest.digest_by(

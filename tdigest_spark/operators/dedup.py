@@ -33,6 +33,30 @@ from pyspark.sql import DataFrame, functions as F
 
 from .text import shingles_from_tokens, tokens_col
 
+# Internal persist() handles created by the operators below.  A library
+# function returning a lazy DataFrame cannot know when its cached
+# intermediates become dead, and disk-persisted blocks are NOT LRU-evicted
+# — without an explicit unpersist they hold local disk until the session
+# stops (a multi-stage job can accumulate tens of GB of dead blocks).
+# Long-running jobs call release_cached() at stage boundaries, once the
+# downstream result is materialized or itself persisted.
+_CACHED: list[DataFrame] = []
+
+
+def _track(df: DataFrame) -> DataFrame:
+    _CACHED.append(df)
+    return df
+
+
+def release_cached() -> None:
+    """Unpersist every intermediate cached by the dedup operators.
+
+    Safe whenever downstream results are materialized (or persisted in
+    their own right): a frame that is still referenced merely recomputes
+    on its next action instead of erroring."""
+    while _CACHED:
+        _CACHED.pop().unpersist()
+
 
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Repartition iff the input has fewer partitions than the cluster has
@@ -192,6 +216,7 @@ def lsh_candidate_pairs(
     shingle_k: int = 3,
     bands: int = 4,
     max_bucket: int = 1000,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: distinct (id_a < id_b) sharing any LSH
     band bucket.  Buckets larger than `max_bucket` are dropped from
@@ -201,19 +226,24 @@ def lsh_candidate_pairs(
     size-guarded buckets (_bounded_buckets: oversized template clusters
     are excluded BEFORE any id list materializes), then all unordered
     pairs are expanded JVM-side with nested array transforms (no
-    self-join, no window, no cached intermediate)."""
+    self-join, no window, no cached intermediate).
+
+    Pass `sigs` (an already-persisted `minhash_signatures` frame with
+    matching `n_hashes`) to reuse one signature pass across candidate
+    generation AND `estimated_jaccard_pairs` verification."""
     from pyspark import StorageLevel
 
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
-    # The plan references sigs from every band branch AND from both
-    # _bounded_buckets passes; Spark does NOT reliably reuse the aggregate
-    # exchange across union branches (measured: 8 independent FileScans —
-    # the full shingle+md5 pipeline executed 8x per call).  Persisting
-    # makes the signature pass run exactly once: the cache's per-partition
-    # locking dedupes computation even within a single action.  The entry
-    # is session-LRU-managed (MEMORY_AND_DISK) and ~100 B/doc.
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    if sigs is None:
+        sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+        # The plan references sigs from every band branch AND from both
+        # _bounded_buckets passes; Spark does NOT reliably reuse the aggregate
+        # exchange across union branches (measured: 8 independent FileScans —
+        # the full shingle+md5 pipeline executed 8x per call).  Persisting
+        # makes the signature pass run exactly once: the cache's per-partition
+        # locking dedupes computation even within a single action.  The entry
+        # is session-LRU-managed (MEMORY_AND_DISK) and ~100 B/doc.
+        sigs = _track(sigs.persist(StorageLevel.MEMORY_AND_DISK))
     keys = lsh_band_keys(sigs, id_col, bands, rows_per_band)
     buckets = _bounded_buckets(keys, ("band", "band_key"), id_col, max_bucket)
     pairs = F.flatten(
@@ -257,7 +287,7 @@ def jaccard_pairs(
     # join); if it arrives unpersisted its whole upstream pipeline (e.g.
     # LSH candidates) would re-execute per reference — persist the tiny
     # pair list instead.
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = _track(pairs.persist(StorageLevel.MEMORY_AND_DISK))
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionAll(pairs.select(F.col("id_b").alias(id_col)))
@@ -272,6 +302,7 @@ def jaccard_pairs(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _track(sets)
     sets.count()  # single materialization before the two-sided join
     return (
         pairs.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -283,6 +314,46 @@ def jaccard_pairs(
                 F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
                 / F.size(F.array_union("sh_a", "sh_b"))
             ).alias("jaccard"),
+        )
+    )
+
+
+def estimated_jaccard_pairs(
+    sigs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-estimated Jaccard for candidate pairs: the fraction of
+    signature lanes on which the two docs agree (the standard unbiased
+    MinHash estimator, stderr ~ sqrt(J(1-J)/n_hashes)).
+
+    This is the 100 TB verification path for template-heavy corpora:
+    `jaccard_pairs` re-joins full shingle arrays (10s of KB per doc) to
+    every candidate pair, so a corpus whose documents overlap heavily —
+    boilerplate, mirrored sites, shared templates — turns verification
+    into a shuffle of |pairs| x 2 x |shingles| strings (measured: >70 GB
+    of spill on a 4M-doc near-dup-dense corpus before filling the disk).
+    Signature verification joins the ~100 B/doc minhash arrays already
+    computed for LSH instead: per-pair cost is constant, no document text
+    or shingle is ever re-read, and the whole comparison is JVM-side
+    array algebra.
+
+    Returns (id_a, id_b, jaccard_est).  Estimator granularity is
+    1/n_hashes — thresholding at t keeps pairs with >= ceil(t*n) agreeing
+    lanes; raise n_hashes (e.g. 16) when finer resolution is needed.
+    """
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash_sig").alias("__sa"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash_sig").alias("__sb"))
+    agree = F.size(
+        F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda m: m)
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (agree.cast("double") / F.size("__sa")).alias("jaccard_est"),
         )
     )
 
@@ -301,9 +372,11 @@ def ngram_jaccard_dedup(
     Returns (id_a, id_b, jaccard)."""
     from pyspark import StorageLevel
 
-    cands = lsh_candidate_pairs(
-        df, text_col, id_col, n_hashes, shingle_k, bands, max_bucket
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = _track(
+        lsh_candidate_pairs(
+            df, text_col, id_col, n_hashes, shingle_k, bands, max_bucket
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cands.count()
     scored = jaccard_pairs(df, cands, text_col, id_col, shingle_k)
     return scored.filter(F.col("jaccard") >= threshold)
@@ -379,7 +452,7 @@ def simhash_near_pairs(
         )
     from pyspark import StorageLevel
 
-    sh = simhash64(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _track(simhash64(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK))
     chunks = sh.select(
         F.col(id_col),
         F.explode(

@@ -90,6 +90,42 @@ def test_ngram_jaccard_dedup_pipeline(corpus):
     assert sum((i, 1000 + i) in got for i in range(10)) >= 8
 
 
+def test_estimated_jaccard_pairs(spark, corpus):
+    # exact dups must estimate 1.0 (identical signatures); the estimate
+    # must equal the hand-computed lane-agreement fraction for all pairs
+    sigs = D.minhash_signatures(corpus, n_hashes=8)
+    pairs = spark.createDataFrame(
+        [(i, 2000 + i) for i in range(10, 15)] + [(0, 1000 + 0), (0, 7)],
+        "id_a long, id_b long",
+    )
+    est = {(r["id_a"], r["id_b"]): r["jaccard_est"]
+           for r in D.estimated_jaccard_pairs(sigs, pairs).collect()}
+    assert len(est) == 7
+    for i in range(10, 15):
+        assert est[(i, 2000 + i)] == 1.0
+    sig_map = {r["doc_id"]: r["minhash_sig"] for r in sigs.collect()}
+    for (a, b), v in est.items():
+        expect = sum(x == y for x, y in zip(sig_map[a], sig_map[b])) / 8.0
+        assert v == expect
+    # a twin (37/40 shared words) should look similar, an unrelated
+    # random pair should not
+    assert est[(0, 1000)] >= 0.5
+    assert est[(0, 7)] <= 0.25
+
+
+def test_release_cached_unpersists_intermediates(corpus):
+    # the pipeline persists internal intermediates (signatures, shingle
+    # sets, candidate pairs); release_cached must drop every one so a
+    # long-running job's disk-persisted blocks don't accumulate
+    out = D.ngram_jaccard_dedup(corpus, threshold=0.8)
+    out.count()
+    assert D._CACHED, "pipeline should have tracked persisted intermediates"
+    tracked = list(D._CACHED)
+    D.release_cached()
+    assert not D._CACHED
+    assert all(not t.storageLevel.useMemory and not t.storageLevel.useDisk for t in tracked)
+
+
 def test_simhash_properties(corpus):
     sh = {r["doc_id"]: r["simhash"] for r in D.simhash64(corpus).collect()}
     assert all(len(v) == 16 for v in sh.values())
