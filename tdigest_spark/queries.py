@@ -30,7 +30,9 @@ from .histogram import LogHistogram
 from .operators import digest, histogram_ops
 from .operators.dedup import (
     embedding_near_dup,
+    estimated_jaccard_pairs,
     exact_dedup,
+    lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_dedup,
     simhash64,
@@ -949,6 +951,58 @@ WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
 """
 
 
+def q_lsh_est_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path verification: LSH candidates verified by MinHash lane
+    agreement (estimated_jaccard_pairs) instead of the exact shingle
+    join.  jaccard_est = agreeing_lanes / 8 is a ratio of small ints —
+    bit-exact in any IEEE engine."""
+    from pyspark import StorageLevel
+
+    corpus = _docs_with_twins(load_table(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(corpus, "text", "doc_id", MINHASH_K, SHINGLE_K).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cands = lsh_candidate_pairs(
+        corpus, "text", "doc_id", MINHASH_K, SHINGLE_K, LSH_BANDS,
+        LSH_MAX_BUCKET, sigs=sigs,
+    )
+    return estimated_jaccard_pairs(sigs, cands, "doc_id").filter(
+        F.col("jaccard_est") >= 0.5
+    )
+
+
+def _sql_lsh_est_jaccard_pairs() -> str:
+    base = _sql_minhash(f"({_SQL_DOCS_WITH_TWINS})")
+    band_sel = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, band_{b} AS band_key FROM sigs"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH sigs AS ({base}),
+bands AS (
+  {band_sel}
+),
+qual AS (
+  SELECT band, band_key FROM bands GROUP BY band, band_key
+  HAVING count(*) BETWEEN 2 AND {LSH_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM qual JOIN bands a USING (band, band_key)
+            JOIN bands b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id
+),
+lanes AS (SELECT doc_id, string_split(minhash_sig, ',') AS lv FROM sigs)
+SELECT id_a, id_b,
+       CAST(len(list_filter([la.lv[i] = lb.lv[i] FOR i IN range(1, {MINHASH_K + 1})],
+                            x -> x)) AS DOUBLE) / {MINHASH_K} AS jaccard_est
+FROM cand JOIN lanes la ON cand.id_a = la.doc_id
+          JOIN lanes lb ON cand.id_b = lb.doc_id
+WHERE CAST(len(list_filter([la.lv[i] = lb.lv[i] FOR i IN range(1, {MINHASH_K + 1})],
+                           x -> x)) AS DOUBLE) / {MINHASH_K} >= 0.5
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash64(docs, "text", "doc_id")
@@ -1342,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
+        "lsh_est_jaccard_pairs": q_lsh_est_jaccard_pairs,
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
         "bloom_membership": q_bloom_membership,
@@ -1381,6 +1436,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_signatures": _sql_minhash(),
         "lsh_near_dup_pairs": _sql_lsh_near_dup_pairs(),
+        "lsh_est_jaccard_pairs": _sql_lsh_est_jaccard_pairs(),
         "simhash": _sql_simhash(),
         "simhash_near_pairs": _sql_simhash_near_pairs(),
         "bloom_membership": _sql_bloom_membership(),
