@@ -136,6 +136,14 @@ def main() -> None:
         lambda: Q.q_lsh_near_dup_pairs(spark, SF_DIR).collect(),
     )
 
+    # 5b. same candidates, signature-estimated verification — the 100 TB
+    #     path for template-heavy corpora (constant bytes/pair; see
+    #     BENCH/BASELINE.md 4M-doc section)
+    bench(
+        "minhash_lsh_dedup_est",
+        lambda: Q.q_lsh_est_jaccard_pairs(spark, SF_DIR).collect(),
+    )
+
     # 6. SimHash signatures (explode + 64-way conditional agg)
     bench("simhash", lambda: simhash64(docs, "text", "doc_id").collect())
 
