@@ -93,6 +93,32 @@ def test_merge_shuffles_digest_rows_only(lineitem):
     assert "l_extendedprice" in explain_str(merged).split("ReadSchema")[1][:200]
 
 
+def test_estimated_jaccard_verification_reads_no_text(docs):
+    """The scale-path verification joins only signature rows: the plan
+    must contain no shingle/token machinery (no array_intersect, no
+    tokenization transform) and must not read the text column."""
+    from tdigest_spark.operators.dedup import (
+        estimated_jaccard_pairs,
+        minhash_signatures,
+        release_cached,
+    )
+
+    sigs = minhash_signatures(docs, "text", "doc_id").persist()
+    pairs = docs.sparkSession.createDataFrame(
+        [(0, 1), (1, 2)], "id_a long, id_b long"
+    )
+    est = estimated_jaccard_pairs(sigs, pairs, "doc_id")
+    plan = explain_str(est)
+    assert "zip_with" in plan
+    assert "array_intersect" not in plan
+    # sigs is persisted: verification reads the InMemoryRelation, and
+    # nothing downstream of it touches text or shingles
+    down = plan.split("InMemoryRelation")[0]
+    assert "split(text" not in down and "array_intersect" not in down
+    sigs.unpersist()
+    release_cached()
+
+
 def test_broadcast_join_used(spark):
     orders = spark.read.parquet(f"{SF}/orders.parquet")
     cust = spark.read.parquet(f"{SF}/customer.parquet")
