@@ -2,7 +2,7 @@
 
     zip -r tdigest_spark.zip tdigest_spark
     spark-submit --py-files tdigest_spark.zip jobs/corpus_pipeline_job.py \
-        --input /data/webpages --output /data/curated --checkpoint /data/ck
+        --input /data/webpages --output /data/curated
 
 Stages (each a library operator; all narrow or KB-shuffle):
   1. extract_text(html)      — Arrow-batched byte-exact extraction

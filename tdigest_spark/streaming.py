@@ -20,6 +20,10 @@ Two composable pieces:
   operator, and GroupStateTimeout.EventTimeTimeout evicts a window's
   state (emitting a final closed=true row) once the watermark passes its
   end, so state stays bounded on unbounded streams.
+
+- streaming_exact_dedup: the batch `dedup.exact_dedup` semantics on an
+  unbounded stream — emit only the first occurrence of each content
+  hash, with watermark-bounded state.
 """
 
 from __future__ import annotations
@@ -286,6 +290,36 @@ def digest_sink(
         )
 
     return sdf.writeStream.foreachBatch(write_batch)
+
+
+def streaming_exact_dedup(
+    sdf: DataFrame,
+    content_cols: Sequence[str] = ("text",),
+    event_time_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: emit only the first occurrence of each
+    content hash (the batch `dedup.exact_dedup` keep-one semantics on an
+    unbounded stream).
+
+    With `event_time_col`, state is watermark-bounded:
+    `dropDuplicatesWithinWatermark` keeps a hash in the state store only
+    until the watermark passes its event time plus the delay, so
+    unbounded streams run in bounded memory (duplicates farther apart
+    than the watermark may re-emit — the streaming-at-scale trade; a
+    periodic batch `exact_dedup` over the sink closes that gap exactly).
+    Without an event-time column, `dropDuplicates` state grows with the
+    number of distinct hashes — acceptable for bounded backfills only.
+
+    The hash is the same md5-of-content as `dedup.exact_dedup`, so
+    stream + batch passes agree on what counts as a duplicate.
+    """
+    h = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]))
+    out = sdf.withColumn("content_hash", h)
+    if event_time_col is not None:
+        out = out.withWatermark(event_time_col, watermark)
+        return out.dropDuplicatesWithinWatermark(["content_hash"])
+    return out.dropDuplicates(["content_hash"])
 
 
 def merge_stream_manifest(spark, manifest_dir: str) -> MergingDigest:

@@ -91,6 +91,72 @@ def test_digest_sink_foreach_batch(spark, stream_env, tmp_path):
         assert abs(rank - q_) < 0.05
 
 
+def test_streaming_exact_dedup(spark, tmp_path):
+    """First occurrence of each content hash is emitted exactly once
+    across triggers; in-watermark duplicates are suppressed."""
+    import datetime as dt
+
+    src = str(tmp_path / "dedup_src")
+
+    def write_file(rows):
+        spark.createDataFrame(
+            [(dt.datetime.utcfromtimestamp(t), i, s) for t, i, s in rows],
+            "ts timestamp, doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: three distinct docs, one in-batch duplicate of doc 0
+    write_file([(100, 0, "alpha"), (101, 1, "beta"), (102, 2, "gamma"),
+                (103, 3, "alpha")])
+
+    sdf = spark.readStream.schema("ts timestamp, doc_id long, text string").parquet(src)
+    out = ST.streaming_exact_dedup(sdf, ("text",), event_time_col="ts",
+                                   watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: cross-trigger duplicate of "beta" (within watermark,
+        # must be suppressed) + one new doc
+        write_file([(200, 4, "beta"), (201, 5, "delta")])
+        q.processAllAvailable()
+        rows = spark.sql("select * from dedup_stream").collect()
+    finally:
+        q.stop()
+
+    emitted = sorted((r["doc_id"], r["text"]) for r in rows)
+    assert emitted == [(0, "alpha"), (1, "beta"), (2, "gamma"), (5, "delta")]
+    # hash column matches the batch exact_dedup convention
+    import hashlib
+
+    for r in rows:
+        assert r["content_hash"] == hashlib.md5(r["text"].encode()).hexdigest()
+
+
+def test_streaming_exact_dedup_unbounded_state(spark, tmp_path):
+    """Without an event-time column the operator is plain dropDuplicates
+    (bounded backfills): duplicates are suppressed globally."""
+    src = str(tmp_path / "dedup_src2")
+    spark.createDataFrame(
+        [(0, "x"), (1, "x"), (2, "y")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+    sdf = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = ST.streaming_exact_dedup(sdf, ("text",))
+    q = (
+        out.writeStream.format("memory").queryName("dedup_stream2")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd2_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select text, count(*) as n from dedup_stream2 group by text").collect()
+    assert sorted((r["text"], r["n"]) for r in rows) == [("x", 1), ("y", 1)]
+
+
 def test_windowed_streaming_digest(spark, tmp_path):
     """Event-time windowed digests: group key = (window, grp) through the
     same stateful operator — the watermark+window rollup shape."""
