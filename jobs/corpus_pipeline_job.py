@@ -73,6 +73,14 @@ def main() -> None:
     from tdigest_spark.sources.webpages import extract_text_column
 
     report: dict = {}
+    import time as _time
+    _t0 = _time.perf_counter()
+    _last = [_t0]
+
+    def _mark(stage: str) -> None:
+        now = _time.perf_counter()
+        report[f"sec_{stage}"] = round(now - _last[0], 1)
+        _last[0] = now
 
     # 1-2. extract + quality gates
     raw = spark.read.parquet(args.input)
@@ -92,6 +100,7 @@ def main() -> None:
     ).persist(StorageLevel.MEMORY_AND_DISK)
     report["n_input"] = raw.count()
     report["n_quality"] = kept.count()
+    _mark("extract_quality")
 
     # 3. dedup: exact first (cheap), then near-dup on the survivors
     exact = exact_dedup(kept, ("text",), "doc_id")
@@ -100,6 +109,7 @@ def main() -> None:
         StorageLevel.MEMORY_AND_DISK
     )
     report["n_exact_unique"] = uniq.count()
+    _mark("exact_dedup")
     kept.unpersist()  # uniq is materialized; drop the pre-dedup blocks
 
     from tdigest_spark.operators.dedup import (
@@ -128,6 +138,7 @@ def main() -> None:
     # iterations never re-run the verification join
     pairs = verified.select("id_a", "id_b").persist(StorageLevel.MEMORY_AND_DISK)
     report["n_near_dup_pairs"] = pairs.count()
+    _mark("lsh_verify")
     # pairs is materialized — release the dedup operators' internal caches
     # (signatures, shingle sets) so their disk blocks don't outlive stage 3
     from tdigest_spark.operators.dedup import release_cached
@@ -138,6 +149,7 @@ def main() -> None:
         StorageLevel.MEMORY_AND_DISK
     )
     report["n_curated"] = curated.count()
+    _mark("cluster_resolve")
     uniq.unpersist()
     pairs.unpersist()
 
@@ -156,11 +168,14 @@ def main() -> None:
     kll = kll_by(curated, F.col("n_tokens").cast("double"), by=(), k=200)
     qudf = kll_quantile_udf()
     report["token_p99"] = kll.select(qudf(F.col("kll"), F.lit(0.99))).collect()[0][0]
+    _mark("profile")
 
     # 5. write curated output
     curated.select("url", "lang", "text").write.mode("overwrite").partitionBy(
         "lang"
     ).parquet(args.output)
+    _mark("write")
+    report["sec_total"] = round(_time.perf_counter() - _t0, 1)
     report["output"] = args.output
     print(json.dumps(report))
     spark.stop()

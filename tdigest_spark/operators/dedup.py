@@ -552,59 +552,93 @@ def embedding_near_dup(
 def resolve_dup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
-    max_iters: int = 10,
+    max_iters: int = 50,
 ) -> DataFrame:
     """Resolve near-dup pairs into clusters: connected components by
-    min-label propagation over the pair graph.
+    alternating large-star / small-star rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", 2014).
 
     Returns (id_col, cluster_id) for every id that appears in a pair,
-    cluster_id = minimum id in its component.  Dedup graphs are
-    star/clique-shaped (diameter 2-3), so propagation converges in a few
-    KB-sized-join rounds; `max_iters` bounds pathological chains (a giant
-    chain component converges to per-node labels within max_iters hops —
-    still a valid clustering, just possibly split).
+    cluster_id = minimum id in its component.
 
-    Iteration discipline: every round's frame is localCheckpoint()ed.
-    Each round references the previous labels twice (union + change
-    check), so carrying lineage would DOUBLE the logical plan per round —
-    2^rounds copies of the upstream dedup pipeline is a guaranteed
-    driver OOM in Catalyst long before any executor touches data.
+    Why star rounds and not plain min-label propagation: propagation
+    needs O(diameter) rounds, and real dup graphs are not always
+    star-shaped — a corpus of overlapping/boilerplate documents chains
+    A~B~C~... for thousands of hops, which propagation under any sane
+    round cap silently splits into multiple clusters.  The star
+    algorithm doubles label-reach per round (O(log^2 n) rounds
+    worst-case, O(log n) in practice) regardless of diameter:
+
+    - large-star (per node u over ALL neighbors): point every neighbor
+      larger than u at m = min(neighbors + u)
+    - small-star (per node u over neighbors <= u): point them and u
+      itself at m
+
+    Both phases are a partial-aggregating groupBy(min) plus an
+    equi-join — no collect_list, no per-node arrays, so a high-degree
+    hub never materializes its neighborhood in one task (AQE handles
+    the join skew toward component minima).
+
+    Iteration discipline: every round's edge set is localCheckpoint()ed.
+    Each round references the previous edges twice (two phases + the
+    convergence check), so carrying lineage would double the logical
+    plan per round — 2^rounds copies of the upstream dedup pipeline is
+    a driver OOM in Catalyst long before any executor touches data.
     Checkpointing cuts the plan to the materialized partitions; at 10^12
     docs the frame holds only *duplicated* ids, a small fraction of the
     corpus.
     """
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
-    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
     for _ in range(max_iters):
-        neigh = (
-            edges.join(labels, edges.dst == labels.id)
-            .select(F.col("src").alias("id"), F.col("label"))
-        )
-        new_labels = (
-            labels.unionAll(neigh)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
+        # --- large-star: over the symmetric edge list, for each u emit
+        # (v, m(u)) for neighbors v > u, where m(u) = min(N(u) + {u})
+        sym = _sym(edges)
+        mins = sym.groupBy("u").agg(F.min("v").alias("__mn"))
+        mins = mins.select("u", F.least("__mn", F.col("u")).alias("m"))
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+        # --- small-star: orient each edge large->small, group by the
+        # large end u (neighbors all < u), point them and u at the min
+        dirs = _sym(large).filter(F.col("v") < F.col("u"))
+        mins_s = dirs.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            dirs.join(mins_s, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(mins_s.select(F.col("u"), F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        labels = new_labels
-        if changed == 0:
+        converged = (
+            small.exceptAll(edges).count() == 0
+            and edges.exceptAll(small).count() == 0
+        )
+        edges = small
+        if converged:
             break
+    # at convergence the edge set is a star forest (child -> component
+    # min); centers label themselves
+    labels = (
+        edges.select(F.col("u").alias("id"), F.col("v").alias("label"))
+        .unionAll(edges.select(F.col("v").alias("id"), F.col("v").alias("label")))
+        .groupBy("id")
+        .agg(F.min("label").alias("label"))
+    )
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 

@@ -191,6 +191,43 @@ def test_resolve_dup_clusters_and_apply(spark):
     assert kept == [1, 5, 10, 20, 99]
 
 
+def test_resolve_dup_clusters_long_chain(spark):
+    """A 300-hop chain must resolve to ONE component: star rounds double
+    label reach per round (O(log n)), where plain min-label propagation
+    under a 10-round cap would silently split the chain."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in D.resolve_dup_clusters(pairs).collect()}
+    assert len(got) == 301
+    assert set(got.values()) == {0}
+
+
+def test_resolve_dup_clusters_random_vs_union_find(spark):
+    """Randomized graphs: cluster labels must equal a driver-side
+    union-find's component minima exactly."""
+    rng = np.random.default_rng(17)
+    n, m = 200, 150
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, (m, 2)) if a != b]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for e in edges for x in e}
+    expect = {x: find(x) for x in touched}
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in D.resolve_dup_clusters(pairs).collect()}
+    assert got == expect
+
+
 def test_full_dedup_pipeline_end_to_end(spark, corpus):
     """LSH near-dups -> clusters -> deduped corpus drops the twins and
     exact copies but keeps every distinct base doc."""
