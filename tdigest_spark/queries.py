@@ -215,6 +215,64 @@ FROM g CROSS JOIN qs
 """
 
 
+def q_tdigest_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch re-aggregation — the mergeability selling point, end-to-end.
+
+    Per-(event_type, day) digests are built ONCE from raw events; the
+    per-type level is then derived purely by merging those KB-sized day
+    digests (`merge_partials` with the day ordinal as the canonical merge
+    salt) — raw rows are never rescanned.  At 100 TB this is the rollup
+    pattern: materialize fine-grained digests, answer every coarser grain
+    by digest merge.  Both grains stay in the singleton-exact regime
+    (type groups ~2020 rows < EVENTS_DELTA), so both levels hash-match
+    the exact rank oracle."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.col("ts"))
+    )
+    # persist: both output grains re-read this KB-sized digest table, and
+    # without it each union branch would rebuild the digests from raw rows
+    fine = digest.digest_by(
+        ev, "value", by=["event_type", "day"], delta=EVENTS_DELTA
+    ).persist()
+    # day digests become canonical-ordered partials of the type digest
+    partials = fine.withColumn(
+        digest._SALT, F.datediff(F.col("day"), F.lit("1970-01-01")).cast("int")
+    )
+    coarse = digest.merge_partials(partials, by=["event_type"])
+    day_rows = digest.quantiles_of(fine, EVENT_QS, by=["event_type", "day"]).select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.col("q").cast("double").alias("q"),
+        "quantile",
+    )
+    type_rows = digest.quantiles_of(coarse, EVENT_QS, by=["event_type"]).select(
+        "event_type",
+        F.lit("ALL").alias("day"),
+        F.col("q").cast("double").alias("q"),
+        "quantile",
+    )
+    return day_rows.unionByName(type_rows)
+
+
+_SQL_ROLLUP_EVENTS = f"""
+WITH g AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         list_sort(list(CAST(value AS DOUBLE))) AS xs, count(*) AS n
+  FROM events GROUP BY 1, 2
+), gt AS (
+  SELECT event_type, list_sort(list(CAST(value AS DOUBLE))) AS xs, count(*) AS n
+  FROM events GROUP BY 1
+), qs(q) AS (VALUES {", ".join(f"({q})" for q in EVENT_QS)})
+SELECT event_type, CAST(day AS VARCHAR) AS day, CAST(q AS DOUBLE) AS q,
+       xs[LEAST(CAST(floor(CAST(q AS DOUBLE) * n) AS BIGINT) + 1, n)] AS quantile
+FROM g CROSS JOIN qs
+UNION ALL
+SELECT event_type, 'ALL' AS day, CAST(q AS DOUBLE) AS q,
+       xs[LEAST(CAST(floor(CAST(q AS DOUBLE) * n) AS BIGINT) + 1, n)] AS quantile
+FROM gt CROSS JOIN qs
+"""
+
+
 def q_tdigest_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The registered-SQL surface end-to-end: build digests, register the
     UDFs, query through spark.sql text."""
@@ -716,6 +774,62 @@ SELECT doc_id,
        CAST(len(list_filter(toks, tk -> list_contains({sw}, tk))) AS BIGINT) AS n_stopwords,
        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
        CAST(list_max(list_transform(toks, tk -> length(tk))) AS BIGINT) AS max_token_len
+FROM t
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality gating signals per document.  The ratios
+    are single IEEE divisions of identical integers on both engines, so
+    they hash-match bit-for-bit (module docstring rules)."""
+    from .operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_score(docs).select(
+        "doc_id", "n_tokens", "n_stopwords", "n_chars_text",
+        "stopword_ratio", "alpha_ratio",
+    )
+
+
+def _sql_doc_quality() -> str:
+    sw = _sorted_stopwords_sql()
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), tk -> tk != '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(toks, tk -> list_contains({sw}, tk))) AS BIGINT)
+         AS n_stopwords,
+       CAST(length(text) AS BIGINT) AS n_chars_text,
+       CAST(len(list_filter(toks, tk -> list_contains({sw}, tk))) AS DOUBLE)
+         / len(toks) AS stopword_ratio,
+       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         / length(text) AS alpha_ratio
+FROM t
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive canonical document fingerprint: md5 over the
+    sorted distinct token bag — the cheap canonicalization-level dedup
+    key (brief: 'document fingerprinting').  Pure JVM column algebra;
+    md5 + binary-collation sort agree across engines."""
+    from .operators.text import content_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return content_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+_SQL_DOC_FINGERPRINT = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk != '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
 FROM t
 """
 
@@ -1376,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_stats_by_lang": q_tdigest_stats_by_lang,
         "tdigest_events_by_type": q_tdigest_events_by_type,
         "tdigest_daily_events": q_tdigest_hourly_events,
+        "tdigest_rollup_events": q_tdigest_rollup_events,
         "tdigest_sql_surface": q_tdigest_sql_surface,
         "tdigest_agg_sql": q_tdigest_agg_sql,
         "tdigest_lineitem_global": q_tdigest_lineitem_global,
@@ -1389,6 +1504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_last_by_user": q_events_last_by_user,
         "events_sessions": q_events_sessions,
         "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
+        "doc_fingerprint": q_doc_fingerprint,
         "bpe_token_stats": q_bpe_token_stats,
         "language_id": q_language_id,
         "source_set_ops": q_source_set_ops,
@@ -1416,6 +1533,7 @@ def oracle_sql() -> dict[str, str]:
         "tdigest_stats_by_lang": _SQL_STATS_BY_LANG,
         "tdigest_events_by_type": _SQL_EVENTS_BY_TYPE,
         "tdigest_daily_events": _SQL_HOURLY_EVENTS,
+        "tdigest_rollup_events": _SQL_ROLLUP_EVENTS,
         "tdigest_sql_surface": _SQL_SQL_SURFACE,
         "tdigest_agg_sql": _SQL_AGG_SQL,
         "tdigest_lineitem_global": _SQL_TDIGEST_GLOBAL,
@@ -1429,6 +1547,8 @@ def oracle_sql() -> dict[str, str]:
         "events_last_by_user": _SQL_EVENTS_LAST_BY_USER,
         "events_sessions": _SQL_EVENTS_SESSIONS,
         "doc_token_stats": _sql_doc_token_stats(),
+        "doc_quality": _sql_doc_quality(),
+        "doc_fingerprint": _SQL_DOC_FINGERPRINT,
         "bpe_token_stats": _sql_bpe_token_stats(),
         "language_id": _sql_language_id(),
         "source_set_ops": _SQL_SOURCE_SET_OPS,
