@@ -387,9 +387,10 @@ def ngram_jaccard_dedup(
 
 def _nibble_bit_sums(j: int):
     """Column: sum over tokens of ±1 for bit j of the token's 64-bit md5
-    prefix (bit j lives in hex nibble j//4, position 3 - j%4)."""
-    nib = F.conv(F.substring(F.col("__tok_h"), 1 + j // 4, 1), 16, 10).cast("int")
-    bit = F.shiftright(nib, 3 - j % 4).bitwiseAND(F.lit(1))
+    prefix.  Expects the 16 nibble ints pre-bound as __n0..__n15 (one
+    substring+conv each per row) — referencing the hex string here would
+    re-run substring+conv 4x per nibble (64x per row total)."""
+    bit = F.shiftright(F.col(f"__n{j // 4}"), 3 - j % 4).bitwiseAND(F.lit(1))
     return F.sum(bit * 2 - 1)
 
 
@@ -408,6 +409,17 @@ def simhash64(
     toks = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(tokens_col(text_col)).alias("__tok")
     ).withColumn("__tok_h", F.substring(F.md5("__tok"), 1, 16))
+    # bind the 16 nibble ints once per token row; the 64 bit-sums then do
+    # only shift/and arithmetic (was: substring+conv re-evaluated per bit)
+    toks = toks.select(
+        F.col(id_col),
+        *[
+            F.conv(F.substring("__tok_h", 1 + i, 1), 16, 10)
+            .cast("int")
+            .alias(f"__n{i}")
+            for i in range(16)
+        ],
+    )
 
     sums = toks.groupBy(id_col).agg(
         *[_nibble_bit_sums(j).alias(f"s{j}") for j in range(64)]
