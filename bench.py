@@ -2,8 +2,11 @@
 
 Runs the flagship operators at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS].  Each query is timed end-to-end (plan + execute
-+ collect); `docs_per_sec` reports ingest throughput of the global
-t-digest build+merge over lineitem (the BASELINE.md north metric).
++ collect) twice, rebuilding the DataFrame per trial; the per-query min
+is reported (this host's shared virtio disk swings single readings 2x+),
+with the first-trial sum as `cold_sec`.  `docs_per_sec` reports ingest
+throughput of the global t-digest build+merge over lineitem (the
+BASELINE.md north metric).
 
 Usage: python bench.py            # one JSON line
        python bench.py --verbose  # plus per-query stderr progress
@@ -69,17 +72,32 @@ def main() -> None:
 
     from tdigest_spark.operators.dedup import release_cached
 
+    timings_first: dict[str, float] = {}
+
     def bench(name: str, fn) -> None:
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        log(f"{name}: {timings[name]:.2f}s")
-        # stage boundary: drop operator-internal persisted intermediates.
-        # Leaked cache blocks are NOT free on later queries — measured 2x
-        # slowdown on the queries following the dedup suite (GC + block
-        # manager pressure), exactly what a real job's stage-boundary
-        # release_cached() call prevents.
-        release_cached()
+        # Two trials per query, min reported.  fn() rebuilds the whole
+        # DataFrame each trial (fresh plan objects -> no shuffle-reuse
+        # trap), so trial 2 measures real execution with codegen + page
+        # cache warm.  This box's shared virtio disk swings single
+        # readings by 2x+ (BENCH/BASELINE.md noise-floor section); the
+        # min is the stable, comparable statistic.  The first-trial sum
+        # is still emitted as cold_sec.
+        best = float("inf")
+        for trial in (0, 1):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            if trial == 0:
+                timings_first[name] = round(dt, 3)
+            best = min(best, dt)
+            # stage boundary: drop operator-internal persisted
+            # intermediates.  Leaked cache blocks are NOT free on later
+            # queries — measured 2x slowdown on the queries following the
+            # dedup suite (GC + block-manager pressure), exactly what a
+            # real job's stage-boundary release_cached() call prevents.
+            release_cached()
+        timings[name] = round(best, 3)
+        log(f"{name}: {timings[name]:.2f}s (cold {timings_first[name]:.2f}s)")
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -195,6 +213,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "cold_sec": round(sum(timings_first.values()), 3),
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "rows": {"lineitem": n_li, "documents": n_docs},
         "docs_per_sec": round(n_li / digest_build_sec, 1),
