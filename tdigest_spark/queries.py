@@ -55,6 +55,7 @@ MINHASH_K, SHINGLE_K, LSH_BANDS = 8, 3, 4  # 32-bit lanes, 2 rows/band
 LSH_MAX_BUCKET = 1000  # template-cluster guard, mirrored in the oracle SQL
 SIMHASH_MAX_HAMMING = 3
 BLOOM_M, BLOOM_K = 4096, 5
+KMV_K = 8192  # > distinct users anywhere at sf0.01 -> exact set algebra
 BLOOM_PROBES = (0, 1, 2, 3, 4, 900001, 900002, 900003, 900004, 900005)
 IVF_CENT_MOD = 97  # vec_id % 97 == 1 rows serve as deterministic centroids
 IVF_NPROBE = 2
@@ -557,6 +558,49 @@ SELECT agg.event_type,
                   ELSE {alpha} * {m} * {m} / raw_sum END, 4) AS n_distinct_est,
        ex.n_exact
 FROM agg JOIN ex ON agg.event_type = ex.event_type
+"""
+
+
+def q_theta_users_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta sketch set algebra: per-event-type distinct-user
+    sketches, then pairwise union/intersection distinct-count estimates
+    computed FROM THE SKETCHES ALONE (no raw re-scan).  k=KMV_K exceeds
+    every per-type user cardinality at sf0.01, so the whole algebra runs
+    in the exact regime and hash-matches DuckDB's exact distinct
+    counts; the at-capacity estimator is pytest-bounded instead
+    (tests/test_sketches.py)."""
+    from . import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = SK.kmv_by(ev, "user_id", by=["event_type"], k=KMV_K)
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("kmv").alias("__ka"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("kmv").alias("__kb"))
+    pairs = a.crossJoin(b).filter(F.col("type_a") < F.col("type_b"))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.size("__ka").cast("long").alias("n_a"),
+        F.size("__kb").cast("long").alias("n_b"),
+        F.size(SK.kmv_union_col("__ka", "__kb", KMV_K)).cast("long").alias("n_union"),
+        SK.kmv_intersect_est_col("__ka", "__kb", KMV_K).alias("n_inter"),
+    )
+
+
+_SQL_THETA_USERS_SETOPS = """
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+c AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+i AS (
+  SELECT x.event_type AS ta, y.event_type AS tb, count(*) AS n
+  FROM d x JOIN d y ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY 1, 2
+)
+SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+       CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+       CAST(ca.n + cb.n - COALESCE(i.n, 0) AS BIGINT) AS n_union,
+       CAST(COALESCE(i.n, 0) AS DOUBLE) AS n_inter
+FROM c ca
+JOIN c cb ON ca.event_type < cb.event_type
+LEFT JOIN i ON i.ta = ca.event_type AND i.tb = cb.event_type
 """
 
 
@@ -1498,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_rank_check": q_kll_rank_check,
         "hll_distinct_users": q_hll_distinct_users,
         "countmin_user_freq": q_countmin_user_freq,
+        "theta_users_setops": q_theta_users_setops,
         "loghistogram_events": q_loghistogram_events,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "orders_by_segment": q_orders_by_segment,
@@ -1541,6 +1586,7 @@ def oracle_sql() -> dict[str, str]:
         "kll_rank_check": _SQL_KLL_RANK_CHECK,
         "hll_distinct_users": _sql_hll_distinct_users(),
         "countmin_user_freq": _sql_countmin_user_freq(),
+        "theta_users_setops": _SQL_THETA_USERS_SETOPS,
         "loghistogram_events": _sql_loghistogram_events(),
         "lineitem_pricing_summary": _SQL_PRICING_SUMMARY,
         "orders_by_segment": _SQL_ORDERS_BY_SEGMENT,

@@ -244,3 +244,129 @@ def bloom_contains_col(
     for c in checks[1:]:
         out = out & c
     return out
+
+
+# ------------------------------------------------------------ KMV / theta
+
+
+def kmv_by(
+    df: DataFrame,
+    value_col,
+    by: Sequence[str] = (),
+    k: int = 256,
+    prefilter_hex_zeros: int = 0,
+) -> DataFrame:
+    """Grouped KMV (k-minimum-values / theta) distinct sketch:
+    (by..., kmv array<string>) — the k lexicographically-smallest 15-hex
+    (60-bit) md5 prefixes of the group's DISTINCT values, sorted.
+
+    This is the sketch family that supports SET ALGEBRA: union /
+    intersection distinct-count estimates compose from the sketches alone
+    (kmv_union_col / kmv_intersect_est_col), no raw re-scan.  Estimator
+    (kmv_estimate_col): exact (= stored size) while n_distinct < k;
+    (k-1)/u_k beyond, with u_k the k-th minimum normalized to (0,1) —
+    relative stderr ~ 1/sqrt(k-2)  [Bar-Yossef et al. 2002; Beyer et al.
+    2007 "On synopses for distinct-value estimation under multiset
+    operations"].
+
+    Scale note: collect_set is a partial-aggregating ObjectHashAggregate
+    (map-side combine), but its per-group state is the FULL distinct hash
+    set before the final slice.  For cardinality-explosive groups pass
+    `prefilter_hex_zeros=q` (q > 0): only hashes with q leading hex zeros
+    are retained (theta-sampling at rate 16^-q), bounding state at
+    ~n_distinct/16^q while keeping the construction deterministic and
+    engine-neutral; kmv_estimate_col scales by 16^q.  Choose q so
+    n_distinct/16^q >> k.  Hashes are 15 hex chars so both Spark's
+    conv(...,16,10) and an oracle's ('0x'||h)::BIGINT stay in signed-64
+    range; lexicographic order on fixed-width hex == numeric order.
+    """
+    keys = list(by)
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    h = F.substring(_h128("kmv:", value), 1, 15)
+    hashed = df.select(*keys, h.alias("__h"))
+    if prefilter_hex_zeros > 0:
+        hashed = hashed.filter(
+            F.substring("__h", 1, prefilter_hex_zeros) == "0" * prefilter_hex_zeros
+        )
+    return hashed.groupBy(*keys).agg(
+        F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("kmv")
+    )
+
+
+def kmv_merge(sketches: DataFrame, by: Sequence[str] = (), k: int = 256) -> DataFrame:
+    """Merge KMV sketches: k smallest of the union.  LOSSLESS w.r.t.
+    direct construction (the k minima of a union equal the k minima of
+    the union of per-part k-minima), so merge is associative and
+    bit-identical to a single-pass build — tested."""
+    keys = list(by)
+    grouped = sketches.groupBy(*keys).agg(F.collect_list("kmv").alias("__all"))
+    merged = F.reduce(
+        F.col("__all"),
+        F.element_at("__all", 1),
+        lambda acc, r: F.slice(F.array_sort(F.array_union(acc, r)), 1, k),
+    )
+    return grouped.select(*keys, merged.alias("kmv"))
+
+
+def _hex15_to_unit(h: Column) -> Column:
+    """Map a 15-hex-char hash to (0,1]: (v+1)/16^15 (half-open shift so
+    u_k > 0 always)."""
+    return (_hex_to_long(h) + 1).cast("double") / F.lit(float(16**15))
+
+
+def kmv_estimate_col(
+    kmv: Column | str, k: int = 256, prefilter_hex_zeros: int = 0
+) -> Column:
+    """Distinct-count estimate from a KMV sketch column (double).
+
+    Under capacity: stored-size/theta (exact when q=0), theta = 16^-q.
+    At capacity: (k-1)/u_k with NO theta scaling — the q-zero prefilter
+    keeps exactly the smallest 16^-q slice of hash space, which is where
+    the k global minima live, so the at-capacity sketch (and u_k) is
+    identical to the unfiltered one whenever the sampled set has >= k
+    members."""
+    c = F.col(kmv) if isinstance(kmv, str) else kmv
+    scale = F.lit(float(16**prefilter_hex_zeros))
+    n = F.size(c)
+    u_k = _hex15_to_unit(F.element_at(c, k))
+    return (
+        F.when(n < k, n.cast("double") * scale)
+        .otherwise(F.lit(float(k - 1)) / u_k)
+    )
+
+
+def kmv_union_col(a: Column | str, b: Column | str, k: int = 256) -> Column:
+    """Sketch of the set union: k smallest of the combined minima."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.slice(F.array_sort(F.array_union(ca, cb)), 1, k)
+
+
+def kmv_intersect_est_col(
+    a: Column | str, b: Column | str, k: int = 256, prefilter_hex_zeros: int = 0
+) -> Column:
+    """Intersection distinct-count estimate (double).
+
+    Standard KMV multiset algebra: over the union sketch U (the k
+    smallest combined hashes), count members present in BOTH input
+    sketches, scale by |union| estimate / |U|.  While both inputs are
+    under capacity this degenerates to exact |A ∩ B| (every distinct
+    hash of both sets is present)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    u = kmv_union_col(ca, cb, k)
+    both = F.size(F.array_intersect(ca, cb)).cast("double")
+    # exact regime: union under capacity -> scale factor is 1
+    under = F.size(u) < k
+    scale = F.lit(float(16**prefilter_hex_zeros))
+    u_k = _hex15_to_unit(F.element_at(u, k))
+    est_union = F.lit(float(k - 1)) / u_k
+    # at capacity the intersection count must be taken over U only
+    both_in_u = F.size(
+        F.filter(u, lambda h: F.array_contains(ca, h) & F.array_contains(cb, h))
+    ).cast("double")
+    # at-capacity branch is unscaled for the same reason as
+    # kmv_estimate_col: the prefilter slice contains the global minima
+    return F.when(under, both * scale).otherwise(
+        both_in_u * est_union / F.lit(float(k))
+    )

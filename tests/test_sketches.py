@@ -88,3 +88,89 @@ def test_bloom_merge_union(spark, values):
         SK.bloom_contains_col("bits", F.lit("b-val-5"), 8192, 3).alias("b"),
     ).collect()[0]
     assert out["a"] and out["b"]
+
+
+# ------------------------------------------------------------ KMV / theta
+
+
+def test_kmv_exact_regime(spark, values):
+    """Under capacity (n_distinct < k) the estimate IS the exact distinct
+    count, and set algebra is exact."""
+    sk = SK.kmv_by(values, "v", by=["g"], k=4096)
+    est = {
+        r["g"]: r["est"]
+        for r in sk.select(
+            "g", SK.kmv_estimate_col("kmv", 4096).alias("est")
+        ).collect()
+    }
+    assert est["a"] == 3000.0 and est["b"] == 800.0
+
+
+def test_kmv_estimator_bound(spark):
+    """At capacity, (k-1)/u_k is within ~4/sqrt(k-2) relative error."""
+    n, k = 50_000, 256
+    df = spark.range(n).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+    sk = SK.kmv_by(df, "v", by=(), k=k)
+    est = sk.select(SK.kmv_estimate_col("kmv", k).alias("e")).collect()[0]["e"]
+    assert abs(est - n) / n < 4.0 / (k - 2) ** 0.5
+
+
+def test_kmv_merge_lossless(spark, values):
+    """k minima of union of per-group k-minima == k minima of the whole
+    stream: merged sketch is bit-identical to the direct build."""
+    k = 128
+    grouped = SK.kmv_by(values, "v", by=["g"], k=k)
+    rolled = SK.kmv_merge(grouped, by=(), k=k)
+    direct = SK.kmv_by(values, "v", by=(), k=k)
+    assert rolled.collect()[0]["kmv"] == direct.collect()[0]["kmv"]
+
+
+def test_kmv_set_algebra_exact(spark):
+    """Union/intersection estimates are exact under capacity."""
+    rows = [("x", f"v{i}") for i in range(300)] + [
+        ("y", f"v{i}") for i in range(200, 600)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    sk = SK.kmv_by(df, "v", by=["g"], k=2048)
+    a = sk.filter(F.col("g") == "x").select(F.col("kmv").alias("ka"))
+    b = sk.filter(F.col("g") == "y").select(F.col("kmv").alias("kb"))
+    j = a.crossJoin(b).select(
+        F.size(SK.kmv_union_col("ka", "kb", 2048)).alias("u"),
+        SK.kmv_intersect_est_col("ka", "kb", 2048).alias("i"),
+    )
+    r = j.collect()[0]
+    assert r["u"] == 600  # |x ∪ y| distinct
+    assert r["i"] == 100.0  # |x ∩ y| = {v200..v299}
+
+
+def test_kmv_intersect_estimate_at_capacity(spark):
+    """Beyond capacity the scaled union-membership estimator lands within
+    a loose statistical bound."""
+    n, overlap, k = 20_000, 5_000, 512
+    rows_a = [(f"a{i}",) for i in range(n)]
+    rows_b = [(f"a{i}",) for i in range(n - overlap, n)] + [
+        (f"b{i}",) for i in range(n - overlap)
+    ]
+    dfa = spark.createDataFrame(rows_a, "v string")
+    dfb = spark.createDataFrame(rows_b, "v string")
+    ka = SK.kmv_by(dfa, "v", k=k).select(F.col("kmv").alias("ka"))
+    kb = SK.kmv_by(dfb, "v", k=k).select(F.col("kmv").alias("kb"))
+    est = (
+        ka.crossJoin(kb)
+        .select(SK.kmv_intersect_est_col("ka", "kb", k).alias("i"))
+        .collect()[0]["i"]
+    )
+    assert abs(est - overlap) / overlap < 0.35
+
+
+def test_kmv_prefilter_sampling(spark):
+    """theta-prefilter (q=1): state shrinks ~16x, estimate still lands."""
+    n, k = 100_000, 512
+    df = spark.range(n).select(F.concat(F.lit("p"), F.col("id")).alias("v"))
+    sk = SK.kmv_by(df, "v", k=k, prefilter_hex_zeros=1)
+    r = sk.select(
+        F.size("kmv").alias("sz"),
+        SK.kmv_estimate_col("kmv", k, prefilter_hex_zeros=1).alias("e"),
+    ).collect()[0]
+    assert r["sz"] <= k
+    assert abs(r["e"] - n) / n < 4.0 / (k - 2) ** 0.5
