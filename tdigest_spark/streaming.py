@@ -24,6 +24,11 @@ Two composable pieces:
 - streaming_exact_dedup: the batch `dedup.exact_dedup` semantics on an
   unbounded stream — emit only the first occurrence of each content
   hash, with watermark-bounded state.
+
+- windowed_hll_by: event-time windowed distinct counts — the streaming
+  face of sketches.hll_by.  Hashing stays JVM-side in the pre-state
+  projection; state = the 2^p-byte register blob; update = one
+  vectorized np.maximum.at; eviction identical to windowed_digest_by.
 """
 
 from __future__ import annotations
@@ -335,3 +340,135 @@ def merge_stream_manifest(spark, manifest_dir: str) -> MergingDigest:
     if out is None:
         raise ValueError(f"no batches in {manifest_dir}")
     return out
+
+
+def _hll_estimate_np(regs: "np.ndarray") -> float:
+    """Bias-corrected HLL estimate from a uint8 register array — the
+    NumPy twin of sketches.hll_estimate_col (same constants/branches)."""
+    m = float(regs.size)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m / float(np.sum(np.power(2.0, -regs.astype(np.float64))))
+    zeros = float(np.count_nonzero(regs == 0))
+    if raw <= 2.5 * m and zeros > 0:
+        return m * float(np.log(m / zeros))
+    return raw
+
+
+def windowed_hll_by(
+    sdf: DataFrame,
+    ts_col: str,
+    value_col: str,
+    by: Sequence[str] = (),
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    p: int = 12,
+) -> DataFrame:
+    """Event-time windowed distinct counts (HLL) with watermark-driven
+    state eviction — the streaming face of sketches.hll_by.
+
+    Hashing stays JVM-side: the md5 bucket/rho algebra of the batch
+    operator is projected per row BEFORE the stateful operator, so the
+    Python update is one vectorized np.maximum.at into the 2^p-byte
+    register blob (the state) — no per-row Python, no hashing in Python,
+    and the state is identical to the batch sketch over the same rows
+    (tested).  Late rows are dropped by the watermark;
+    GroupStateTimeout.EventTimeTimeout emits a final closed=true row and
+    removes state once the watermark passes a window's end.  Output mode
+    "update": open windows re-emit with closed=false per trigger.
+    """
+    from .sketches import _h128, _hex_to_long, _rho_from_hex
+
+    if p % 4 != 0 or not 4 <= p <= 16:
+        raise ValueError("p must be 4, 8, 12, or 16 (whole hex prefix)")
+    m = 1 << p
+    keys = list(by)
+    win_sec = _interval_seconds(window)
+    slide_sec = _interval_seconds(slide) if slide else win_sec
+    if win_sec % slide_sec != 0:
+        raise ValueError("window must be a multiple of slide")
+
+    key_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in sdf.schema.fields
+        if f.name in keys
+    )
+    out_schema = ", ".join(
+        x
+        for x in (
+            "window_start long, window_end long",
+            key_fields,
+            "registers binary, n_rows long, distinct_est double",
+            "closed boolean",
+        )
+        if x
+    )
+
+    h = _h128("hll:", F.col(value_col))
+    ts_long = F.unix_timestamp(F.col(ts_col))
+    n_windows = win_sec // slide_sec
+    starts = F.sequence(
+        (F.floor(ts_long / slide_sec) - (n_windows - 1)) * slide_sec,
+        F.floor(ts_long / slide_sec) * slide_sec,
+        F.lit(slide_sec),
+    )
+    proj = (
+        sdf.withWatermark(ts_col, watermark)
+        .select(
+            F.col(ts_col),
+            *keys,
+            _hex_to_long(F.substring(h, 1, p // 4)).cast("int").alias("__bucket"),
+            _rho_from_hex(F.substring(h, p // 4 + 1, 13)).alias("__rho"),
+            F.explode(starts).alias("window_start"),
+        )
+        .filter(F.col("window_start") >= 0)
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        win_start = int(key[0])
+
+        def row(regs: np.ndarray, n: int, closed: bool) -> pd.DataFrame:
+            out = {
+                "window_start": [win_start],
+                "window_end": [win_start + win_sec],
+            }
+            for i, k in enumerate(keys):
+                out[k] = [key[i + 1]]
+            out["registers"] = [regs.tobytes()]
+            out["n_rows"] = [n]
+            out["distinct_est"] = [_hll_estimate_np(regs)]
+            out["closed"] = [closed]
+            return pd.DataFrame(out)
+
+        if state.hasTimedOut:
+            (blob, n) = state.get
+            regs = np.frombuffer(bytes(blob), dtype=np.uint8)
+            state.remove()
+            yield row(regs, n, True)
+            return
+        if state.exists:
+            (blob, n) = state.get
+            regs = np.frombuffer(bytes(blob), dtype=np.uint8).copy()
+        else:
+            regs, n = np.zeros(m, dtype=np.uint8), 0
+        for pdf in pdfs:
+            np.maximum.at(
+                regs,
+                pdf["__bucket"].to_numpy(dtype=np.int64),
+                pdf["__rho"].to_numpy(dtype=np.uint8),
+            )
+            n += int(len(pdf))
+        state.update((regs.tobytes(), n))
+        end_ms = (win_start + win_sec) * 1000
+        state.setTimeoutTimestamp(max(end_ms, state.getCurrentWatermarkMs() + 1))
+        yield row(regs, n, False)
+
+    return proj.groupBy("window_start", *keys).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="registers binary, n_rows long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

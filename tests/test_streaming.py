@@ -296,3 +296,55 @@ def test_windowed_digest_sliding_membership(spark, tmp_path):
     assert sorted(r["window_start"] for r in rows) == [90, 120]
     for r in rows:
         assert r["n_rows"] == 1 and r["q500"] == 5.0
+
+
+def test_windowed_hll_matches_batch(spark, tmp_path):
+    """Streaming windowed HLL state is bit-identical to the batch
+    sketches.hll_by registers over the same rows, and the estimate uses
+    the same formula."""
+    import datetime as dt
+
+    from tdigest_spark import sketches as SK
+
+    src = str(tmp_path / "hll_src")
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for w in range(2):  # two 10-minute windows
+        for i in range(w * 100, w * 100 + 300):  # 300 distinct users each
+            rows.append(
+                (base + dt.timedelta(minutes=10 * w, seconds=i % 600), "g",
+                 f"user-{i}")
+            )
+    df = spark.createDataFrame(rows, "ts timestamp, grp string, uid string")
+    df.coalesce(1).write.parquet(src)
+
+    sdf = spark.readStream.schema("ts timestamp, grp string, uid string").parquet(src)
+    out = ST.windowed_hll_by(
+        sdf, "ts", "uid", ["grp"], window="10 minutes",
+        watermark="10 minutes", p=8,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("hll_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = {r["window_start"]: r for r in spark.sql(
+        "select * from hll_stream").collect()}
+    assert len(res) == 2
+
+    for win_start, r in res.items():
+        lo = dt.datetime.utcfromtimestamp(win_start)
+        hi = dt.datetime.utcfromtimestamp(win_start + 600)
+        batch_regs = SK.hll_by(
+            df.filter((F.col("ts") >= lo) & (F.col("ts") < hi)), "uid", by=(), p=8
+        ).collect()[0]["registers"]
+        stream_regs = list(bytes(r["registers"]))
+        assert stream_regs == batch_regs
+        expected_est = spark.createDataFrame(
+            [(batch_regs,)], "registers array<int>"
+        ).select(SK.hll_estimate_col("registers", 8).alias("e")).collect()[0]["e"]
+        assert abs(r["distinct_est"] - expected_est) < 1e-9
+        assert r["n_rows"] == 300
