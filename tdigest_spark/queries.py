@@ -604,6 +604,51 @@ LEFT JOIN i ON i.ta = ca.event_type AND i.tb = cb.event_type
 """
 
 
+THETA_SMALL_K = 64  # < distinct users per type -> at-capacity estimator
+
+
+def q_theta_capacity_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV estimator in its APPROXIMATE (at-capacity) regime,
+    oracle-gated exactly: with k=64 < the per-type user cardinality the
+    estimate is (k-1)/u_k — deterministic arithmetic over the k-th
+    smallest 60-bit md5 prefix, which DuckDB reproduces bit-for-bit
+    (ORDER BY hash LIMIT k + the same IEEE division).  This is the
+    theta-family twin of the rank-bound oracle that gates the t-digest's
+    compaction regime."""
+    from . import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = SK.kmv_by(ev, "user_id", by=["event_type"], k=THETA_SMALL_K)
+    return sk.select(
+        "event_type",
+        F.size("kmv").cast("long").alias("n_stored"),
+        SK.kmv_estimate_col("kmv", THETA_SMALL_K).alias("n_est"),
+    )
+
+
+_SQL_THETA_CAPACITY_EST = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15) AS hh
+  FROM events
+), ranked AS (
+  SELECT event_type, hh,
+         row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rk
+  FROM h
+), kept AS (
+  SELECT event_type, count(*) AS n_stored,
+         max(CASE WHEN rk = {THETA_SMALL_K} THEN hh END) AS kth
+  FROM ranked WHERE rk <= {THETA_SMALL_K} GROUP BY 1
+)
+SELECT event_type, CAST(n_stored AS BIGINT) AS n_stored,
+       CASE WHEN n_stored < {THETA_SMALL_K} THEN CAST(n_stored AS DOUBLE)
+            ELSE CAST({THETA_SMALL_K - 1} AS DOUBLE)
+                 / ((('0x' || kth)::BIGINT + 1) / CAST(16.0 AS DOUBLE) ^ 15)
+       END AS n_est
+FROM kept
+"""
+
+
 def q_countmin_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency estimates for probe users 0..9 per event_type —
     exact integers, value-exact against the oracle."""
@@ -1543,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users": q_hll_distinct_users,
         "countmin_user_freq": q_countmin_user_freq,
         "theta_users_setops": q_theta_users_setops,
+        "theta_capacity_est": q_theta_capacity_est,
         "loghistogram_events": q_loghistogram_events,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "orders_by_segment": q_orders_by_segment,
@@ -1587,6 +1633,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_users": _sql_hll_distinct_users(),
         "countmin_user_freq": _sql_countmin_user_freq(),
         "theta_users_setops": _SQL_THETA_USERS_SETOPS,
+        "theta_capacity_est": _SQL_THETA_CAPACITY_EST,
         "loghistogram_events": _sql_loghistogram_events(),
         "lineitem_pricing_summary": _SQL_PRICING_SUMMARY,
         "orders_by_segment": _SQL_ORDERS_BY_SEGMENT,
