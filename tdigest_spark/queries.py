@@ -572,17 +572,25 @@ def q_theta_users_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import sketches as SK
 
     ev = load_table(spark, sf_dir, "events")
-    sk = SK.kmv_by(ev, "user_id", by=["event_type"], k=KMV_K)
+    # persist: both crossJoin sides read this KB-sized sketch table; an
+    # unpersisted plan re-runs the raw scan + aggregation per side
+    sk = SK.kmv_by(ev, "user_id", by=["event_type"], k=KMV_K).persist()
     a = sk.select(F.col("event_type").alias("type_a"), F.col("kmv").alias("__ka"))
     b = sk.select(F.col("event_type").alias("type_b"), F.col("kmv").alias("__kb"))
     pairs = a.crossJoin(b).filter(F.col("type_a") < F.col("type_b"))
+    # bind the union sketch once — Catalyst inlines column expressions,
+    # so referencing it from both n_union and n_inter without its own
+    # projection would re-run sort+union+slice per reference
+    pairs = pairs.withColumn("__u", SK.kmv_union_col("__ka", "__kb", KMV_K))
     return pairs.select(
         "type_a",
         "type_b",
         F.size("__ka").cast("long").alias("n_a"),
         F.size("__kb").cast("long").alias("n_b"),
-        F.size(SK.kmv_union_col("__ka", "__kb", KMV_K)).cast("long").alias("n_union"),
-        SK.kmv_intersect_est_col("__ka", "__kb", KMV_K).alias("n_inter"),
+        F.size("__u").cast("long").alias("n_union"),
+        SK.kmv_intersect_est_col("__ka", "__kb", KMV_K, union_col="__u").alias(
+            "n_inter"
+        ),
     )
 
 

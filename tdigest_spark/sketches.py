@@ -343,7 +343,11 @@ def kmv_union_col(a: Column | str, b: Column | str, k: int = 256) -> Column:
 
 
 def kmv_intersect_est_col(
-    a: Column | str, b: Column | str, k: int = 256, prefilter_hex_zeros: int = 0
+    a: Column | str,
+    b: Column | str,
+    k: int = 256,
+    prefilter_hex_zeros: int = 0,
+    union_col: Column | str | None = None,
 ) -> Column:
     """Intersection distinct-count estimate (double).
 
@@ -351,10 +355,18 @@ def kmv_intersect_est_col(
     smallest combined hashes), count members present in BOTH input
     sketches, scale by |union| estimate / |U|.  While both inputs are
     under capacity this degenerates to exact |A ∩ B| (every distinct
-    hash of both sets is present)."""
+    hash of both sets is present).
+
+    Pass `union_col` (a column already holding kmv_union_col(a, b, k))
+    when the union sketch is also needed elsewhere in the projection —
+    Catalyst inlines column expressions, so without it the
+    sort+union+slice would be re-evaluated once per reference."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
-    u = kmv_union_col(ca, cb, k)
+    if union_col is None:
+        u = kmv_union_col(ca, cb, k)
+    else:
+        u = F.col(union_col) if isinstance(union_col, str) else union_col
     both = F.size(F.array_intersect(ca, cb)).cast("double")
     # exact regime: union under capacity -> scale factor is 1
     under = F.size(u) < k
