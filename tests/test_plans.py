@@ -166,3 +166,39 @@ def test_webpages_partition_pruning(spark, tmp_path):
     assert "crawl_month" in plan.split("PartitionFilters")[1][:200]
     # non-partition columns pruned from the read schema
     assert "html" not in plan.split("ReadSchema")[1][:150]
+
+
+def test_theta_setops_single_union_binding(spark):
+    """The set-algebra projection binds the union sketch ONCE (Catalyst
+    would otherwise inline sort+union+slice into every reference), and
+    both crossJoin sides read the persisted sketch table instead of
+    re-running the raw aggregation."""
+    from tdigest_spark import queries as Q
+
+    df = Q.q_theta_users_setops(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("array_sort") == 1
+    assert plan.count("InMemoryTableScan") == 2
+
+
+def test_rollup_coarse_grain_reads_cached_digests(spark):
+    """Sketch re-aggregation: after the fine digest table materializes,
+    the coarse (per-type) grain derives from the cache — its plan shows
+    an InMemoryTableScan feeding merge_partials, and the raw events scan
+    appears only in the cached relation's definition."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from tdigest_spark.operators import digest as D
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "day", F.to_date("ts")
+    )
+    fine = D.digest_by(ev, "value", by=["event_type", "day"], delta=4000.0).persist()
+    fine.count()  # materialize the cache
+    partials = fine.withColumn(
+        D._SALT, F.datediff(F.col("day"), F.lit("1970-01-01")).cast("int")
+    )
+    coarse = D.merge_partials(partials, by=["event_type"])
+    plan = coarse._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    fine.unpersist()
