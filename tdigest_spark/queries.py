@@ -848,6 +848,43 @@ FROM g GROUP BY user_id
 """
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (the custom join flavor Spark lacks natively): every
+    event matched to the most recent per-(user, day) marker row at or
+    before its timestamp — the single-shuffle tagged-union + window
+    carry-forward formulation (operators/joins.py), checked against
+    DuckDB's native ASOF LEFT JOIN."""
+    from .operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    markers = (
+        ev.groupBy("user_id", F.to_date("ts").alias("__day"))
+        .agg(F.count("*").alias("n_day"))
+        .select(
+            "user_id", F.col("__day").cast("timestamp").alias("ts"), "n_day"
+        )
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"), markers, "ts", by=["user_id"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts_right").alias("ts_marker"),
+        F.col("n_day_right").cast("long").alias("n_day"),
+    )
+
+
+_SQL_EVENTS_ASOF_JOIN = """
+WITH m AS (
+  SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS mts, count(*) AS n_day
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, m.mts AS ts_marker, CAST(m.n_day AS BIGINT) AS n_day
+FROM events e ASOF LEFT JOIN m ON e.user_id = m.user_id AND e.ts >= m.mts
+"""
+
+
 # --------------------------------------------------------------------------
 # text analysis
 
@@ -1602,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_segment": q_orders_by_segment,
         "events_last_by_user": q_events_last_by_user,
         "events_sessions": q_events_sessions,
+        "events_asof_join": q_events_asof_join,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1647,6 +1685,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_segment": _SQL_ORDERS_BY_SEGMENT,
         "events_last_by_user": _SQL_EVENTS_LAST_BY_USER,
         "events_sessions": _SQL_EVENTS_SESSIONS,
+        "events_asof_join": _SQL_EVENTS_ASOF_JOIN,
         "doc_token_stats": _sql_doc_token_stats(),
         "doc_quality": _sql_doc_quality(),
         "doc_fingerprint": _SQL_DOC_FINGERPRINT,

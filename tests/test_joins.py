@@ -1,0 +1,95 @@
+"""asof_join vs the pandas merge_asof oracle (backward/forward,
+tolerance, unmatched rows, multiple groups)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tdigest_spark.operators.joins import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames():
+    rng = np.random.default_rng(7)
+    base = dt.datetime(2024, 3, 1)
+    left_rows, right_rows = [], []
+    for g in ("a", "b"):
+        lts = np.sort(rng.choice(86_400, size=200, replace=False))
+        rts = np.sort(rng.choice(86_400, size=40, replace=False))
+        for i, t in enumerate(lts):
+            left_rows.append((g, base + dt.timedelta(seconds=int(t)), float(i)))
+        for i, t in enumerate(rts):
+            right_rows.append((g, base + dt.timedelta(seconds=int(t)), float(100 + i)))
+    lpdf = pd.DataFrame(left_rows, columns=["g", "ts", "x"])
+    rpdf = pd.DataFrame(right_rows, columns=["g", "ts", "y"])
+    return lpdf, rpdf
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_matches_pandas(spark, frames, direction):
+    lpdf, rpdf = frames
+    got = (
+        asof_join(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(rpdf),
+            "ts",
+            by=["g"],
+            direction=direction,
+        )
+        .toPandas()
+        .sort_values(["g", "ts"])
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        lpdf.sort_values("ts"),
+        rpdf.sort_values("ts"),
+        on="ts",
+        by="g",
+        direction=direction,
+    ).sort_values(["g", "ts"]).reset_index(drop=True)
+    assert got["y_right"].fillna(-1).tolist() == exp["y"].fillna(-1).tolist()
+
+
+def test_asof_tolerance_and_unmatched(spark, frames):
+    lpdf, rpdf = frames
+    got = (
+        asof_join(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(rpdf),
+            "ts",
+            by=["g"],
+            direction="backward",
+            tolerance_seconds=600,
+        )
+        .toPandas()
+        .sort_values(["g", "ts"])
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        lpdf.sort_values("ts"),
+        rpdf.sort_values("ts"),
+        on="ts",
+        by="g",
+        direction="backward",
+        tolerance=pd.Timedelta(seconds=600),
+    ).sort_values(["g", "ts"]).reset_index(drop=True)
+    assert got["y_right"].fillna(-1).tolist() == exp["y"].fillna(-1).tolist()
+    # unmatched (early) left rows exist and carry NULLs
+    assert got["y_right"].isna().any()
+    assert len(got) == len(lpdf)
+
+
+def test_asof_single_shuffle_plan(spark, frames):
+    """The promised plan: ONE exchange (the window partitionBy) above
+    the two scans — no join node, no range expansion."""
+    lpdf, rpdf = frames
+    out = asof_join(
+        spark.createDataFrame(lpdf), spark.createDataFrame(rpdf), "ts", by=["g"]
+    )
+    simple = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in simple
+    assert simple.count("Exchange") <= 2  # hash repartition (+AQE read)
