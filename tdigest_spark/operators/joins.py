@@ -117,3 +117,47 @@ def asof_join(
         F.col(f"{_PAYLOAD}.{c}").alias(f"{c}{suffix}") for c in right_cols
     ]
     return carried.select(*out_cols)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    by: Sequence[str] = (),
+    bucket_width: float = 1.0,
+) -> DataFrame:
+    """Point-in-interval join ([start, end) containment) as an EQUI-join.
+
+    Spark executes a naive inequality join (`p >= lo AND p < hi`) as
+    BroadcastNestedLoopJoin or a cartesian product — O(|points| x
+    |intervals|) per group.  This formulation buckets the number line at
+    `bucket_width`: each interval explodes to the buckets it covers, each
+    point computes its single bucket, and the match becomes a hash
+    equi-join on (by..., bucket) followed by the exact containment
+    filter.  Cost: one shuffle of points + |interval| x
+    (len/bucket_width) bucket rows; pick bucket_width near the median
+    interval length so the explode factor stays small.  Overlapping
+    intervals yield one output row per match (inner-join semantics);
+    each (point, interval) pair meets in exactly one bucket (the
+    point's), so no dedup is needed.
+    """
+    keys = list(by)
+    w = float(bucket_width)
+    p_b = F.floor(F.col(point_col) / w)
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / w),
+                F.floor(F.col(end_col) / w),
+            )
+        ),
+    )
+    pt = points.withColumn("__bucket", p_b)
+    joined = pt.join(iv, [*keys, "__bucket"]).filter(
+        (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) < F.col(end_col))
+    )
+    return joined.drop("__bucket")

@@ -884,6 +884,32 @@ SELECT e.event_id, e.user_id, m.mts AS ts_marker, CAST(m.n_day AS BIGINT) AS n_d
 FROM events e ASOF LEFT JOIN m ON e.user_id = m.user_id AND e.ts >= m.mts
 """
 
+# irregular [lo, hi) value bands: width grows quadratically, so a naive
+# width-binning expression can't express the join — a true range join can
+RANGE_BANDS = [(i, float(i * i * 5), float((i + 1) * (i + 1) * 5)) for i in range(10)]
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (point-in-interval containment) via the bucketized
+    equi-join formulation — no nested-loop/cartesian plan (asserted in
+    tests/test_joins.py).  Events land in irregular quadratic value
+    bands; DuckDB runs the plain inequality join as the oracle."""
+    from .operators.joins import range_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.createDataFrame(RANGE_BANDS, "band long, lo double, hi double")
+    return range_join(ev, bands, "value", "lo", "hi", bucket_width=25.0).select(
+        "event_id", "band", "lo", "hi"
+    )
+
+
+_SQL_EVENTS_RANGE_JOIN = f"""
+WITH bands(band, lo, hi) AS (VALUES
+  {", ".join(f"(CAST({b} AS BIGINT), CAST({lo} AS DOUBLE), CAST({hi} AS DOUBLE))" for b, lo, hi in RANGE_BANDS)})
+SELECT e.event_id, b.band, b.lo, b.hi
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+"""
+
 
 # --------------------------------------------------------------------------
 # text analysis
@@ -1640,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_last_by_user": q_events_last_by_user,
         "events_sessions": q_events_sessions,
         "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1686,6 +1713,7 @@ def oracle_sql() -> dict[str, str]:
         "events_last_by_user": _SQL_EVENTS_LAST_BY_USER,
         "events_sessions": _SQL_EVENTS_SESSIONS,
         "events_asof_join": _SQL_EVENTS_ASOF_JOIN,
+        "events_range_join": _SQL_EVENTS_RANGE_JOIN,
         "doc_token_stats": _sql_doc_token_stats(),
         "doc_quality": _sql_doc_quality(),
         "doc_fingerprint": _SQL_DOC_FINGERPRINT,

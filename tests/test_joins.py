@@ -93,3 +93,36 @@ def test_asof_single_shuffle_plan(spark, frames):
     simple = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in simple
     assert simple.count("Exchange") <= 2  # hash repartition (+AQE read)
+
+
+def test_range_join_matches_naive(spark):
+    """Bucketized range join == the naive inequality join, without the
+    nested-loop plan."""
+    rng = np.random.default_rng(11)
+    pts = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(rng.uniform(0, 500, 500))],
+        "pid long, v double",
+    )
+    bands = spark.createDataFrame(
+        [(i, float(i * i * 5), float((i + 1) * (i + 1) * 5)) for i in range(10)],
+        "band long, lo double, hi double",
+    )
+    from tdigest_spark.operators.joins import range_join
+
+    got = (
+        range_join(pts, bands, "v", "lo", "hi", bucket_width=25.0)
+        .select("pid", "band")
+        .collect()
+    )
+    exp = (
+        pts.join(bands, (pts.v >= bands.lo) & (pts.v < bands.hi))
+        .select("pid", "band")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+
+    plan = (
+        range_join(pts, bands, "v", "lo", "hi", bucket_width=25.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
