@@ -330,7 +330,20 @@ class MergingDigest:
         seg_w = np.add.reduceat(counts, b[:-1])
         seg_mw = np.add.reduceat(means * counts, b[:-1])
         singleton = (b[1:] - b[:-1]) == 1
-        out_mean = np.where(singleton, means[b[:-1]], seg_mw / seg_w)
+        # Clamp every cluster mean into its members' range — the reference
+        # merges pairwise through weightedAverageSorted, which clamps into
+        # [x1, x2] (TDigest.jl:632-657, A12).  Without it, sum/weight for a
+        # run of IDENTICAL values drifts ~1 ulp (15*0.1/15 =
+        # 0.10000000000000002), so a drifted multi-weight cluster can sort
+        # ABOVE the true max singleton on the next pass and surface as a
+        # non-singleton boundary centroid (observed on a 60k-row column
+        # with 11 distinct values).  Clamping pins equal-value clusters to
+        # exactly their value and keeps cluster means monotone.
+        first_m = means[b[:-1]]
+        last_m = means[b[1:] - 1]
+        lo = np.minimum(first_m, last_m)  # buffer may be descending
+        hi = np.maximum(first_m, last_m)
+        out_mean = np.where(singleton, first_m, np.clip(seg_mw / seg_w, lo, hi))
         self._mean[:to] = out_mean
         self._count[:to] = seg_w
         if self.log is not None:

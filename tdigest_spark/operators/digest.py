@@ -237,6 +237,71 @@ def build_partials_per_partition(
     return sdf.mapInPandas(per_partition, schema=f"{_SALT} int, {DIGEST_FIELDS}")
 
 
+def build_partials_multi(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    delta: float = 100.0,
+    scale: str = "K_3",
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """Shuffle-free multi-column stage 1: ONE scan builds a digest for
+    EVERY listed column (one digest row per (column, input partition)).
+
+    The 100 TB profiling shape: a data-quality report over k numeric
+    columns costs one pass over the table instead of k — the scan and
+    Arrow transfer are shared, each batch feeds k digests in place, and
+    only k x n_partitions KB-sized rows leave the executors.  Merge with
+    `merge_partials(by=["col"])`."""
+    cols = list(value_cols)
+    sdf = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    if min_parallelism and sdf.rdd.getNumPartitions() < min_parallelism:
+        sdf = sdf.repartition(min_parallelism)
+    sdf = sdf.withColumn("__pid", F.spark_partition_id())
+
+    def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ds = {c: MergingDigest(delta, scale=get_scale(scale)) for c in cols}
+        ns = {c: 0 for c in cols}
+        pid = -1
+        seen = False
+        for pdf in batches:
+            if not seen and len(pdf):
+                pid = int(pdf["__pid"].iloc[0])
+                seen = True
+            for c in cols:
+                vals = pdf[c].to_numpy(dtype=np.float64)
+                vals = vals[~np.isnan(vals)]
+                if vals.size:
+                    ds[c].add(vals)
+                    ns[c] += vals.size
+        if seen:
+            yield pd.DataFrame(
+                {
+                    "col": cols,
+                    _SALT: [pid] * len(cols),
+                    "digest": [ds[c].to_bytes() for c in cols],
+                    "n_rows": [ns[c] for c in cols],
+                }
+            )
+
+    return sdf.mapInPandas(
+        per_partition, schema=f"col string, {_SALT} int, {DIGEST_FIELDS}"
+    )
+
+
+def digest_profile(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    delta: float = 100.0,
+    scale: str = "K_3",
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """One-pass digests for every listed column: (col, digest, n_rows)."""
+    partials = build_partials_multi(
+        df, value_cols, delta=delta, scale=scale, min_parallelism=min_parallelism
+    )
+    return merge_partials(partials, by=["col"])
+
+
 def merge_partials(
     partials: DataFrame,
     by: Sequence[str] = (),

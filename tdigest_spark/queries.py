@@ -427,6 +427,72 @@ FROM qs
 """
 
 
+PROFILE_COLS = ("l_discount", "l_extendedprice", "l_quantity")
+
+
+def q_tdigest_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-PASS multi-column profiling (the 100 TB data-quality shape):
+    digests for three lineitem columns built in a single scan
+    (build_partials_multi — k digests per partition, zero raw shuffle),
+    then checked in the approximate regime.  l_discount and l_quantity
+    are discrete (2-9% of the mass per value), where the bare 1/delta
+    rank bound cannot hold (a whole tie run can land in one interpolated
+    centroid; the reference itself only claims 0.2 absolute error on
+    repeated values, test/special-cases.jl:72-73) — so the check adds
+    the column's largest tie mass to the slack: the estimate's exact
+    rank interval [#below/n, #below+eq/n] must contain q within
+    1/delta + max_tie_mass.  On continuous columns the tie mass is ~1/n
+    and this degenerates to the published rank bound."""
+    li = load_table(spark, sf_dir, "lineitem")
+    prof = digest.digest_profile(li, list(PROFILE_COLS), delta=100.0)
+    est = digest.quantiles_of(prof, QUANTILES, by=["col"]).select(
+        "col", F.col("q").cast("double").alias("q"), "quantile"
+    )
+    stack_expr = ", ".join(f"'{c}', {c}" for c in PROFILE_COLS)
+    long = li.selectExpr(
+        f"stack({len(PROFILE_COLS)}, {stack_expr}) as (col, __val)"
+    )
+    vals = long.select("col", F.col("__val").cast("double").alias("__v"))
+    mass = (
+        vals.groupBy("col", "__v")
+        .agg(F.count("*").alias("__c"))
+        .groupBy("col")
+        .agg(
+            (F.max("__c").cast("double") / F.sum("__c")).alias("__mass"),
+            F.sum("__c").alias("n_rows"),
+        )
+    )
+    joined = vals.join(F.broadcast(est), ["col"])
+    ranks = joined.groupBy("col", "q", "quantile").agg(
+        (F.sum((F.col("__v") < F.col("quantile")).cast("double")) / F.count("*"))
+        .alias("__rlo"),
+        (
+            F.sum((F.col("__v") <= F.col("quantile")).cast("double"))
+            / F.count("*")
+        ).alias("__rhi"),
+    )
+    slack = F.lit(TD_RANK_BOUND) + F.col("__mass")
+    return ranks.join(F.broadcast(mass), ["col"]).select(
+        "col",
+        F.col("q").cast("double").alias("q"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (
+            (F.col("q") >= F.col("__rlo") - slack)
+            & (F.col("q") <= F.col("__rhi") + slack)
+        ).alias("rank_err_ok"),
+    )
+
+
+_SQL_TDIGEST_PROFILE = f"""
+WITH qs(q) AS (VALUES {", ".join(f"({q})" for q in QUANTILES)}),
+cols(col) AS (VALUES {", ".join(f"('{c}')" for c in PROFILE_COLS)})
+SELECT col, CAST(q AS DOUBLE) AS q,
+       (SELECT count(*) FROM lineitem) AS n_rows,
+       TRUE AS rank_err_ok
+FROM cols CROSS JOIN qs
+"""
+
+
 def q_kll_rank_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROXIMATE-regime gate for KLL: k=200 over ~20k-row l_returnflag
     groups (many compaction rounds) — per (group, q), is the estimate's
@@ -1654,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_sql_surface": q_tdigest_sql_surface,
         "tdigest_agg_sql": q_tdigest_agg_sql,
         "tdigest_lineitem_global": q_tdigest_lineitem_global,
+        "tdigest_profile_lineitem": q_tdigest_profile_lineitem,
         "kll_quantiles_by_lang": q_kll_quantiles_by_lang,
         "kll_rank_check": q_kll_rank_check,
         "hll_distinct_users": q_hll_distinct_users,
@@ -1701,6 +1768,7 @@ def oracle_sql() -> dict[str, str]:
         "tdigest_sql_surface": _SQL_SQL_SURFACE,
         "tdigest_agg_sql": _SQL_AGG_SQL,
         "tdigest_lineitem_global": _SQL_TDIGEST_GLOBAL,
+        "tdigest_profile_lineitem": _SQL_TDIGEST_PROFILE,
         "kll_quantiles_by_lang": _SQL_KLL_QUANTILES,
         "kll_rank_check": _SQL_KLL_RANK_CHECK,
         "hll_distinct_users": _sql_hll_distinct_users(),
