@@ -329,7 +329,6 @@ class MergingDigest:
         to = b.size - 1
         seg_w = np.add.reduceat(counts, b[:-1])
         seg_mw = np.add.reduceat(means * counts, b[:-1])
-        singleton = (b[1:] - b[:-1]) == 1
         # Clamp every cluster mean into its members' range — the reference
         # merges pairwise through weightedAverageSorted, which clamps into
         # [x1, x2] (TDigest.jl:632-657, A12).  Without it, sum/weight for a
@@ -337,13 +336,16 @@ class MergingDigest:
         # 0.10000000000000002), so a drifted multi-weight cluster can sort
         # ABOVE the true max singleton on the next pass and surface as a
         # non-singleton boundary centroid (observed on a 60k-row column
-        # with 11 distinct values).  Clamping pins equal-value clusters to
-        # exactly their value and keeps cluster means monotone.
+        # with 11 distinct values).  The buffer is sorted in the walk's
+        # direction here, so each cluster's range is just its endpoint
+        # pair — and clipping pins singletons and equal-value clusters to
+        # exactly their value (range [m, m]), so no singleton branch is
+        # needed.
         first_m = means[b[:-1]]
         last_m = means[b[1:] - 1]
-        lo = np.minimum(first_m, last_m)  # buffer may be descending
-        hi = np.maximum(first_m, last_m)
-        out_mean = np.where(singleton, first_m, np.clip(seg_mw / seg_w, lo, hi))
+        lo, hi = (last_m, first_m) if reverse_order else (first_m, last_m)
+        out_mean = seg_mw / seg_w
+        np.clip(out_mean, lo, hi, out=out_mean)
         self._mean[:to] = out_mean
         self._count[:to] = seg_w
         if self.log is not None:
