@@ -116,6 +116,18 @@ def main() -> None:
     bench("tdigest_global_lineitem", global_digest)
     digest_build_sec = timings["tdigest_global_lineitem"]
 
+    # 1b. one-pass MULTI-column profiling: 3 digests from a single scan.
+    #     The point of comparison is 1a — three separate builds would
+    #     cost ~3x the scan; the shared-scan build should cost far less.
+    def profile_digest():
+        prof = digest.digest_profile(
+            li, ["l_quantity", "l_extendedprice", "l_discount"],
+            delta=100.0, min_parallelism=cpus,
+        )
+        digest.quantiles_of(prof, (0.5, 0.99), by=["col"]).collect()
+
+    bench("tdigest_profile_3col", profile_digest)
+
     # 2a. grouped digest, DEFAULT map-side-combine path (zero raw-row
     #     shuffle: stage 1 is mapInPandas partials per input partition)
     def grouped_digest_map():
