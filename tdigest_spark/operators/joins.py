@@ -61,6 +61,13 @@ def asof_join(
     Returns every left column plus each `right_cols` entry as
     `<name><suffix>` and `<ts_col><suffix>` (the matched right
     timestamp, NULL when unmatched).
+
+    Scale note: parallelism is the `by` cardinality (the window's
+    partitionBy).  With `by=()` or a handful of groups the whole stream
+    sorts inside one task per group — for a global as-of join at scale,
+    range-partition by time first and run per-bucket joins with the
+    previous bucket's last right row carried in (not implemented here;
+    every practical corpus use keys by user/host/entity).
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
