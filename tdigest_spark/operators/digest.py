@@ -240,66 +240,100 @@ def build_partials_per_partition(
 def build_partials_multi(
     df: DataFrame,
     value_cols: Sequence[str],
+    by: Sequence[str] = (),
     delta: float = 100.0,
     scale: str = "K_3",
     min_parallelism: int | None = None,
 ) -> DataFrame:
     """Shuffle-free multi-column stage 1: ONE scan builds a digest for
-    EVERY listed column (one digest row per (column, input partition)).
+    EVERY listed column (one digest row per (by-group, column, input
+    partition); ungrouped when `by` is empty).
 
     The 100 TB profiling shape: a data-quality report over k numeric
-    columns costs one pass over the table instead of k — the scan and
-    Arrow transfer are shared, each batch feeds k digests in place, and
-    only k x n_partitions KB-sized rows leave the executors.  Merge with
-    `merge_partials(by=["col"])`."""
+    columns (optionally per group) costs one pass over the table instead
+    of k — the scan and Arrow transfer are shared, each batch feeds k
+    digests per group in place, and only (groups x k x n_partitions)
+    KB-sized rows leave the executors.  Merge with
+    `merge_partials(by=[*by, "col"])`.  Per-task state is
+    (#groups seen) x k digests — same bound discipline as
+    `build_partials_grouped`."""
     cols = list(value_cols)
-    sdf = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    keys = list(by)
+    sdf = df.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).cast("double").alias(c) for c in cols],
+    )
     if min_parallelism and sdf.rdd.getNumPartitions() < min_parallelism:
         sdf = sdf.repartition(min_parallelism)
     sdf = sdf.withColumn("__pid", F.spark_partition_id())
 
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in sdf.schema.fields
+        if f.name in keys
+    )
+    out_schema = ", ".join(
+        x
+        for x in (key_schema, f"col string, {_SALT} int", DIGEST_FIELDS)
+        if x
+    )
+
     def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ds = {c: MergingDigest(delta, scale=get_scale(scale)) for c in cols}
-        ns = {c: 0 for c in cols}
+        ds: dict[tuple, MergingDigest] = {}
+        ns: dict[tuple, int] = {}
         pid = -1
         seen = False
+
+        def feed(g: tuple, pdf: pd.DataFrame, idx=None) -> None:
+            for c in cols:
+                arr = pdf[c].to_numpy(dtype=np.float64)
+                if idx is not None:
+                    arr = arr[idx]
+                arr = arr[~np.isnan(arr)]
+                if arr.size:
+                    k = (*g, c)
+                    d = ds.get(k)
+                    if d is None:
+                        d = ds[k] = MergingDigest(delta, scale=get_scale(scale))
+                        ns[k] = 0
+                    d.add(arr)
+                    ns[k] += int(arr.size)
+
         for pdf in batches:
             if not seen and len(pdf):
                 pid = int(pdf["__pid"].iloc[0])
                 seen = True
-            for c in cols:
-                vals = pdf[c].to_numpy(dtype=np.float64)
-                vals = vals[~np.isnan(vals)]
-                if vals.size:
-                    ds[c].add(vals)
-                    ns[c] += vals.size
-        if seen:
-            yield pd.DataFrame(
-                {
-                    "col": cols,
-                    _SALT: [pid] * len(cols),
-                    "digest": [ds[c].to_bytes() for c in cols],
-                    "n_rows": [ns[c] for c in cols],
-                }
-            )
+            if not keys:
+                feed((), pdf)
+            else:
+                for g, idx in pdf.groupby(keys, sort=False, dropna=False).indices.items():
+                    feed(g if isinstance(g, tuple) else (g,), pdf, idx)
+        if seen and ds:
+            out = {k: [key[i] for key in ds] for i, k in enumerate(keys)}
+            out["col"] = [key[-1] for key in ds]
+            out[_SALT] = [pid] * len(ds)
+            out["digest"] = [d.to_bytes() for d in ds.values()]
+            out["n_rows"] = [ns[key] for key in ds]
+            yield pd.DataFrame(out)
 
-    return sdf.mapInPandas(
-        per_partition, schema=f"col string, {_SALT} int, {DIGEST_FIELDS}"
-    )
+    return sdf.mapInPandas(per_partition, schema=out_schema)
 
 
 def digest_profile(
     df: DataFrame,
     value_cols: Sequence[str],
+    by: Sequence[str] = (),
     delta: float = 100.0,
     scale: str = "K_3",
     min_parallelism: int | None = None,
 ) -> DataFrame:
-    """One-pass digests for every listed column: (col, digest, n_rows)."""
+    """One-pass digests for every listed column (optionally per group):
+    (by..., col, digest, n_rows)."""
     partials = build_partials_multi(
-        df, value_cols, delta=delta, scale=scale, min_parallelism=min_parallelism
+        df, value_cols, by=by, delta=delta, scale=scale,
+        min_parallelism=min_parallelism,
     )
-    return merge_partials(partials, by=["col"])
+    return merge_partials(partials, by=[*by, "col"])
 
 
 def merge_partials(

@@ -245,3 +245,42 @@ def test_digest_by_empty_and_nan(spark):
     assert got["b"]["n_rows"] == 1
     da = MergingDigest.from_bytes(bytes(got["a"]["digest"]))
     assert da.total_weight == 0 and math.isnan(da.quantile(0.5))
+
+
+def test_grouped_multi_column_profile_matches_per_column(spark, tmp_path):
+    """digest_profile(by=...) — one scan, k columns per group — produces
+    BIT-IDENTICAL digests to k separate grouped builds (same per-(group,
+    partition) partial structure, same canonical merge order).  The input
+    lives in parquet files so both jobs see identical partitions
+    (repartition() round-robin is NOT stable across separate actions)."""
+    import numpy as np
+
+    from tdigest_spark.core import MergingDigest
+    from tdigest_spark.operators import digest as D
+
+    rng = np.random.default_rng(31)
+    rows = [
+        (["x", "y", "z"][int(rng.integers(0, 3))], float(rng.uniform(0, 100)),
+         float(rng.uniform(-5, 5)))
+        for _ in range(5000)
+    ]
+    src = str(tmp_path / "profile_src")
+    spark.createDataFrame(rows, "g string, a double, b double").repartition(
+        8
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+
+    prof = {
+        (r["g"], r["col"]): bytes(r["digest"])
+        for r in D.digest_profile(df, ["a", "b"], by=["g"], delta=200.0).collect()
+    }
+    for col in ("a", "b"):
+        single = {
+            r["g"]: bytes(r["digest"])
+            for r in D.digest_by(df, col, by=["g"], delta=200.0).collect()
+        }
+        for g, blob in single.items():
+            assert prof[(g, col)] == blob, (g, col)
+    # sanity: quantiles readable
+    d = MergingDigest.from_bytes(prof[("x", "a")])
+    assert 0.0 <= d.quantile(0.5) <= 100.0
