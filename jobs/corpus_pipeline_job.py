@@ -153,13 +153,26 @@ def main() -> None:
     uniq.unpersist()
     pairs.unpersist()
 
-    # 4. profile the curated corpus
-    d = digest.digest_by(
-        curated, F.length("text"), by=["lang"], delta=args.delta, salt=8
+    # 4. profile the curated corpus — text length AND token count per
+    #    lang from ONE scan (build_partials_multi shares the pass)
+    prof_in = curated.select(
+        "lang",
+        F.length("text").cast("double").alias("text_len"),
+        F.col("n_tokens").cast("double").alias("n_tokens_d"),
     )
-    qs = digest.quantiles_of(d, (0.5, 0.9, 0.99), by=["lang"]).collect()
+    d = digest.digest_profile(
+        prof_in, ["text_len", "n_tokens_d"], by=["lang"], delta=args.delta
+    )
+    qs = digest.quantiles_of(d, (0.5, 0.9, 0.99), by=["lang", "col"]).collect()
     report["text_len_quantiles"] = {
-        f"{r['lang']}@{r['q']}": r["quantile"] for r in qs
+        f"{r['lang']}@{r['q']}": r["quantile"]
+        for r in qs
+        if r["col"] == "text_len"
+    }
+    report["token_quantiles"] = {
+        f"{r['lang']}@{r['q']}": r["quantile"]
+        for r in qs
+        if r["col"] == "n_tokens_d"
     }
     hll = SK.hll_by(curated, F.col("url"), by=(), p=12)
     report["distinct_urls_est"] = round(
