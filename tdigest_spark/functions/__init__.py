@@ -137,3 +137,48 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("tdigest_min", tdigest_min_udf)
     spark.udf.register("tdigest_max", tdigest_max_udf)
     spark.udf.register("tdigest_centroid_count", tdigest_centroid_count_udf)
+
+
+@pandas_udf("double")
+def hll_estimate_udf(registers: pd.Series) -> pd.Series:
+    """HLL estimate from a register array — SQL twin of
+    sketches.hll_estimate_col (same constants/branches)."""
+    import numpy as np
+
+    from ..streaming import _hll_estimate_np
+
+    return registers.map(
+        lambda r: _hll_estimate_np(np.asarray(r, dtype=np.uint8))
+    )
+
+
+@pandas_udf("double")
+def kmv_estimate_udf(kmv: pd.Series, k: pd.Series) -> pd.Series:
+    """KMV distinct estimate — SQL twin of sketches.kmv_estimate_col
+    (no prefilter form): stored size under capacity, (k-1)/u_k at it."""
+    def est(args):
+        sketch, kk = args
+        kk = int(kk)
+        if len(sketch) < kk:
+            return float(len(sketch))
+        u_k = (int(sketch[kk - 1], 16) + 1) / float(16**15)
+        return (kk - 1) / u_k
+
+    return pd.Series([est(a) for a in zip(kmv, k)], dtype="float64")
+
+
+def register_sketch_sql_functions(spark: SparkSession) -> None:
+    """Register the companion-sketch QUERY surface for SQL-first users:
+    `kll_quantile(kll, 0.99d)`, `kll_stored_weight(kll)`,
+    `hll_estimate(registers)`, `kmv_estimate(kmv, 256)`.
+
+    Sketch CONSTRUCTION needs no registration — the states are built
+    with plain built-in aggregates (sketches.py / kll.py), so any SQL
+    pipeline that can call those builders' column expressions already
+    produces them."""
+    from ..kll import kll_quantile_udf, kll_stored_weight_udf
+
+    spark.udf.register("kll_quantile", kll_quantile_udf())
+    spark.udf.register("kll_stored_weight", kll_stored_weight_udf())
+    spark.udf.register("hll_estimate", hll_estimate_udf)
+    spark.udf.register("kmv_estimate", kmv_estimate_udf)

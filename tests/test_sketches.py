@@ -174,3 +174,55 @@ def test_kmv_prefilter_sampling(spark):
     ).collect()[0]
     assert r["sz"] <= k
     assert abs(r["e"] - n) / n < 4.0 / (k - 2) ** 0.5
+
+
+def test_sketch_sql_surface(spark, values):
+    """register_sketch_sql_functions: KLL/HLL/KMV query functions usable
+    from spark.sql text, matching the DataFrame-API results."""
+    from tdigest_spark.functions import register_sketch_sql_functions
+    from tdigest_spark.kll import kll_by
+
+    register_sketch_sql_functions(spark)
+
+    hll = SK.hll_by(values, "v", by=["g"], p=8)
+    hll.createOrReplaceTempView("__hll_t")
+    got = {
+        r["g"]: r["e"]
+        for r in spark.sql(
+            "SELECT g, hll_estimate(registers) AS e FROM __hll_t"
+        ).collect()
+    }
+    exp = {
+        r["g"]: r["e"]
+        for r in hll.select(
+            "g", SK.hll_estimate_col("registers", 8).alias("e")
+        ).collect()
+    }
+    for g in exp:
+        assert abs(got[g] - exp[g]) < 1e-9
+
+    kmv = SK.kmv_by(values, "v", by=["g"], k=64)
+    kmv.createOrReplaceTempView("__kmv_t")
+    got = {
+        r["g"]: r["e"]
+        for r in spark.sql(
+            "SELECT g, kmv_estimate(kmv, 64) AS e FROM __kmv_t"
+        ).collect()
+    }
+    exp = {
+        r["g"]: r["e"]
+        for r in kmv.select(
+            "g", SK.kmv_estimate_col("kmv", 64).alias("e")
+        ).collect()
+    }
+    for g in exp:
+        assert abs(got[g] - exp[g]) < 1e-9
+
+    vals_d = values.select("g", F.length("v").cast("double").alias("x"))
+    sk = kll_by(vals_d, "x", by=["g"], k=100)
+    sk.createOrReplaceTempView("__kll_t")
+    rows = spark.sql(
+        "SELECT g, kll_quantile(kll, 0.5d) AS med, kll_stored_weight(kll) AS w "
+        "FROM __kll_t"
+    ).collect()
+    assert all(r["med"] > 0 and r["w"] > 0 for r in rows)
