@@ -139,7 +139,7 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("tdigest_centroid_count", tdigest_centroid_count_udf)
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def hll_estimate_udf(registers: pd.Series) -> pd.Series:
     """HLL estimate from a register array — SQL twin of
     sketches.hll_estimate_col (same constants/branches)."""
@@ -152,7 +152,7 @@ def hll_estimate_udf(registers: pd.Series) -> pd.Series:
     )
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def kmv_estimate_udf(kmv: pd.Series, k: pd.Series) -> pd.Series:
     """KMV distinct estimate — SQL twin of sketches.kmv_estimate_col
     (no prefilter form): stored size under capacity, (k-1)/u_k at it."""
