@@ -53,9 +53,11 @@ def release_cached() -> None:
 
     Safe whenever downstream results are materialized (or persisted in
     their own right): a frame that is still referenced merely recomputes
-    on its next action instead of erroring."""
+    on its next action instead of erroring.  Blocking: the default async
+    unpersist lets block cleanup overlap whatever runs next (visible as
+    bench noise on the query after a dedup stage)."""
     while _CACHED:
-        _CACHED.pop().unpersist()
+        _CACHED.pop().unpersist(blocking=True)
 
 
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
