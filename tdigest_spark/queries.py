@@ -977,6 +977,37 @@ FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
 """
 
 
+HH_THRESHOLD = 0.005
+
+
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy-hitter tokens via the two-pass Misra-Gries pattern
+    (sketches.heavy_hitters): per-partition MG candidates with zero raw
+    shuffle, then exact candidate-only counting — against a plain
+    GROUP BY/HAVING oracle.  The candidate set only determines what gets
+    verified, never the returned counts, so the result is value-exact."""
+    from .operators.text import tokens_col
+    from .sketches import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_col("text")).alias("tok"))
+    return heavy_hitters(toks, "tok", threshold=HH_THRESHOLD).select(
+        "item", "freq"
+    )
+
+
+_SQL_HEAVY_HITTER_TOKENS = f"""
+WITH t AS (
+  SELECT unnest(list_filter(string_split(text, ' '), tk -> tk != '')) AS item
+  FROM documents
+), tot AS (SELECT count(*) AS n FROM t)
+SELECT item, count(*) AS freq
+FROM t, tot
+GROUP BY item, n
+HAVING count(*) > {HH_THRESHOLD} * n
+"""
+
+
 # --------------------------------------------------------------------------
 # text analysis
 
@@ -1734,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
+        "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1782,6 +1814,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": _SQL_EVENTS_SESSIONS,
         "events_asof_join": _SQL_EVENTS_ASOF_JOIN,
         "events_range_join": _SQL_EVENTS_RANGE_JOIN,
+        "heavy_hitter_tokens": _SQL_HEAVY_HITTER_TOKENS,
         "doc_token_stats": _sql_doc_token_stats(),
         "doc_quality": _sql_doc_quality(),
         "doc_fingerprint": _SQL_DOC_FINGERPRINT,

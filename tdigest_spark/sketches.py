@@ -382,3 +382,112 @@ def kmv_intersect_est_col(
     return F.when(under, both * scale).otherwise(
         both_in_u * est_union / F.lit(float(k))
     )
+
+
+# ------------------------------------------------------- heavy hitters
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col,
+    by: Sequence[str] = (),
+    threshold: float = 0.005,
+    counters: int | None = None,
+) -> DataFrame:
+    """EXACT frequent items above `threshold` (fraction of rows), found
+    with the two-pass Misra-Gries pattern — the 100 TB heavy-hitter
+    design: no raw-row shuffle, candidates-only exact verification.
+
+    Pass 1 (mapInPandas, zero shuffle): each input partition runs a
+    Misra-Gries summary with `counters` slots (default 2/threshold) and
+    emits its surviving items — KBs per partition.  Pigeonhole: an item
+    with global frequency > threshold exceeds the local threshold in at
+    least one partition, so the union of survivors is a SUPERSET of all
+    true heavy hitters [Misra & Gries 1982].
+    Pass 2: semi-join the raw stream to the distinct candidate set and
+    count exactly — the shuffle carries only candidate-matching rows'
+    (group, item) pairs through a partial-aggregating count.
+
+    Returns (by..., item string, freq long) with freq the EXACT count,
+    filtered to freq > threshold * group_rows.  Deterministic and
+    engine-neutral (the candidate set affects only what gets verified,
+    never the returned counts), so results hash-match a plain
+    GROUP BY/HAVING oracle."""
+    import math
+
+    keys = list(by)
+    if counters is None:
+        counters = max(8, int(math.ceil(2.0 / threshold)))
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    sdf = df.select(*keys, value.cast("string").alias("__item"))
+
+    key_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in sdf.schema.fields
+        if f.name in keys
+    )
+    cand_schema = ", ".join(x for x in (key_fields, "__item string") if x)
+
+    k_counters = int(counters)
+
+    def mg_partition(batches):
+        import pandas as _pd
+
+        # one weighted Misra-Gries summary per group seen in this
+        # partition.  Per-batch item counting is vectorized
+        # (value_counts); the Python loop runs per DISTINCT item per
+        # batch (weighted MG insert), not per row.
+        summaries: dict[tuple, dict] = {}
+
+        def insert(s: dict, it, c: int) -> None:
+            while c > 0:
+                if it in s:
+                    s[it] += c
+                    return
+                if len(s) < k_counters:
+                    s[it] = c
+                    return
+                m = min(min(s.values()), c)
+                for kk in list(s):
+                    s[kk] -= m
+                    if s[kk] == 0:
+                        del s[kk]
+                c -= m
+
+        for pdf in batches:
+            if not keys:
+                s = summaries.setdefault((), {})
+                for it, c in pdf["__item"].value_counts().items():
+                    insert(s, it, int(c))
+                continue
+            grouped = pdf.groupby(keys, sort=False, dropna=False)["__item"]
+            for g, vc in grouped.value_counts().groupby(level=list(range(len(keys)))):
+                g = g if isinstance(g, tuple) else (g,)
+                s = summaries.setdefault(g, {})
+                for idx_key, c in vc.items():
+                    insert(s, idx_key[-1], int(c))
+        rows = {k: [] for k in keys}
+        rows["__item"] = []
+        for g, s in summaries.items():
+            for it in s:
+                for i, k in enumerate(keys):
+                    rows[k].append(g[i])
+                rows["__item"].append(it)
+        yield _pd.DataFrame(rows)
+
+    candidates = sdf.mapInPandas(mg_partition, schema=cand_schema).distinct()
+
+    counted = (
+        sdf.join(F.broadcast(candidates), [*keys, "__item"], "left_semi")
+        .groupBy(*keys, "__item")
+        .agg(F.count("*").alias("freq"))
+    )
+    totals = sdf.groupBy(*keys).agg(F.count("*").alias("__total"))
+    joined = (
+        counted.join(F.broadcast(totals), keys)
+        if keys
+        else counted.crossJoin(F.broadcast(totals))
+    )
+    return joined.filter(
+        F.col("freq") > F.lit(float(threshold)) * F.col("__total")
+    ).select(*keys, F.col("__item").alias("item"), F.col("freq"))

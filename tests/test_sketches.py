@@ -226,3 +226,38 @@ def test_sketch_sql_surface(spark, values):
         "FROM __kll_t"
     ).collect()
     assert all(r["med"] > 0 and r["w"] > 0 for r in rows)
+
+
+# -------------------------------------------------------- heavy hitters
+
+
+def test_heavy_hitters_exact(spark):
+    """Two-pass MG+verify returns EXACTLY the items above threshold with
+    exact counts (Zipf-ish skew, multiple partitions)."""
+    rng = np.random.default_rng(17)
+    items = [f"t{int(i)}" for i in rng.zipf(1.5, 20000) if i < 1000]
+    df = spark.createDataFrame([(it,) for it in items], "v string").repartition(8)
+    got = {
+        r["item"]: r["freq"]
+        for r in SK.heavy_hitters(df, "v", threshold=0.01).collect()
+    }
+    from collections import Counter
+
+    cnt = Counter(items)
+    exp = {it: c for it, c in cnt.items() if c > 0.01 * len(items)}
+    assert got == exp
+
+
+def test_heavy_hitters_grouped(spark):
+    rows = (
+        [("a", "hot") for _ in range(500)]
+        + [("a", f"c{i}") for i in range(400)]
+        + [("b", "warm") for _ in range(200)]
+        + [("b", f"d{i}") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "g string, v string").repartition(4)
+    got = {
+        (r["g"], r["item"]): r["freq"]
+        for r in SK.heavy_hitters(df, "v", by=["g"], threshold=0.2).collect()
+    }
+    assert got == {("a", "hot"): 500, ("b", "warm"): 200}
