@@ -1,0 +1,73 @@
+"""Deterministic sampling and dataset splitting for corpus curation.
+
+`df.sample`/`sampleBy` draw from rand(seed) streams that depend on
+partition assignment — rerun the job with a different input layout and
+you get a different sample.  Reproducible pipelines (train/eval splits
+that must survive re-partitioning, incremental reruns, engine changes)
+need CONTENT-KEYED sampling: a row's fate depends only on its id.
+
+Both operators hash with md5 (engine-neutral — any SQL engine
+reproduces the exact same subset) and are pure JVM column expressions:
+the sample decision is `u(id) < rate` where u(id) maps the first 13 hex
+chars (52 bits) of md5(salt||id) into [0, 1).  Filters stay in the scan
+stage (predicate on a scalar expression), so Catalyst pushes projection
+pruning through and no shuffle is introduced.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_HEX13 = float(16**13)
+
+
+def _unit_hash(id_col: Column, salt: str) -> Column:
+    """Deterministic u(id) in [0, 1): 52-bit md5 prefix / 16^13."""
+    h = F.md5(F.concat(F.lit(salt + ":"), id_col.cast("string")))
+    return F.conv(F.substring(h, 1, 13), 16, 10).cast("double") / F.lit(_HEX13)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    id_col: str,
+    rate: float,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep ~`rate` of rows, decided solely by md5(salt||id) — identical
+    subset on any engine, partitioning, or cluster size.  Distinct salts
+    draw independent samples (e.g. nested subsampling)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    return df.filter(_unit_hash(F.col(id_col), salt) < F.lit(float(rate)))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Sequence[float],
+    labels: Sequence[str] = ("train", "val", "test"),
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to one of `labels` with probabilities `weights`
+    (normalized), keyed by md5(salt||id): the canonical reproducible
+    train/val/test split.  A document keeps its split across reruns,
+    repartitions, and incremental corpus growth — the property random
+    splits lose."""
+    if len(weights) != len(labels):
+        raise ValueError("weights and labels must have equal length")
+    total = float(sum(weights))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    u = _unit_hash(F.col(id_col), salt)
+    bounds = []
+    acc = 0.0
+    for w in weights[:-1]:
+        acc += w / total
+        bounds.append(acc)
+    expr: Column = F.lit(labels[-1])
+    for b, lab in zip(reversed(bounds), reversed(labels[:-1])):
+        expr = F.when(u < F.lit(b), F.lit(lab)).otherwise(expr)
+    return df.withColumn(out_col, expr)

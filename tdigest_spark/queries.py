@@ -977,6 +977,49 @@ FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
 """
 
 
+SPLIT_WEIGHTS = (8, 1, 1)
+SAMPLE_RATE = 0.1
+
+
+def q_doc_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-keyed sampling + train/val/test split
+    (operators/sampling.py): a row's fate depends only on md5 of its id,
+    so the subset/split is identical across engines, partitionings, and
+    corpus growth — the reproducibility property rand(seed)-based
+    df.sample loses.  Pure JVM scan-stage expressions; DuckDB reproduces
+    the exact same assignment."""
+    from .operators.sampling import _unit_hash, hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = hash_split(docs, "doc_id", SPLIT_WEIGHTS)
+    return out.withColumn(
+        "in_sample",
+        _unit_hash(F.col("doc_id"), "sample") < F.lit(SAMPLE_RATE),
+    ).select("doc_id", "split", "in_sample")
+
+
+def _sql_doc_split_sample() -> str:
+    total = float(sum(SPLIT_WEIGHTS))
+    b1 = SPLIT_WEIGHTS[0] / total
+    b2 = b1 + SPLIT_WEIGHTS[1] / total  # same float accumulation as Python
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+           / CAST({float(16**13)!r} AS DOUBLE) AS us,
+         ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+           / CAST({float(16**13)!r} AS DOUBLE) AS up
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN us < {b1!r} THEN 'train'
+            WHEN us < {b2!r} THEN 'val'
+            ELSE 'test' END AS split,
+       up < {SAMPLE_RATE!r} AS in_sample
+FROM u
+"""
+
+
 HH_THRESHOLD = 0.005
 
 
@@ -1766,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
+        "doc_split_sample": q_doc_split_sample,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1815,6 +1859,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": _SQL_EVENTS_ASOF_JOIN,
         "events_range_join": _SQL_EVENTS_RANGE_JOIN,
         "heavy_hitter_tokens": _SQL_HEAVY_HITTER_TOKENS,
+        "doc_split_sample": _sql_doc_split_sample(),
         "doc_token_stats": _sql_doc_token_stats(),
         "doc_quality": _sql_doc_quality(),
         "doc_fingerprint": _SQL_DOC_FINGERPRINT,
