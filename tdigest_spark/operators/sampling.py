@@ -71,3 +71,40 @@ def hash_split(
     for b, lab in zip(reversed(bounds), reversed(labels[:-1])):
         expr = F.when(u < F.lit(b), F.lit(lab)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+def deterministic_fixed_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    salt: str = "sample",
+) -> DataFrame:
+    """EXACTLY k rows (the k smallest hash values) — the deterministic
+    twin of reservoir sampling.  Uniform over ids, stable under
+    partitioning/engine, and monotone under corpus growth in the
+    reservoir sense (a new row evicts at most one old member).  Plan:
+    per-partition top-k then a single k-row merge (Spark's TakeOrdered),
+    no full sort, no shuffle of non-candidates."""
+    u = _unit_hash(F.col(id_col), salt)
+    return (
+        df.withColumn("__u", u).orderBy("__u").limit(int(k)).drop("__u")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict,
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic rates (e.g. downsample the Zipf-head
+    language, keep the tail): row kept iff u(id) < rates[stratum].
+    Same content-keyed stability as deterministic_sample; the rate map
+    is a literal CASE chain, so the filter stays in the scan stage."""
+    u = _unit_hash(F.col(id_col), salt)
+    rate: Column = F.lit(float(default_rate))
+    for s, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == s, F.lit(float(r))).otherwise(rate)
+    return df.filter(u < rate)

@@ -988,14 +988,24 @@ def q_doc_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus growth — the reproducibility property rand(seed)-based
     df.sample loses.  Pure JVM scan-stage expressions; DuckDB reproduces
     the exact same assignment."""
+    from pyspark.sql import Window
+
     from .operators.sampling import _unit_hash, hash_split
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     out = hash_split(docs, "doc_id", SPLIT_WEIGHTS)
-    return out.withColumn(
-        "in_sample",
-        _unit_hash(F.col("doc_id"), "sample") < F.lit(SAMPLE_RATE),
-    ).select("doc_id", "split", "in_sample")
+    u = _unit_hash(F.col("doc_id"), "sample")
+    strat_rate = F.when(F.col("lang") == "en", F.lit(0.05)).otherwise(F.lit(0.2))
+    out = (
+        out.withColumn("in_sample", u < F.lit(SAMPLE_RATE))
+        .withColumn("in_stratified", u < strat_rate)
+        .withColumn("__u", u)
+    )
+    # fixed-k membership (the deterministic_fixed_sample criterion, as a
+    # flag column so every doc_id stays in the output)
+    rk = F.row_number().over(Window.orderBy("__u"))
+    out = out.withColumn("in_top50", rk <= 50)
+    return out.select("doc_id", "split", "in_sample", "in_stratified", "in_top50")
 
 
 def _sql_doc_split_sample() -> str:
@@ -1004,7 +1014,7 @@ def _sql_doc_split_sample() -> str:
     b2 = b1 + SPLIT_WEIGHTS[1] / total  # same float accumulation as Python
     return f"""
 WITH u AS (
-  SELECT doc_id,
+  SELECT doc_id, lang,
          ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
            / CAST({float(16**13)!r} AS DOUBLE) AS us,
          ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
@@ -1015,7 +1025,9 @@ SELECT doc_id,
        CASE WHEN us < {b1!r} THEN 'train'
             WHEN us < {b2!r} THEN 'val'
             ELSE 'test' END AS split,
-       up < {SAMPLE_RATE!r} AS in_sample
+       up < {SAMPLE_RATE!r} AS in_sample,
+       up < (CASE WHEN lang = 'en' THEN 0.05 ELSE 0.2 END) AS in_stratified,
+       row_number() OVER (ORDER BY up) <= 50 AS in_top50
 FROM u
 """
 

@@ -43,3 +43,34 @@ def test_hash_split_partition_and_growth_stable(spark):
         for r in hash_split(bigger, "doc_id", (8, 1, 1)).collect()
     }
     assert all(grown[k] == v for k, v in full.items())
+
+
+def test_fixed_sample_exact_k_and_stable(spark):
+    df = spark.range(5_000).withColumnRenamed("id", "doc_id")
+    from tdigest_spark.operators.sampling import deterministic_fixed_sample
+
+    s1 = {r["doc_id"] for r in deterministic_fixed_sample(df, "doc_id", 100).collect()}
+    s2 = {
+        r["doc_id"]
+        for r in deterministic_fixed_sample(df.repartition(13), "doc_id", 100).collect()
+    }
+    assert len(s1) == 100 and s1 == s2
+    # reservoir property under growth: at most k changes, supersets keep
+    # most members
+    bigger = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    s3 = {
+        r["doc_id"]
+        for r in deterministic_fixed_sample(bigger, "doc_id", 100).collect()
+    }
+    assert len(s3) == 100 and len(s1 & s3) > 30  # ~50 expected
+
+
+def test_stratified_sample_rates(spark):
+    from tdigest_spark.operators.sampling import stratified_sample
+
+    rows = [("en", i) for i in range(8000)] + [("de", i + 10_000) for i in range(2000)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    out = stratified_sample(df, "doc_id", "lang", {"en": 0.05, "de": 0.5}).collect()
+    n_en = sum(1 for r in out if r["lang"] == "en")
+    n_de = sum(1 for r in out if r["lang"] == "de")
+    assert 250 < n_en < 550 and 850 < n_de < 1150
