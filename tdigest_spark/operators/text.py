@@ -102,6 +102,11 @@ def quality_score(
             (F.col("n_stopwords").cast("double") / F.col("n_tokens")),
         )
         .withColumn("alpha_ratio", alpha.cast("double") / nch)
+        .withColumn(
+            "mean_token_len",
+            (nch - (F.col("n_tokens") - F.lit(1))).cast("double")
+            / F.col("n_tokens"),
+        )
     )
 
 

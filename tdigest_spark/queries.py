@@ -1099,7 +1099,7 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return quality_score(docs).select(
         "doc_id", "n_tokens", "n_stopwords", "n_chars_text",
-        "stopword_ratio", "alpha_ratio",
+        "stopword_ratio", "alpha_ratio", "mean_token_len",
     )
 
 
@@ -1119,7 +1119,9 @@ SELECT doc_id,
        CAST(len(list_filter(toks, tk -> list_contains({sw}, tk))) AS DOUBLE)
          / len(toks) AS stopword_ratio,
        CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-         / length(text) AS alpha_ratio
+         / length(text) AS alpha_ratio,
+       CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks)
+         AS mean_token_len
 FROM t
 """
 
