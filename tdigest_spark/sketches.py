@@ -393,6 +393,7 @@ def heavy_hitters(
     by: Sequence[str] = (),
     threshold: float = 0.005,
     counters: int | None = None,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """EXACT frequent items above `threshold` (fraction of rows), found
     with the two-pass Misra-Gries pattern — the 100 TB heavy-hitter
@@ -477,8 +478,14 @@ def heavy_hitters(
 
     candidates = sdf.mapInPandas(mg_partition, schema=cand_schema).distinct()
 
+    # candidate cardinality <= n_partitions x counters; broadcast is right
+    # for normal thresholds (hundreds of survivors/partition, KBs), but a
+    # very low threshold over many partitions can outgrow the driver —
+    # then let the optimizer pick a shuffle semi-join instead
+    if broadcast_candidates:
+        candidates = F.broadcast(candidates)
     counted = (
-        sdf.join(F.broadcast(candidates), [*keys, "__item"], "left_semi")
+        sdf.join(candidates, [*keys, "__item"], "left_semi")
         .groupBy(*keys, "__item")
         .agg(F.count("*").alias("freq"))
     )
