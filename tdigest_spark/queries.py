@@ -1148,6 +1148,39 @@ FROM t
 """
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (duplicate-token ratio, most-
+    frequent-bigram mass) — pure JVM array algebra over one bound token
+    projection; exact integer rationals on both engines."""
+    from .operators.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs).select(
+        "doc_id", "dup_token_ratio", "top_bigram_frac"
+    )
+
+
+_SQL_DOC_REPETITION = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk != '') AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, toks,
+         (CASE WHEN len(toks) >= 2
+               THEN [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]
+               ELSE [array_to_string(toks, ' ')] END) AS bi
+  FROM t
+)
+SELECT doc_id,
+       1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         AS dup_token_ratio,
+       CAST(list_max(list_transform(list_distinct(bi),
+                                    x -> len(list_filter(bi, y -> y = x))))
+            AS DOUBLE) / len(bi) AS top_bigram_frac
+FROM b
+"""
+
+
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish (GPT-2 pre-tokenizer) token counting — the second half of
     the brief's token-counting pair (whitespace counts: doc_token_stats).
@@ -1827,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_repetition": q_doc_repetition,
         "bpe_token_stats": q_bpe_token_stats,
         "language_id": q_language_id,
         "source_set_ops": q_source_set_ops,
@@ -1877,6 +1911,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_stats": _sql_doc_token_stats(),
         "doc_quality": _sql_doc_quality(),
         "doc_fingerprint": _SQL_DOC_FINGERPRINT,
+        "doc_repetition": _SQL_DOC_REPETITION,
         "bpe_token_stats": _sql_bpe_token_stats(),
         "language_id": _sql_language_id(),
         "source_set_ops": _SQL_SOURCE_SET_OPS,
