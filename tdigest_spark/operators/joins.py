@@ -64,10 +64,10 @@ def asof_join(
 
     Scale note: parallelism is the `by` cardinality (the window's
     partitionBy).  With `by=()` or a handful of groups the whole stream
-    sorts inside one task per group — for a global as-of join at scale,
-    range-partition by time first and run per-bucket joins with the
-    previous bucket's last right row carried in (not implemented here;
-    every practical corpus use keys by user/host/entity).
+    sorts inside one task per group — for a global as-of join at scale
+    use `asof_join_global`, which time-buckets the stream and carries
+    the previous bucket's last right row in (same semantics, tested
+    equal; parallelism = number of buckets).
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -168,3 +168,120 @@ def range_join(
         & (F.col(point_col) < F.col(end_col))
     )
     return joined.drop("__bucket")
+
+
+def asof_join_global(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    bucket: str = "1 hour",
+    right_cols: Sequence[str] | None = None,
+    suffix: str = "_right",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """GLOBAL as-of join (no group key) that stays parallel at scale.
+
+    `asof_join` with `by=()` sorts the whole stream inside one window
+    task.  This formulation buckets the timeline at `bucket` width so
+    parallelism is the number of buckets:
+
+    1. per bucket, the plain tagged-union window carry-forward runs
+       independently (partitionBy the bucket id);
+    2. rows preceding their bucket's first right row take the CARRY-IN:
+       the last right payload of any earlier bucket, computed from a
+       per-bucket summary (one tiny row per non-empty right bucket —
+       the only single-partition window runs over that KB-sized table)
+       and broadcast back.
+
+    direction="forward" reuses the same machinery on negated
+    timestamps (earliest-at-or-after == latest-at-or-before under
+    negation).  Semantics identical to `asof_join(by=())` — tested
+    equal — including tolerance and LEFT-join NULLs.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c != ts_col]
+    sign = 1 if direction == "backward" else -1
+    bucket_us = _interval_us(bucket)
+
+    key = (F.unix_micros(F.col(ts_col).cast("timestamp")) * sign).alias("__k")
+    payload = F.struct(
+        F.col(ts_col).alias("__ts"), *[F.col(c) for c in right_cols]
+    )
+    r = right.select(key, F.lit(0).alias(_TAG), payload.alias(_PAYLOAD))
+    left_cols = left.columns
+    l = left.select(
+        *left_cols,
+        key,
+        F.lit(1).alias(_TAG),
+        F.lit(None).cast(r.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+    )
+    u = l.unionByName(r, allowMissingColumns=True).withColumn(
+        "__b", F.floor(F.col("__k") / F.lit(bucket_us))
+    )
+
+    # per-bucket last right payload; buckets then need the carry from
+    # the nearest EARLIER right bucket.  The summary is one row per
+    # non-empty right bucket (KB-sized), so a broadcast range lookup per
+    # distinct bucket is exact and cheap.
+    rb = r.withColumn("__b", F.floor(F.col("__k") / F.lit(bucket_us)))
+    summary = rb.groupBy("__b").agg(F.max_by(_PAYLOAD, "__k").alias("__last"))
+    lb = u.select("__b").distinct()
+    carry_all = (
+        lb.join(
+            F.broadcast(
+                summary.select(
+                    F.col("__b").alias("__sb"), F.col("__last")
+                )
+            ),
+            F.col("__sb") < F.col("__b"),
+            "left",
+        )
+        .groupBy("__b")
+        .agg(F.max_by("__last", "__sb").alias("__carry"))
+    )
+
+    w = (
+        Window.partitionBy("__b")
+        .orderBy("__k", _TAG)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        u.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))
+        .filter(F.col(_TAG) == 1)
+        .join(F.broadcast(carry_all), "__b", "left")
+        .withColumn(_PAYLOAD, F.coalesce(F.col(_PAYLOAD), F.col("__carry")))
+    )
+
+    matched_ts = F.col(f"{_PAYLOAD}.__ts")
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.unix_micros(matched_ts.cast("timestamp"))
+        )
+        carried = carried.withColumn(
+            _PAYLOAD,
+            F.when(
+                gap <= int(tolerance_seconds * 1_000_000), F.col(_PAYLOAD)
+            ),
+        )
+
+    out_cols = [F.col(c) for c in left_cols]
+    out_cols.append(F.col(f"{_PAYLOAD}.__ts").alias(f"{ts_col}{suffix}"))
+    out_cols += [
+        F.col(f"{_PAYLOAD}.{c}").alias(f"{c}{suffix}") for c in right_cols
+    ]
+    return carried.select(*out_cols)
+
+
+def _interval_us(interval: str) -> int:
+    qty, unit = interval.split()
+    mult = {
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+        "day": 86400, "days": 86400,
+    }[unit]
+    return int(qty) * mult * 1_000_000

@@ -126,3 +126,27 @@ def test_range_join_matches_naive(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_global_bucketed_equals_single_window(spark, frames, direction):
+    """asof_join_global (time-bucketed, parallel) == asof_join(by=())
+    (single window), including rows before any right row and tolerance."""
+    from tdigest_spark.operators.joins import asof_join_global
+
+    lpdf, rpdf = frames
+    l = spark.createDataFrame(lpdf.drop(columns=["g"]))
+    r = spark.createDataFrame(rpdf.drop(columns=["g"]).drop_duplicates("ts"))
+    for tol in (None, 600):
+        base = (
+            asof_join(l, r, "ts", by=(), direction=direction,
+                      tolerance_seconds=tol)
+            .toPandas().sort_values(["ts", "x"]).reset_index(drop=True)
+        )
+        got = (
+            asof_join_global(l, r, "ts", bucket="1 hour",
+                             direction=direction, tolerance_seconds=tol)
+            .toPandas().sort_values(["ts", "x"]).reset_index(drop=True)
+        )
+        assert got["y_right"].fillna(-1).tolist() == base["y_right"].fillna(-1).tolist(), (direction, tol)
+        assert got["ts_right"].fillna(0).tolist() == base["ts_right"].fillna(0).tolist()
