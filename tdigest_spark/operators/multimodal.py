@@ -225,3 +225,115 @@ def binary_meta(
         F.octet_length(b).cast("long").alias("n_bytes"),
         F.md5(b).alias("content_md5"),
     )
+
+
+def ahash_images(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    decoder: str = "fake",
+) -> DataFrame:
+    """Perceptual average-hash (aHash) per image: resize to 8x8 by block
+    mean, threshold at the mean, pack 64 bits as a 16-hex string —
+    visually-near-identical images land within a few bits.
+
+    The decode+hash is Arrow-batched `mapInPandas` (the only Python is
+    NumPy over decoded pixel arrays); everything downstream is JVM:
+    the returned (id, ahash) frame plugs straight into
+    `dedup.simhash_near_pairs`-style 16-bit-chunk blocking via
+    `ahash_near_pairs`.  `decoder="strict"` is the real-codec wiring
+    point (PIL/ffmpeg absent in this container) and raises."""
+    if decoder == "strict":
+        raise NotImplementedError(
+            "strict decoding needs a real image codec; wire PIL here"
+        )
+    sdf = df.select(F.col(id_col), F.col(media_col).alias("__media"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, blob in zip(pdf[id_col], pdf["__media"]):
+                try:
+                    w, h, fr, payload = decode_fake(bytes(blob))
+                except (ValueError, struct.error):
+                    continue
+                img = payload[: w * h].astype(np.float64)
+                if img.size < w * h:
+                    continue
+                img = img.reshape(h, w)
+                # 8x8 block means (integer block edges; edge blocks absorb
+                # the remainder)
+                ys = np.linspace(0, h, 9, dtype=np.int64)
+                xs = np.linspace(0, w, 9, dtype=np.int64)
+                cells = np.empty((8, 8))
+                for r in range(8):
+                    for c in range(8):
+                        cells[r, c] = img[ys[r]:ys[r + 1], xs[c]:xs[c + 1]].mean()
+                bits = (cells >= cells.mean()).flatten()
+                v = 0
+                for b in bits:
+                    v = (v << 1) | int(b)
+                ids.append(int(i))
+                hashes.append(format(v, "016x"))
+            yield pd.DataFrame({id_col: ids, "ahash": hashes})
+
+    return sdf.mapInPandas(run, schema=f"{id_col} long, ahash string")
+
+
+def ahash_near_pairs(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate image pairs from aHash signatures: identical
+    pigeonhole blocking + bucket-guard + exact hamming verification as
+    text SimHash — the signatures share the 16-hex shape, so the dedup
+    machinery is reused rather than reimplemented."""
+    from .dedup import _bounded_buckets
+
+    if max_hamming > 3:
+        raise ValueError(
+            "4-chunk pigeonhole blocking only guarantees completeness for "
+            f"max_hamming <= 3 (got {max_hamming})"
+        )
+    chunks = hashed.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.concat(F.lit(f"{c}:"), F.substring("ahash", c * 4 + 1, 4))
+                for c in range(4)
+            ])
+        ).alias("chunk"),
+    )
+    buckets = _bounded_buckets(chunks, ("chunk",), id_col, max_bucket)
+    pairs = F.flatten(
+        F.transform(
+            "__ids",
+            lambda a, i: F.transform(
+                F.slice("__ids", i + 2, F.size("__ids")),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    a = hashed.select(F.col(id_col).alias("id_a"), F.col("ahash").alias("__ha"))
+    b = hashed.select(F.col(id_col).alias("id_b"), F.col("ahash").alias("__hb"))
+    nib_xor = F.transform(
+        F.sequence(F.lit(1), F.lit(16)),
+        lambda i: F.bit_count(
+            F.conv(F.substring("__ha", i, 1), 16, 10).cast("long")
+            .bitwiseXOR(F.conv(F.substring("__hb", i, 1), 16, 10).cast("long"))
+        ),
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("hamming", F.aggregate(nib_xor, F.lit(0), lambda acc, x: acc + x))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

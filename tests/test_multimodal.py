@@ -97,3 +97,50 @@ def test_binary_meta(spark):
     import hashlib
 
     assert out[0]["content_md5"] == hashlib.md5(b"hello").hexdigest()
+
+
+def test_ahash_near_dup_images(spark):
+    """aHash near-pairs: an image with light noise hashes within 3 bits
+    of its original; unrelated images do not pair."""
+    import numpy as np
+
+    from tdigest_spark.operators.multimodal import (
+        MAGIC,
+        ahash_images,
+        ahash_near_pairs,
+        decode_fake,
+        fake_media_bytes,
+    )
+    import struct as _struct
+
+    def noisy_twin(blob: bytes, flips: int, seed: int) -> bytes:
+        w, h, fr, payload = decode_fake(blob)
+        rng = np.random.RandomState(seed)
+        p = payload.copy()
+        idx = rng.choice(p.size, size=flips, replace=False)
+        p[idx] = (p[idx].astype(int) + 8).clip(0, 255).astype(np.uint8)
+        head = _struct.pack("<4sBIII", MAGIC, 0, w, h, fr)
+        return head + p.tobytes()
+
+    rows = []
+    for i in range(40):
+        blob = fake_media_bytes(seed=1000 + i)
+        rows.append((i, bytearray(blob)))
+        if i % 4 == 0:  # light-noise twin: tiny perturbation
+            rows.append((1000 + i, bytearray(noisy_twin(blob, flips=3, seed=i))))
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+
+    hashed = ahash_images(df, "media", "doc_id")
+    assert hashed.count() == len(rows)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ahash_near_pairs(hashed, "doc_id", max_hamming=3).collect()
+    }
+    # every twin pairs with its original
+    expected = {(i, 1000 + i) for i in range(0, 40, 4)}
+    assert expected <= pairs
+    # no cross-image false pairs among the originals
+    false_pairs = {
+        (a, b) for a, b in pairs if a < 1000 and b < 1000
+    }
+    assert not false_pairs
