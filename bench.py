@@ -209,6 +209,13 @@ def main() -> None:
 
     bench("hll_distinct_users", hll)
 
+    # 9b. as-of join: 100k events to per-(user, day) markers — the
+    #     single-shuffle tagged-union formulation (no Join node)
+    bench(
+        "events_asof_join",
+        lambda: Q.q_events_asof_join(spark, SF_DIR).count(),
+    )
+
     # 10. KLL grouped quantiles (second quantile sketch family)
     def kll():
         from tdigest_spark.kll import kll_by, kll_quantile_udf
