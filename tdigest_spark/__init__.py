@@ -8,10 +8,21 @@ Arrow-vectorized pandas UDFs, merged associatively, and queried through
 registered SQL functions — no per-row Python anywhere.
 
 Public surface:
-- core.MergingDigest / histogram.LogHistogram: the NumPy sketch algebra
-- operators.digest: build/merge/query digests over DataFrames
-- functions: registered SQL UDFs (tdigest_quantile, tdigest_cdf, ...)
-- operators.dedup / similarity / text: web-corpus pipeline operators
+- core.MergingDigest / histogram.LogHistogram / kll.KLL: NumPy sketch algebra
+- sketches: HLL, Count-Min, Bloom, KMV/theta set algebra, exact heavy
+  hitters — all-JVM mergeable aggregations
+- operators.digest: build/merge/query digests over DataFrames, incl.
+  one-pass multi-column profiling (digest_profile)
+- functions: registered SQL UDFs (tdigest_quantile, kll_quantile,
+  hll_estimate, kmv_estimate, ...)
+- operators.dedup / similarity / text / multimodal: web-corpus pipeline
+  operators (MinHash-LSH / SimHash / embedding / perceptual-hash dedup,
+  ANN, quality + repetition signals, language-ID, fingerprints)
+- operators.joins: as-of join (grouped + bucketed global) and range join
+- operators.sampling: deterministic content-keyed samples and
+  train/val/test splits
+- streaming: stateful digests, event-time windowed digests + HLL,
+  streaming exact dedup
 - sources.webpages: deterministic Common-Crawl-style table synthesis
 - checkpoint: resumable per-split digest builds with lineage
 """
