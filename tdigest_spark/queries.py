@@ -950,6 +950,39 @@ SELECT e.event_id, e.user_id, m.mts AS ts_marker, CAST(m.n_day AS BIGINT) AS n_d
 FROM events e ASOF LEFT JOIN m ON e.user_id = m.user_id AND e.ts >= m.mts
 """
 
+def q_events_asof_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL as-of join (no group key) through the time-bucketed
+    formulation (asof_join_global: per-bucket windows + cross-bucket
+    carry-in, parallelism = n_buckets) — every event matched to the most
+    recent global hourly marker at or before it; DuckDB's native ASOF
+    LEFT JOIN is the oracle."""
+    from .operators.joins import asof_join_global
+
+    ev = load_table(spark, sf_dir, "events")
+    markers = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("ts"))
+        .agg(F.count("*").alias("n_hour"))
+    )
+    out = asof_join_global(
+        ev.select("event_id", "ts"), markers, "ts", bucket="6 hours"
+    )
+    return out.select(
+        "event_id",
+        F.col("ts_right").alias("ts_marker"),
+        F.col("n_hour_right").cast("long").alias("n_hour"),
+    )
+
+
+_SQL_EVENTS_ASOF_GLOBAL = """
+WITH m AS (
+  SELECT date_trunc('hour', ts) AS mts, count(*) AS n_hour
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, m.mts AS ts_marker, CAST(m.n_hour AS BIGINT) AS n_hour
+FROM events e ASOF LEFT JOIN m ON e.ts >= m.mts
+"""
+
+
 # irregular [lo, hi) value bands: width grows quadratically, so a naive
 # width-binning expression can't express the join — a true range join can
 RANGE_BANDS = [(i, float(i * i * 5), float((i + 1) * (i + 1) * 5)) for i in range(10)]
@@ -1855,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
+        "events_asof_global": q_events_asof_global,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "doc_split_sample": q_doc_split_sample,
         "doc_token_stats": q_doc_token_stats,
@@ -1906,6 +1940,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": _SQL_EVENTS_SESSIONS,
         "events_asof_join": _SQL_EVENTS_ASOF_JOIN,
         "events_range_join": _SQL_EVENTS_RANGE_JOIN,
+        "events_asof_global": _SQL_EVENTS_ASOF_GLOBAL,
         "heavy_hitter_tokens": _SQL_HEAVY_HITTER_TOKENS,
         "doc_split_sample": _sql_doc_split_sample(),
         "doc_token_stats": _sql_doc_token_stats(),
