@@ -224,23 +224,29 @@ def asof_join_global(
 
     # per-bucket last right payload; buckets then need the carry from
     # the nearest EARLIER right bucket.  The summary is one row per
-    # non-empty right bucket (KB-sized), so a broadcast range lookup per
-    # distinct bucket is exact and cheap.
+    # non-empty right bucket (KB-sized); a running last(ignorenulls)
+    # window over the union of summary and needed buckets resolves every
+    # carry in one O(B log B) sort — no inequality join (which Spark
+    # executes as a BroadcastNestedLoopJoin, O(B^2) in bucket count: fine
+    # at hour grain, quadratic if a caller picks minute buckets over
+    # years).  Tag order puts the needing bucket BEFORE its own summary
+    # row, so a bucket's carry comes from strictly earlier buckets only.
     rb = r.withColumn("__b", F.floor(F.col("__k") / F.lit(bucket_us)))
     summary = rb.groupBy("__b").agg(F.max_by(_PAYLOAD, "__k").alias("__last"))
-    lb = u.select("__b").distinct()
+    payload_t = r.schema[_PAYLOAD].dataType
+    need = u.select("__b").distinct().select(
+        "__b", F.lit(0).alias(_TAG), F.lit(None).cast(payload_t).alias("__last")
+    )
+    cw = (
+        Window.orderBy("__b", _TAG)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     carry_all = (
-        lb.join(
-            F.broadcast(
-                summary.select(
-                    F.col("__b").alias("__sb"), F.col("__last")
-                )
-            ),
-            F.col("__sb") < F.col("__b"),
-            "left",
-        )
-        .groupBy("__b")
-        .agg(F.max_by("__last", "__sb").alias("__carry"))
+        summary.select("__b", F.lit(1).alias(_TAG), "__last")
+        .unionByName(need)
+        .withColumn("__carry", F.last("__last", ignorenulls=True).over(cw))
+        .filter(F.col(_TAG) == 0)
+        .select("__b", "__carry")
     )
 
     w = (

@@ -270,38 +270,54 @@ def repetition_stats(
     - top_bigram_frac: occurrences of the most frequent word bigram /
       total bigrams (template/keyword-stuffing detector)
 
-    Plan: dup_token_ratio is linear array algebra in the scan stage; the
-    bigram mode count explodes bigrams and runs two partial-aggregating
-    groupBys keyed by doc (count per (doc, bigram), then max per doc) —
-    the LINEAR formulation.  The tempting no-shuffle alternative
+    Returns the NARROW frame (id_col, dup_token_ratio, top_bigram_frac),
+    one row per input row — the `language_id` shape.  Documents whose
+    text is NULL keep their row with NULL metrics (left join back onto
+    the id projection; the operator never changes cardinality).
+
+    Plan: both metrics ride ONE pipeline — a narrow (id, text)
+    projection tokenizes in the scan stage, dup_token_ratio (linear
+    array algebra) travels alongside the exploded bigrams, and a single
+    partial-aggregating groupBy chain computes count per (doc, bigram)
+    then max/sum per doc.  The total-bigram denominator is sum(count),
+    so no frame is ever joined back through the corpus: the only join is
+    (id) ⨝ (id, two doubles).  The text column never crosses a shuffle —
+    asserted in test_plans.  The tempting no-shuffle mode count
     (`transform(array_distinct(bi), b -> size(filter(bi, = b)))`) is
     O(distinct x n) per document — quadratic in doc length; measured 7s
     for 5k docs and unusable on 10k-token pages.  Exact integer
     rationals, so the columns hash-match any SQL engine.
     """
-    with_toks = df.withColumn("__rs_toks", tokens_col(text_col))
-    with_bi = with_toks.withColumn(
-        "__rs_bi", shingles_from_tokens(F.col("__rs_toks"), 2)
+    narrow = df.select(F.col(id_col), F.col(text_col)).filter(
+        F.col(text_col).isNotNull()
     )
-    base = with_bi.withColumn(
-        "dup_token_ratio",
-        F.lit(1.0)
-        - F.size(F.array_distinct("__rs_toks")).cast("double")
-        / F.size("__rs_toks"),
-    ).withColumn("__rs_nbi", F.size("__rs_bi"))
-    top = (
-        base.select(F.col(id_col), F.explode("__rs_bi").alias("__bg"))
-        .groupBy(id_col, "__bg")
-        .agg(F.count("*").alias("__c"))
-        .groupBy(id_col)
-        .agg(F.max("__c").alias("__top"))
+    with_toks = narrow.withColumn("__rs_toks", tokens_col(text_col))
+    base = with_toks.select(
+        F.col(id_col),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("__rs_toks")).cast("double")
+            / F.size("__rs_toks")
+        ).alias("__dtr"),
+        shingles_from_tokens(F.col("__rs_toks"), 2).alias("__rs_bi"),
     )
-    return (
-        base.drop("__rs_toks", "__rs_bi")
-        .join(top, id_col)
-        .withColumn(
-            "top_bigram_frac",
-            F.col("__top").cast("double") / F.col("__rs_nbi"),
+    # explode_OUTER: not for semantics (the bigram array is never empty
+    # when text is non-null) but to suppress InferFiltersFromGenerate,
+    # which would push a `size(bigrams) > 0` constraint below the token
+    # projection — inlining the token split into the per-index shingle
+    # lambda, the O(tokens²)-per-doc pitfall this module documents.
+    metrics = (
+        base.select(
+            F.col(id_col), "__dtr", F.explode_outer("__rs_bi").alias("__bg")
         )
-        .drop("__top", "__rs_nbi")
+        .groupBy(id_col, "__bg")
+        .agg(F.count("*").alias("__c"), F.first("__dtr").alias("__dtr1"))
+        .groupBy(id_col)
+        .agg(
+            F.first("__dtr1").alias("dup_token_ratio"),
+            (F.max("__c").cast("double") / F.sum("__c")).alias(
+                "top_bigram_frac"
+            ),
+        )
     )
+    return df.select(id_col).join(metrics, id_col, "left")

@@ -1196,21 +1196,24 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_DOC_REPETITION = """
 WITH t AS (
   SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk != '') AS toks
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), b AS (
   SELECT doc_id, toks,
          (CASE WHEN len(toks) >= 2
                THEN [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]
                ELSE [array_to_string(toks, ' ')] END) AS bi
   FROM t
+), m AS (
+  SELECT doc_id,
+         1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+           AS dup_token_ratio,
+         CAST(list_max(list_transform(list_distinct(bi),
+                                      x -> len(list_filter(bi, y -> y = x))))
+              AS DOUBLE) / len(bi) AS top_bigram_frac
+  FROM b
 )
-SELECT doc_id,
-       1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
-         AS dup_token_ratio,
-       CAST(list_max(list_transform(list_distinct(bi),
-                                    x -> len(list_filter(bi, y -> y = x))))
-            AS DOUBLE) / len(bi) AS top_bigram_frac
-FROM b
+SELECT d.doc_id, m.dup_token_ratio, m.top_bigram_frac
+FROM documents d LEFT JOIN m USING (doc_id)
 """
 
 

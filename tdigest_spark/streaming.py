@@ -179,7 +179,9 @@ def windowed_digest_by(
             F.col(value_col).cast("double").alias("__v"),
             F.explode(starts).alias("window_start"),
         )
-        .filter(F.col("window_start") >= 0)
+        # window starts are plain epoch-second longs; negative values
+        # (events within `window` of 1970-01-01, or pre-epoch timestamps)
+        # are valid group keys — no filter, every pane is kept
     )
 
     def update(
@@ -421,7 +423,8 @@ def windowed_hll_by(
             _rho_from_hex(F.substring(h, p // 4 + 1, 13)).alias("__rho"),
             F.explode(starts).alias("window_start"),
         )
-        .filter(F.col("window_start") >= 0)
+        # negative (pre-epoch-adjacent) window starts are valid keys; see
+        # windowed_digest_by
     )
 
     def update(

@@ -119,6 +119,43 @@ def test_estimated_jaccard_verification_reads_no_text(docs):
     release_cached()
 
 
+def test_repetition_stats_narrow_join_no_text(docs):
+    """repetition_stats joins only (id) ⨝ (id, two doubles): the text
+    column feeds the metric-aggregation scan and never crosses an
+    Exchange or the join, and no inferred generate-filter re-inlines the
+    token split (the O(tokens²)-per-doc pitfall)."""
+    from tdigest_spark.operators.text import repetition_stats
+
+    plan = explain_str(repetition_stats(docs))
+    # the id-projection scan reads doc_id only
+    read_schemas = [s.split("\n")[0] for s in plan.split("ReadSchema")[1:]]
+    assert any("text" not in s for s in read_schemas)
+    # formatted mode lists each node's attributes: no Exchange and no
+    # join node may carry the text column
+    for block in plan.split("\n\n"):
+        head = block.lstrip().split("\n")[0]
+        if head.startswith("(") and ("Exchange" in head or "Join" in head):
+            assert "text#" not in block, head
+    # InferFiltersFromGenerate would inline the token split per shingle
+    # index; explode_outer suppresses it
+    assert "slice(filter(split" not in plan
+
+
+def test_asof_global_carry_no_nested_loop(spark):
+    """asof_join_global's carry-in is a running window over the KB-sized
+    per-bucket summary — O(B log B); the inequality-join alternative
+    plans as a BroadcastNestedLoopJoin, O(B²) in bucket count."""
+    from tdigest_spark.operators.joins import asof_join_global
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    left = ev.select("event_id", "ts")
+    right = ev.select("ts", "value")
+    j = asof_join_global(left, right, "ts", bucket="1 hour")
+    plan = explain_str(j, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_broadcast_join_used(spark):
     orders = spark.read.parquet(f"{SF}/orders.parquet")
     cust = spark.read.parquet(f"{SF}/customer.parquet")

@@ -70,6 +70,35 @@ def test_golden_values():
     assert abs(K_3.k_cn(0.75, d, n) + d * np.log(0.5) / z3) < 1e-12
 
 
+REF_CSV = "/root/reference/test/ref.csv"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(REF_CSV), reason="reference ref.csv absent"
+)
+def test_golden_ref_csv():
+    """The reference's cross-implementation golden artifact: a
+    Java-t-digest-generated table of k_scale(q, 100, 10_000) for
+    K_0..K_3 at q = 0.00..1.00, checked at atol 1e-5 exactly as the
+    reference harness does (test/scale_function_tests.jl:72-80).  Unlike
+    the analytic spot checks below, these values share no formulas with
+    this implementation — they pin the port to the Java lineage."""
+    with open(REF_CSV) as f:
+        rows = [
+            line.strip().split(",")
+            for line in f
+            if line.strip() and not line.startswith("#")
+        ]
+    header = rows[0]
+    assert header == ["q", "K_0", "K_1", "K_2", "K_3"]
+    assert len(rows) == 101  # header + 100 q points (0.00..0.99)
+    for row in rows[1:]:
+        q = float(row[0])
+        for i, name in enumerate(header[1:], start=1):
+            got = float(SCALES[name].k_cn(q, 100, 10_000))
+            assert abs(got - float(row[i])) <= 1e-5, (name, q, got, row[i])
+
+
 def test_limit_clamps():
     # extreme q never yields inf/nan (scale_function_tests.jl:4-11)
     for scale in SCALES.values():

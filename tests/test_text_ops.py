@@ -86,3 +86,23 @@ def test_minhash_fingerprint_deterministic(spark):
         hashlib.md5(s.encode()).hexdigest() for s in ["a b c", "b c d", "c d e"]
     )
     assert fps[0] == exp
+
+
+def test_repetition_stats_values(spark):
+    rows = [
+        (0, "a b a b a b"),        # toks 6, distinct 2; bigrams: [a b]x3,[b a]x2 of 5
+        (1, "x y z"),              # all distinct; bigrams [x y],[y z] -> top 1/2
+        (2, "w"),                  # shorter than 2 -> one whole-text shingle
+        (3, None),                 # NULL text: row kept, NULL metrics
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.repetition_stats(df).collect()}
+    assert set(out) == {0, 1, 2, 3}  # cardinality preserved incl. NULL text
+    assert abs(out[0]["dup_token_ratio"] - (1 - 2 / 6)) < 1e-15
+    assert abs(out[0]["top_bigram_frac"] - 3 / 5) < 1e-15
+    assert out[1]["dup_token_ratio"] == 0.0
+    assert abs(out[1]["top_bigram_frac"] - 0.5) < 1e-15
+    assert out[2]["dup_token_ratio"] == 0.0
+    assert out[2]["top_bigram_frac"] == 1.0
+    assert out[3]["dup_token_ratio"] is None
+    assert out[3]["top_bigram_frac"] is None
