@@ -227,15 +227,59 @@ def binary_meta(
     )
 
 
+def ahash64_hex(blob: bytes) -> str | None:
+    """Pure-Python aHash of ONE FAKE1 image blob: resize to 8x8 by block
+    mean (integer block edges; edge blocks absorb the remainder),
+    threshold at the mean, pack 64 bits as a 16-hex string.  Returns
+    None for malformed/truncated blobs.
+
+    Shared by `ahash_images` (inside its Arrow batch loop) and by oracle
+    generators that need the identical value without a Spark session —
+    the hash is a pure function of the blob bytes."""
+    try:
+        w, h, _fr, payload = decode_fake(bytes(blob))
+    except (ValueError, struct.error):
+        return None
+    img = payload[: w * h].astype(np.float64)
+    if img.size < w * h:
+        return None
+    img = img.reshape(h, w)
+    ys = np.linspace(0, h, 9, dtype=np.int64)
+    xs = np.linspace(0, w, 9, dtype=np.int64)
+    cells = np.empty((8, 8))
+    for r in range(8):
+        for c in range(8):
+            cells[r, c] = img[ys[r]:ys[r + 1], xs[c]:xs[c + 1]].mean()
+    bits = (cells >= cells.mean()).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return format(v, "016x")
+
+
+def noisy_image_twin(blob: bytes, flips: int, seed: int) -> bytes:
+    """A lightly-perturbed copy of a FAKE1 image: `flips` pixels nudged
+    by +8 (deterministic under `seed`).  Perceptually near-identical —
+    its aHash lands within a few bits of the original's — so twins built
+    with this pair up under `ahash_near_pairs`."""
+    w, h, fr, payload = decode_fake(blob)
+    rng = np.random.RandomState(seed & 0x7FFFFFFF)
+    p = payload.copy()
+    idx = rng.choice(p.size, size=min(flips, p.size), replace=False)
+    p[idx] = (p[idx].astype(np.int64) + 8).clip(0, 255).astype(np.uint8)
+    head = struct.pack("<4sBIII", MAGIC, KIND_IMAGE, w, h, fr)
+    return head + p.tobytes()
+
+
 def ahash_images(
     df: DataFrame,
     media_col: str = "media",
     id_col: str = "doc_id",
     decoder: str = "fake",
 ) -> DataFrame:
-    """Perceptual average-hash (aHash) per image: resize to 8x8 by block
-    mean, threshold at the mean, pack 64 bits as a 16-hex string —
-    visually-near-identical images land within a few bits.
+    """Perceptual average-hash (aHash) per image — see `ahash64_hex` for
+    the hash itself; visually-near-identical images land within a few
+    bits.  Malformed blobs are skipped (their rows are dropped).
 
     The decode+hash is Arrow-batched `mapInPandas` (the only Python is
     NumPy over decoded pixel arrays); everything downstream is JVM:
@@ -253,28 +297,11 @@ def ahash_images(
         for pdf in batches:
             ids, hashes = [], []
             for i, blob in zip(pdf[id_col], pdf["__media"]):
-                try:
-                    w, h, fr, payload = decode_fake(bytes(blob))
-                except (ValueError, struct.error):
+                hx = ahash64_hex(blob)
+                if hx is None:
                     continue
-                img = payload[: w * h].astype(np.float64)
-                if img.size < w * h:
-                    continue
-                img = img.reshape(h, w)
-                # 8x8 block means (integer block edges; edge blocks absorb
-                # the remainder)
-                ys = np.linspace(0, h, 9, dtype=np.int64)
-                xs = np.linspace(0, w, 9, dtype=np.int64)
-                cells = np.empty((8, 8))
-                for r in range(8):
-                    for c in range(8):
-                        cells[r, c] = img[ys[r]:ys[r + 1], xs[c]:xs[c + 1]].mean()
-                bits = (cells >= cells.mean()).flatten()
-                v = 0
-                for b in bits:
-                    v = (v << 1) | int(b)
                 ids.append(int(i))
-                hashes.append(format(v, "016x"))
+                hashes.append(hx)
             yield pd.DataFrame({id_col: ids, "ahash": hashes})
 
     return sdf.mapInPandas(run, schema=f"{id_col} long, ahash string")
@@ -333,7 +360,10 @@ def ahash_near_pairs(
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("hamming", F.aggregate(nib_xor, F.lit(0), lambda acc, x: acc + x))
+        .withColumn(
+            "hamming",
+            F.aggregate(nib_xor, F.lit(0), lambda acc, x: acc + x).cast("long"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -1861,6 +1861,74 @@ FROM documents
 """
 
 
+# Deterministic image corpus for the gated perceptual-hash dedup: groups
+# of AHASH_GROUP consecutive doc_ids share one base image, non-zero group
+# members carry 1..4 nudged pixels (noisy twins).  Capped at AHASH_CAP
+# ids on BOTH engines so the query is sf-stable.
+AHASH_GROUP = 5
+AHASH_CAP = 2000
+
+
+def _ahash_blob(doc_id: int) -> bytes:
+    from .operators.multimodal import fake_media_bytes, noisy_image_twin
+
+    base = fake_media_bytes(seed=int(doc_id) // AHASH_GROUP)
+    k = int(doc_id) % AHASH_GROUP
+    return base if k == 0 else noisy_image_twin(base, flips=k, seed=int(doc_id))
+
+
+def q_ahash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup, gated end to end: deterministic FAKE1
+    images synthesized per doc_id, hashed by the Arrow-batched
+    `ahash_images` decode, paired by the chunk-blocked hamming engine.
+    The oracle receives the identical hashes (a pure function of doc_id,
+    recomputed without Spark — decode is Python-only by necessity) and
+    verifies the ENTIRE post-hash pair algebra with an all-pairs hamming
+    join, complete because pigeonhole blocking is exhaustive for
+    hamming<=3 and the sf corpus cannot trip the bucket guard."""
+    from .operators.multimodal import ahash_images, ahash_near_pairs
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < AHASH_CAP)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["media"] = [_ahash_blob(i) for i in pdf["doc_id"]]
+            yield pdf
+
+    media = docs.mapInPandas(gen, schema="doc_id long, media binary")
+    hashed = ahash_images(media, "media", "doc_id")
+    return ahash_near_pairs(
+        hashed, "doc_id", max_hamming=SIMHASH_MAX_HAMMING,
+        max_bucket=LSH_MAX_BUCKET,
+    )
+
+
+def _sql_ahash_near_pairs() -> str:
+    from .operators.multimodal import ahash64_hex
+
+    vals = ",".join(
+        f"({i},'{ahash64_hex(_ahash_blob(i))}')" for i in range(AHASH_CAP)
+    )
+    return f"""
+WITH h AS (
+  SELECT v.doc_id, v.ahash
+  FROM (VALUES {vals}) v(doc_id, ahash)
+  JOIN documents USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(('0x' || a.ahash)::UBIGINT,
+                          ('0x' || b.ahash)::UBIGINT)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(('0x' || a.ahash)::UBIGINT,
+                    ('0x' || b.ahash)::UBIGINT)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -1914,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "binary_meta": q_binary_meta,
+        "ahash_near_pairs": q_ahash_near_pairs,
     }
 
 
@@ -1966,6 +2035,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _sql_ann_lsh(),
         "ivf_topk": _SQL_IVF_TOPK,
         "binary_meta": _SQL_BINARY_META,
+        "ahash_near_pairs": _sql_ahash_near_pairs(),
     }
 
 
