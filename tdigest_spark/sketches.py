@@ -387,13 +387,21 @@ def kmv_intersect_est_col(
 # ------------------------------------------------------- heavy hitters
 
 
+# Above this many candidate rows (input partitions x MG counters), the
+# pass-2 verification switches from a broadcast semi-join to a shuffle
+# semi-join automatically: ~1M string rows is already tens of MB on the
+# driver, and a very low threshold over 10^5 partitions would otherwise
+# OOM it.
+_HH_BROADCAST_MAX_ROWS = 1_000_000
+
+
 def heavy_hitters(
     df: DataFrame,
     value_col,
     by: Sequence[str] = (),
     threshold: float = 0.005,
     counters: int | None = None,
-    broadcast_candidates: bool = True,
+    broadcast_candidates: bool | None = None,
 ) -> DataFrame:
     """EXACT frequent items above `threshold` (fraction of rows), found
     with the two-pass Misra-Gries pattern — the 100 TB heavy-hitter
@@ -409,6 +417,16 @@ def heavy_hitters(
     count exactly — the shuffle carries only candidate-matching rows'
     (group, item) pairs through a partial-aggregating count.
 
+    NULL semantics match SQL GROUP BY: a NULL item (and a NULL group
+    key) is an ordinary value — counted through pass 1 (dropna=False),
+    matched null-safely (<=>) in pass 2 — so a NULL exceeding the
+    threshold IS returned, exactly as the GROUP BY/HAVING oracle would.
+
+    `broadcast_candidates=None` (default) broadcasts the candidate set
+    when `input_partitions x counters` (its cardinality bound) is at
+    most _HH_BROADCAST_MAX_ROWS and falls back to a shuffle semi-join
+    beyond that; pass True/False to force either.
+
     Returns (by..., item string, freq long) with freq the EXACT count,
     filtered to freq > threshold * group_rows.  Deterministic and
     engine-neutral (the candidate set affects only what gets verified,
@@ -421,6 +439,9 @@ def heavy_hitters(
         counters = max(8, int(math.ceil(2.0 / threshold)))
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     sdf = df.select(*keys, value.cast("string").alias("__item"))
+    if broadcast_candidates is None:
+        n_parts = sdf.rdd.getNumPartitions()
+        broadcast_candidates = n_parts * counters <= _HH_BROADCAST_MAX_ROWS
 
     key_fields = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
@@ -455,18 +476,25 @@ def heavy_hitters(
                         del s[kk]
                 c -= m
 
+        def norm(v):
+            # pandas surfaces string NULLs as None (plain value_counts)
+            # or NaN (grouped value_counts index); both must come back
+            # out as proper SQL NULLs
+            return None if v is None or (isinstance(v, float) and v != v) else v
+
         for pdf in batches:
             if not keys:
                 s = summaries.setdefault((), {})
-                for it, c in pdf["__item"].value_counts().items():
-                    insert(s, it, int(c))
+                for it, c in pdf["__item"].value_counts(dropna=False).items():
+                    insert(s, norm(it), int(c))
                 continue
             grouped = pdf.groupby(keys, sort=False, dropna=False)["__item"]
-            for g, vc in grouped.value_counts().groupby(level=list(range(len(keys)))):
+            vcs = grouped.value_counts(dropna=False)
+            for g, vc in vcs.groupby(level=list(range(len(keys))), dropna=False):
                 g = g if isinstance(g, tuple) else (g,)
-                s = summaries.setdefault(g, {})
+                s = summaries.setdefault(tuple(norm(x) for x in g), {})
                 for idx_key, c in vc.items():
-                    insert(s, idx_key[-1], int(c))
+                    insert(s, norm(idx_key[-1]), int(c))
         rows = {k: [] for k in keys}
         rows["__item"] = []
         for g, s in summaries.items():
@@ -481,20 +509,35 @@ def heavy_hitters(
     # candidate cardinality <= n_partitions x counters; broadcast is right
     # for normal thresholds (hundreds of survivors/partition, KBs), but a
     # very low threshold over many partitions can outgrow the driver —
-    # then let the optimizer pick a shuffle semi-join instead
+    # the default auto-switch above falls back to a shuffle semi-join.
+    # Null-safe (<=>) join keys throughout: NULL items and NULL group
+    # keys must match themselves exactly as GROUP BY treats them (<=> is
+    # still a hash-join key, never a nested loop).
+    cand = candidates.select(
+        *[F.col(k).alias(f"__c_{k}") for k in keys],
+        F.col("__item").alias("__c_item"),
+    )
     if broadcast_candidates:
-        candidates = F.broadcast(candidates)
+        cand = F.broadcast(cand)
+    semi_cond = F.col("__item").eqNullSafe(F.col("__c_item"))
+    for k in keys:
+        semi_cond = semi_cond & F.col(k).eqNullSafe(F.col(f"__c_{k}"))
     counted = (
-        sdf.join(candidates, [*keys, "__item"], "left_semi")
+        sdf.join(cand, semi_cond, "left_semi")
         .groupBy(*keys, "__item")
         .agg(F.count("*").alias("freq"))
     )
     totals = sdf.groupBy(*keys).agg(F.count("*").alias("__total"))
-    joined = (
-        counted.join(F.broadcast(totals), keys)
-        if keys
-        else counted.crossJoin(F.broadcast(totals))
-    )
+    if keys:
+        tot = totals.select(
+            *[F.col(k).alias(f"__t_{k}") for k in keys], "__total"
+        )
+        tot_cond = F.lit(True)
+        for k in keys:
+            tot_cond = tot_cond & F.col(k).eqNullSafe(F.col(f"__t_{k}"))
+        joined = counted.join(F.broadcast(tot), tot_cond)
+    else:
+        joined = counted.crossJoin(F.broadcast(totals))
     return joined.filter(
         F.col("freq") > F.lit(float(threshold)) * F.col("__total")
     ).select(*keys, F.col("__item").alias("item"), F.col("freq"))

@@ -261,3 +261,49 @@ def test_heavy_hitters_grouped(spark):
         for r in SK.heavy_hitters(df, "v", by=["g"], threshold=0.2).collect()
     }
     assert got == {("a", "hot"): 500, ("b", "warm"): 200}
+
+
+def test_heavy_hitters_null_items_and_keys(spark):
+    """NULL items (and NULL group keys) count like any GROUP BY value: a
+    NULL above threshold is returned with its exact frequency."""
+    rows = (
+        [("a", None) for _ in range(300)]
+        + [("a", "x") for _ in range(250)]
+        + [("a", f"r{i}") for i in range(100)]
+        + [(None, "y") for _ in range(80)]
+        + [(None, f"s{i}") for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "g string, v string").repartition(4)
+    got = {
+        (r["g"], r["item"]): r["freq"]
+        for r in SK.heavy_hitters(df, "v", by=["g"], threshold=0.2).collect()
+    }
+    assert got == {("a", None): 300, ("a", "x"): 250, (None, "y"): 80}
+    # ungrouped: NULL is the single heavy hitter
+    df2 = spark.createDataFrame(
+        [(None,)] * 50 + [(f"u{i}",) for i in range(30)], "v string"
+    ).repartition(2)
+    got2 = {r["item"]: r["freq"] for r in SK.heavy_hitters(df2, "v", threshold=0.5).collect()}
+    assert got2 == {None: 50}
+
+
+def test_heavy_hitters_auto_shuffle_semi_join(spark):
+    """When input_partitions x counters exceeds the broadcast bound, the
+    default auto-switch verifies through a shuffle semi-join (no
+    BroadcastExchange feeding the LeftSemi) and stays exact."""
+    from tdigest_spark.plans import explain_str
+
+    rng = np.random.default_rng(23)
+    items = [f"t{int(i)}" for i in rng.zipf(1.5, 5000) if i < 500]
+    df = spark.createDataFrame([(it,) for it in items], "v string").repartition(8)
+    # 8 partitions x 200_000 counters = 1.6M > _HH_BROADCAST_MAX_ROWS
+    hh = SK.heavy_hitters(df, "v", threshold=0.02, counters=200_000)
+    plan = explain_str(hh, "simple")
+    semi = plan[plan.index("LeftSemi"):] if "LeftSemi" in plan else plan
+    assert "BroadcastHashJoin" not in plan.split("LeftSemi")[0].split("\n")[-1]
+    from collections import Counter
+
+    cnt = Counter(items)
+    exp = {it: c for it, c in cnt.items() if c > 0.02 * len(items)}
+    got = {r["item"]: r["freq"] for r in hh.collect()}
+    assert got == exp
