@@ -182,6 +182,24 @@ def main() -> None:
         lambda: Q.q_lsh_est_jaccard_pairs(spark, SF_DIR).collect(),
     )
 
+    # 5c. same full pipeline on the xxhash64 PRODUCTION hash lane (JVM
+    #     long lanes + xxhash64 band keys, zero md5 string machinery).
+    #     md5 is kept only for oracle neutrality; this entry measures
+    #     what that neutrality costs (5 vs 5c) — the real-pipeline lane.
+    def dedup_xx():
+        from tdigest_spark.operators.dedup import ngram_jaccard_dedup
+        from tdigest_spark.queries import (
+            LSH_BANDS, LSH_MAX_BUCKET, MINHASH_K, SHINGLE_K, _docs_with_twins,
+        )
+
+        ngram_jaccard_dedup(
+            _docs_with_twins(docs), "text", "doc_id", threshold=0.5,
+            shingle_k=SHINGLE_K, n_hashes=MINHASH_K, bands=LSH_BANDS,
+            max_bucket=LSH_MAX_BUCKET, hash_fn="xxhash64",
+        ).collect()
+
+    bench("minhash_lsh_dedup_xx", dedup_xx)
+
     # 6. SimHash signatures (explode + 64-way conditional agg)
     bench("simhash", lambda: simhash64(docs, "text", "doc_id").collect())
 

@@ -139,24 +139,34 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_hashes: int = 8,
     shingle_k: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """Per-doc MinHash signature: array of `n_hashes` 8-hex-char (32-bit)
-    lane minima over word-k-gram shingles.
+    """Per-doc MinHash signature over word-k-gram shingles; two lanes:
 
-    One md5 yields four 32-bit lanes, so a shingle costs
-    ceil(n_hashes/4) md5 calls total (NOT n_hashes md5s — the classic
-    split-one-strong-hash trick).  Lexicographic min over fixed-width hex
-    equals numeric min, so the whole construction stays engine-neutral
-    string algebra.  Lane collisions for random docs are ~2·|shingles|/2³²
-    per lane — negligible next to banding probabilities.
+    hash_fn="md5" (default, ORACLE-NEUTRAL): array of `n_hashes`
+    8-hex-char (32-bit) lane minima.  One md5 yields four 32-bit lanes,
+    so a shingle costs ceil(n_hashes/4) md5 calls (the classic
+    split-one-strong-hash trick); lexicographic min over fixed-width hex
+    equals numeric min, so the construction is engine-neutral string
+    algebra DuckDB reproduces bit-for-bit.
 
-    Plan shape: explode distinct shingles, one projection computing the
-    concatenated md5s, then ONE hash aggregate with `n_hashes` min()
-    columns.  The aggregate is partial (map-side combine), so the shuffle
-    carries only (doc, n_hashes mins) partials — bytes per doc, never the
-    shingle stream.
+    hash_fn="xxhash64" (PRODUCTION lane): array<bigint> of
+    min(xxhash64(j, shingle)) per lane j — one JVM long-hash evaluation
+    per lane, no md5 string machinery (concat/substring/hex compares).
+    xxhash64 is Spark-specific, so this lane is for real pipelines, not
+    oracle queries; every downstream consumer (banding, estimated
+    verify, candidate pairs) is signature-type-agnostic.
+
+    Lane collisions for random docs are ~2·|shingles|/2³² per 32-bit
+    lane (less for 64-bit) — negligible next to banding probabilities.
+
+    Plan shape (both lanes): explode distinct shingles, then ONE hash
+    aggregate with `n_hashes` min() columns.  The aggregate is partial
+    (map-side combine), so the shuffle carries only (doc, n_hashes mins)
+    partials — bytes per doc, never the shingle stream.
     """
-    n_md5 = (n_hashes * LANE_HEX + 31) // 32
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64' (got {hash_fn!r})")
     # tokens in their own projection: inlining the split into the shingle
     # lambda is O(tokens^2) per doc (see text.shingles_from_tokens)
     toks = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
@@ -168,15 +178,23 @@ def minhash_signatures(
             F.array_distinct(shingles_from_tokens(F.col("__t"), shingle_k))
         ).alias("__sh"),
     )
-    allhex = F.concat(
-        *[F.md5(F.concat(F.lit(f"{c}:"), F.col("__sh"))) for c in range(n_md5)]
-    )
-    hashed = sh.select(F.col(id_col), allhex.alias("__h"))
-    aggs = [
-        F.min(F.substring("__h", j * LANE_HEX + 1, LANE_HEX)).alias(f"__m{j}")
-        for j in range(n_hashes)
-    ]
-    mins = hashed.groupBy(id_col).agg(*aggs)
+    if hash_fn == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.lit(j), F.col("__sh"))).alias(f"__m{j}")
+            for j in range(n_hashes)
+        ]
+        mins = sh.groupBy(id_col).agg(*aggs)
+    else:
+        n_md5 = (n_hashes * LANE_HEX + 31) // 32
+        allhex = F.concat(
+            *[F.md5(F.concat(F.lit(f"{c}:"), F.col("__sh"))) for c in range(n_md5)]
+        )
+        hashed = sh.select(F.col(id_col), allhex.alias("__h"))
+        aggs = [
+            F.min(F.substring("__h", j * LANE_HEX + 1, LANE_HEX)).alias(f"__m{j}")
+            for j in range(n_hashes)
+        ]
+        mins = hashed.groupBy(id_col).agg(*aggs)
     return mins.select(
         F.col(id_col),
         F.array(*[F.col(f"__m{j}") for j in range(n_hashes)]).alias("minhash_sig"),
@@ -190,15 +208,22 @@ def lsh_band_keys(
     rows_per_band: int = 4,
 ) -> DataFrame:
     """Banded LSH: one row per (doc, band) with the band bucket key =
-    md5 of the band's slice of the signature.  Jaccard-similar docs agree
-    on all rows of some band with high probability."""
+    a hash of the band's slice of the signature.  Jaccard-similar docs
+    agree on all rows of some band with high probability.
+
+    The key hash follows the signature lane: md5 over the comma-joined
+    hex lanes for string signatures (oracle-neutral), xxhash64 straight
+    over the long-array slice for the xxhash64 production lane (array
+    input — no string rendering at all)."""
+    from pyspark.sql.types import StringType
+
+    str_lanes = isinstance(
+        sigs.schema["minhash_sig"].dataType.elementType, StringType
+    )
     out = []
     for b in range(bands):
-        key = F.md5(
-            F.concat_ws(
-                ",", F.slice("minhash_sig", b * rows_per_band + 1, rows_per_band)
-            )
-        )
+        sl = F.slice("minhash_sig", b * rows_per_band + 1, rows_per_band)
+        key = F.md5(F.concat_ws(",", sl)) if str_lanes else F.xxhash64(sl)
         out.append(
             sigs.select(
                 F.col(id_col), F.lit(b).alias("band"), key.alias("band_key")
@@ -219,6 +244,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     max_bucket: int = 1000,
     sigs: DataFrame | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: distinct (id_a < id_b) sharing any LSH
     band bucket.  Buckets larger than `max_bucket` are dropped from
@@ -237,7 +263,9 @@ def lsh_candidate_pairs(
 
     rows_per_band = n_hashes // bands
     if sigs is None:
-        sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+        sigs = minhash_signatures(
+            df, text_col, id_col, n_hashes, shingle_k, hash_fn
+        )
         # The plan references sigs from every band branch AND from both
         # _bounded_buckets passes; Spark does NOT reliably reuse the aggregate
         # exchange across union branches (measured: 8 independent FileScans —
@@ -369,14 +397,18 @@ def ngram_jaccard_dedup(
     n_hashes: int = 8,
     bands: int = 4,
     max_bucket: int = 1000,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact Jaccard >= threshold.
-    Returns (id_a, id_b, jaccard)."""
+    Returns (id_a, id_b, jaccard).  `hash_fn="xxhash64"` switches the
+    signature/banding stage to the JVM long-hash production lane (exact
+    verification is hash-agnostic)."""
     from pyspark import StorageLevel
 
     cands = _track(
         lsh_candidate_pairs(
-            df, text_col, id_col, n_hashes, shingle_k, bands, max_bucket
+            df, text_col, id_col, n_hashes, shingle_k, bands, max_bucket,
+            hash_fn=hash_fn,
         ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     cands.count()

@@ -261,3 +261,27 @@ def test_simhash_near_pairs_hot_chunk_guard(spark):
     # the 60-doc identical cluster (60 > max_bucket buckets) produced no pairs
     assert all(a >= 1000 for a, _ in out)
     assert out.get((1000, 2000)) == 0
+
+
+def test_xxhash64_lane_pipeline(corpus):
+    """The xxhash64 production lane: long-array signatures, xxhash64 band
+    keys, hash-agnostic exact verification — same recall contract as the
+    md5 lane on the twin corpus."""
+    sigs = D.minhash_signatures(corpus, hash_fn="xxhash64")
+    row = sigs.first()
+    assert len(row["minhash_sig"]) == 8
+    assert all(isinstance(v, int) for v in row["minhash_sig"])
+
+    out = D.ngram_jaccard_dedup(corpus, threshold=0.8, hash_fn="xxhash64")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    for i in range(10, 15):
+        assert got.get((i, 2000 + i)) == 1.0  # exact dups always bucket together
+    assert sum((i, 1000 + i) in got for i in range(10)) >= 8
+
+    # estimated verification is signature-type-agnostic: exact dups agree
+    # on every long lane
+    pairs = corpus.sparkSession.createDataFrame(
+        [(10, 2010)], "id_a long, id_b long"
+    )
+    est = D.estimated_jaccard_pairs(sigs, pairs).collect()[0]["jaccard_est"]
+    assert est == 1.0
