@@ -42,9 +42,14 @@ LENS = "/tmp/tdigest_scaling_corpus4m_lens"
 CORPUS = "/tmp/tdigest_scaling_corpus4m"
 
 
-def worker(idx: int, n: int, barrier_dir: str, files: list[str], runs: int) -> None:
+def worker(
+    idx: int, n: int, barrier_dir: str, files: list[str], runs: int,
+    jobname: str = "digest",
+) -> None:
+    from pyspark.sql import functions as F
     from tdigest_spark.plans import get_spark
     from tdigest_spark.operators import digest
+    from tdigest_spark.operators.dedup import minhash_signatures
 
     spark = get_spark(
         master="local[1]",
@@ -58,13 +63,27 @@ def worker(idx: int, n: int, barrier_dir: str, files: list[str], runs: int) -> N
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    def job() -> int:
-        df = spark.read.parquet(*files)
-        partials = digest.build_partials_grouped(
-            df, "text_len", by=["lang"], delta=100.0
-        )
-        rows = partials.select("n_rows").groupBy().sum().collect()
-        return int(rows[0][0])
+    if jobname == "minhash":
+        # LSH dedup stage 1: the md5-lane MinHash signature build (the
+        # pipeline-dominant stage in the 4M-doc curation run).  The
+        # consuming select hashes the whole signature array so no lane
+        # can be pruned away; output is one row per executor.
+        def job() -> int:
+            df = spark.read.parquet(*files).select("url", "text")
+            sigs = minhash_signatures(df, "text", "url")
+            r = sigs.select(
+                F.count("*").alias("n"),
+                F.max(F.xxhash64("minhash_sig")).alias("h"),
+            ).collect()
+            return int(r[0]["n"])
+    else:
+        def job() -> int:
+            df = spark.read.parquet(*files)
+            partials = digest.build_partials_grouped(
+                df, "text_len", by=["lang"], delta=100.0
+            )
+            rows = partials.select("n_rows").groupBy().sum().collect()
+            return int(rows[0][0])
 
     nrows = job()  # warm: JVM codegen + python worker fork + page cache
 
@@ -84,7 +103,7 @@ def worker(idx: int, n: int, barrier_dir: str, files: list[str], runs: int) -> N
     spark.stop()
 
 
-def run_level(n: int, files: list[str], runs: int) -> dict:
+def run_level(n: int, files: list[str], runs: int, jobname: str = "digest") -> dict:
     import shutil
     import tempfile
 
@@ -97,7 +116,8 @@ def run_level(n: int, files: list[str], runs: int) -> dict:
         procs.append(
             subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__), "--worker",
-                 str(idx), str(n), barrier_dir, str(runs)] + groups[idx],
+                 str(idx), str(n), barrier_dir, str(runs), jobname]
+                + groups[idx],
                 stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
             )
         )
@@ -130,12 +150,22 @@ def run_level(n: int, files: list[str], runs: int) -> dict:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         idx, n, barrier_dir, runs = int(sys.argv[2]), int(sys.argv[3]), sys.argv[4], int(sys.argv[5])
-        worker(idx, n, barrier_dir, sys.argv[6:], runs)
+        worker(idx, n, barrier_dir, sys.argv[7:], runs, jobname=sys.argv[6])
         return
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--levels", default="4,16")
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument(
+        "--job", default="digest", choices=("digest", "minhash"),
+        help="digest: grouped t-digest partial build over the _lens table; "
+        "minhash: LSH dedup stage-1 signature build over the text corpus",
+    )
+    ap.add_argument(
+        "--files-cap", type=int, default=0,
+        help="use only the first K input files (0 = all); the minhash job "
+        "is ~40x more compute per row than digest, so cap for tractability",
+    )
     ap.add_argument("--lens", default=LENS)
     ap.add_argument(
         "--interleave", type=int, default=0,
@@ -147,17 +177,24 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    files = glob.glob(os.path.join(args.lens, "*.parquet"))
-    if not files:
-        raise SystemExit(f"no lens table at {args.lens}; run bench_scaling.py once")
+    if args.job == "minhash":
+        files = glob.glob(os.path.join(CORPUS, "*", "*.parquet"))
+        if not files:
+            raise SystemExit(f"no corpus at {CORPUS}; run bench_scaling.py once")
+    else:
+        files = glob.glob(os.path.join(args.lens, "*.parquet"))
+        if not files:
+            raise SystemExit(f"no lens table at {args.lens}; run bench_scaling.py once")
+    if args.files_cap:
+        files = sorted(files)[: args.files_cap]
 
     levels = sorted(int(c) for c in args.levels.split(","))
     if args.interleave:
         lo, hi = levels
         rounds = []
         for r in range(args.interleave):
-            rl = run_level(lo, files, 1)
-            rh = run_level(hi, files, 1)
+            rl = run_level(lo, files, 1, args.job)
+            rh = run_level(hi, files, 1, args.job)
             eff_r = (rh["rows_per_sec"] / rl["rows_per_sec"]) / (hi / lo)
             rounds.append({"round": r, "lo": rl, "hi": rh, "eff": round(eff_r, 3)})
             print(json.dumps(rounds[-1]), flush=True)
@@ -171,6 +208,7 @@ def main() -> None:
         print(json.dumps({
             "metric": "executor_scaling_efficiency",
             "mode": "interleaved", "rounds": args.interleave,
+            "job": args.job,
             "low_executors": lo, "high_executors": hi,
             "rows": rounds[0]["lo"]["rows"],
             "rows_per_sec": {str(lo): best_lo, str(hi): best_hi},
@@ -183,13 +221,14 @@ def main() -> None:
 
     results = {}
     for n in levels:
-        results[n] = run_level(n, files, args.runs)
+        results[n] = run_level(n, files, args.runs, args.job)
         print(json.dumps(results[n]), flush=True)
 
     lo, hi = levels
     eff = (results[hi]["rows_per_sec"] / results[lo]["rows_per_sec"]) / (hi / lo)
     print(json.dumps({
         "metric": "executor_scaling_efficiency",
+        "job": args.job,
         "low_executors": lo, "high_executors": hi,
         "rows": results[lo]["rows"],
         "rows_per_sec": {str(n): results[n]["rows_per_sec"] for n in results},
