@@ -8,6 +8,7 @@ Stages (each a library operator; all narrow or KB-shuffle):
   1. extract_text(html)      — Arrow-batched byte-exact extraction
   2. quality filter          — stopword/alpha-ratio/token-count gates (JVM)
   3. exact + MinHash-LSH dedup -> cluster resolution -> keep representatives
+  3.5 (optional --benchmark) eval-set decontamination — broadcast n-gram join
   4. profile                 — per-lang t-digest of text length, HLL of
                                distinct hosts, token-count KLL
   5. write curated parquet (partitioned by lang) + one JSON report line
@@ -48,6 +49,12 @@ def main() -> None:
                     help="LSH buckets above this are template clusters: "
                          "skipped pairwise, collapsed via exact dedup only")
     ap.add_argument("--delta", type=float, default=200.0)
+    ap.add_argument("--benchmark", default=None,
+                    help="optional parquet of held-out benchmark docs (text "
+                         "column): curated docs sharing n-grams with it are "
+                         "dropped (eval-set decontamination)")
+    ap.add_argument("--decontam-ngram", type=int, default=8)
+    ap.add_argument("--decontam-overlap", type=int, default=1)
     args = ap.parse_args()
 
     spark = (
@@ -152,6 +159,32 @@ def main() -> None:
     _mark("cluster_resolve")
     uniq.unpersist()
     pairs.unpersist()
+
+    # 3.5 (optional) benchmark decontamination: drop curated docs whose
+    #     text collides with the held-out eval set (broadcast n-gram join
+    #     — the corpus text never shuffles)
+    if args.benchmark:
+        from tdigest_spark.operators.dedup import ngram_contamination
+
+        bench = spark.read.parquet(args.benchmark)
+        bad = (
+            ngram_contamination(
+                curated, bench, "text", "doc_id",
+                n=args.decontam_ngram, min_overlap=args.decontam_overlap,
+            )
+            .filter("contaminated")
+            .select("doc_id")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        report["n_contaminated"] = bad.count()
+        clean = curated.join(bad, "doc_id", "left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        report["n_decontaminated"] = clean.count()
+        curated.unpersist()
+        bad.unpersist()
+        curated = clean
+        _mark("decontaminate")
 
     # 4. profile the curated corpus — text length AND token count per
     #    lang from ONE scan (build_partials_multi shares the pass)

@@ -416,6 +416,100 @@ def ngram_jaccard_dedup(
     return scored.filter(F.col("jaccard") >= threshold)
 
 
+# ------------------------------------------------------------ decontamination
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    n: int = 8,
+    min_overlap: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination signal: per corpus document, the number
+    of distinct word n-grams it shares with ANY document in `benchmark`
+    (the standard eval-set-overlap rule used by LLM training pipelines —
+    GPT-3 appendix C / PaLM style, n-gram collision against held-out
+    benchmarks).
+
+    Returns one row per corpus document: (id_col, n_overlap long,
+    contaminated boolean) with contaminated = n_overlap >= min_overlap.
+    Documents with NULL text get n_overlap = 0 (never contaminated) —
+    enrichment shape, no row is dropped.
+
+    100 TB plan: the benchmark side is distinct n-grams of the (small)
+    held-out set — it is aggregated once and broadcast, so the corpus
+    side is a single scan: tokenize -> n-gram -> array_distinct (all in
+    the scan stage, JVM-only) -> broadcast-hash semi-join -> partial-agg
+    count by id.  The corpus text never shuffles; the only exchange is
+    the final (id, count) aggregation.  With broadcast_benchmark=False
+    (benchmark n-gram set too large for the driver) the join degrades to
+    a shuffle join keyed on xxhash64(gram) — 8-byte keys instead of gram
+    strings; 64-bit collisions can over-count one gram per ~2^64, which
+    is noise for a thresholded contamination flag but is why the exact
+    string-keyed broadcast lane is the default (and the oracle lane).
+    """
+    bench_text = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(tokens_col(bench_text).alias("__t"))
+        .select(F.explode(shingles_from_tokens("__t", n)).alias("__g"))
+        .distinct()
+    )
+    corpus_grams = (
+        ensure_parallelism(corpus.select(id_col, text_col))
+        .select(id_col, tokens_col(text_col).alias("__t"))
+        .select(id_col, F.array_distinct(shingles_from_tokens("__t", n)).alias("__gs"))
+        .select(id_col, F.explode("__gs").alias("__g"))
+    )
+    if broadcast_benchmark:
+        hits = corpus_grams.join(F.broadcast(bench_grams), "__g")
+    else:
+        hits = corpus_grams.withColumn("__h", F.xxhash64("__g")).drop("__g").join(
+            bench_grams.select(F.xxhash64("__g").alias("__h")).distinct(), "__h"
+        )
+    # grams are distinct per doc scan-side, so count(*) == count(distinct)
+    counts = hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_overlap"))
+    return (
+        corpus.select(id_col)
+        .join(counts, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_overlap: int = 1,
+    **kwargs,
+) -> DataFrame:
+    """Drop contaminated documents: corpus rows whose text shares >=
+    min_overlap distinct n-grams with the benchmark set.  The anti-join
+    key frame is (id)-only; contaminated sets are tiny relative to the
+    corpus, so Spark's AQE converts the anti-join to broadcast at
+    runtime."""
+    bad = (
+        ngram_contamination(
+            corpus, benchmark, text_col, id_col,
+            n=n, min_overlap=min_overlap, **kwargs,
+        )
+        .filter("contaminated")
+        .select(id_col)
+    )
+    return corpus.join(bad, id_col, "left_anti")
+
+
 # ------------------------------------------------------------------- simhash
 
 

@@ -34,6 +34,7 @@ from .operators.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
+    ngram_contamination,
     ngram_jaccard_dedup,
     simhash64,
 )
@@ -1500,6 +1501,66 @@ WHERE CAST(len(list_filter([la.lv[i] = lb.lv[i] FOR i IN range(1, {MINHASH_K + 1
 """
 
 
+DECON_N, DECON_MIN_OVERLAP, DECON_BENCH_MOD = 8, 2, 13
+
+
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the held-out set is a deterministic
+    slice of the corpus itself (every 13th doc, first half of its
+    tokens — a realistic partial-overlap benchmark), and each corpus doc
+    reports how many distinct word 8-grams it shares with that set.
+    Counts are exact integers; the flag is a >= threshold on them —
+    hash-exact in any engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), F.lit(" ").cast("string"), -1),
+                    lambda t: t != "")
+    bench = (
+        docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select(F.concat_ws(
+            " ",
+            F.slice(toks, 1, F.greatest(F.floor(F.size(toks) / 2), F.lit(1)).cast("int")),
+        ).alias("text"))
+    )
+    return ngram_contamination(
+        docs, bench, "text", "doc_id",
+        n=DECON_N, min_overlap=DECON_MIN_OVERLAP,
+    ).orderBy("doc_id")
+
+
+def _sql_decontaminate_docs() -> str:
+    k = DECON_N
+    gram_case = f"""CASE WHEN len(t) >= {k}
+            THEN [array_to_string(t[i:i+{k - 1}], ' ') FOR i IN range(1, len(t) - {k - 2})]
+            ELSE [array_to_string(t, ' ')] END"""
+    return f"""
+WITH bench_t AS (
+  SELECT list_filter(string_split(text, ' '), tk -> tk != '') AS full_t
+  FROM documents WHERE doc_id % {DECON_BENCH_MOD} = 0
+),
+bench AS (
+  SELECT full_t[1:greatest(len(full_t) // 2, 1)] AS t FROM bench_t
+),
+bg AS (
+  SELECT DISTINCT unnest({gram_case}) AS g FROM bench
+),
+corpus AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk != '') AS t
+  FROM documents
+),
+cg AS (
+  SELECT doc_id, unnest(list_distinct({gram_case})) AS g FROM corpus
+),
+hits AS (
+  SELECT doc_id, count(*) AS cnt FROM cg JOIN bg USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(cnt, 0) AS n_overlap,
+       COALESCE(cnt, 0) >= {DECON_MIN_OVERLAP} AS contaminated
+FROM documents d LEFT JOIN hits USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash64(docs, "text", "doc_id")
@@ -1971,6 +2032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_set_ops": q_source_set_ops,
         "token_freq_udtf": q_token_freq_udtf,
         "dedup_exact": q_dedup_exact,
+        "decontaminate_docs": q_decontaminate_docs,
         "minhash_signatures": q_minhash_signatures,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
         "lsh_est_jaccard_pairs": q_lsh_est_jaccard_pairs,
@@ -2024,6 +2086,7 @@ def oracle_sql() -> dict[str, str]:
         "source_set_ops": _SQL_SOURCE_SET_OPS,
         "token_freq_udtf": _SQL_TOKEN_FREQ_UDTF,
         "dedup_exact": _SQL_DEDUP_EXACT,
+        "decontaminate_docs": _sql_decontaminate_docs(),
         "minhash_signatures": _sql_minhash(),
         "lsh_near_dup_pairs": _sql_lsh_near_dup_pairs(),
         "lsh_est_jaccard_pairs": _sql_lsh_est_jaccard_pairs(),

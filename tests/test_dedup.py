@@ -285,3 +285,57 @@ def test_xxhash64_lane_pipeline(corpus):
     )
     est = D.estimated_jaccard_pairs(sigs, pairs).collect()[0]["jaccard_est"]
     assert est == 1.0
+
+
+def test_ngram_contamination_counts(spark):
+    """Known-overlap corpus: doc 0 shares exactly its benchmark half,
+    doc 1 shares nothing, NULL-text doc keeps its row with 0 overlap."""
+    corpus = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h i j k l"),   # 12 tokens
+            (1, "z y x w v u t s r q p o"),   # disjoint
+            (2, None),                          # NULL text survives
+        ],
+        "doc_id long, text string",
+    )
+    # benchmark = first 9 tokens of doc 0 -> 8-grams: positions 1..2
+    bench = spark.createDataFrame([("a b c d e f g h i",)], "text string")
+    out = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in D.ngram_contamination(
+            corpus, bench, n=8, min_overlap=1
+        ).collect()
+    }
+    # doc 0 contains both benchmark 8-grams; doc 1 and the NULL doc none
+    assert out == {0: (2, True), 1: (0, False), 2: (0, False)}
+
+
+def test_ngram_contamination_threshold_and_decontaminate(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h i j"),  # shares 3 distinct 8-grams
+            (1, "a b c d e f g h z z"),  # shares exactly 1 (the first)
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([("a b c d e f g h i j",)], "text string")
+    out = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in D.ngram_contamination(
+            corpus, bench, n=8, min_overlap=2
+        ).collect()
+    }
+    assert out == {0: (3, True), 1: (1, False)}
+    clean = D.decontaminate(corpus, bench, n=8, min_overlap=2)
+    assert [r["doc_id"] for r in clean.collect()] == [1]
+
+
+def test_ngram_contamination_shuffle_lane_matches_broadcast(spark, corpus):
+    """The xxhash64 shuffle fallback (oversized benchmark sets) produces
+    the same flags as the exact string-keyed broadcast lane."""
+    bench = corpus.filter(F.col("doc_id") % 7 == 0).select("text")
+    a = D.ngram_contamination(corpus, bench, n=5, min_overlap=1)
+    b = D.ngram_contamination(
+        corpus, bench, n=5, min_overlap=1, broadcast_benchmark=False
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -239,3 +239,27 @@ def test_rollup_coarse_grain_reads_cached_digests(spark):
     plan = coarse._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
     fine.unpersist()
+
+
+def test_ngram_contamination_broadcasts_benchmark_no_text_shuffle(docs):
+    """Decontamination plan: the benchmark n-gram set broadcasts (the
+    corpus side never shuffles its text/grams — gram matching happens in
+    the scan stage), and every Exchange carries only (doc_id, count)
+    aggregation rows."""
+    from tdigest_spark.operators.dedup import ngram_contamination
+
+    bench = docs.filter(F.col("doc_id") % 13 == 0).select("text")
+    out = ngram_contamination(docs, bench, "text", "doc_id", n=8)
+    simple = explain_str(out, "simple")
+    assert "BroadcastHashJoin" in simple
+    assert "SortMergeJoin" not in simple
+    # no shuffle ever moves the text column
+    for seg in simple.split("Exchange")[1:]:
+        spec = seg.split("\n")[0]
+        assert "text" not in spec, spec
+    # exactly one exchange carries gram strings: the BENCHMARK side's
+    # distinct() feeding the BroadcastExchange (small by contract).  The
+    # corpus side of a BroadcastHashJoin needs no exchange, so a second
+    # __g-partitioned shuffle would mean corpus grams are moving.
+    assert simple.count("hashpartitioning(__g") == 1
+    assert "BroadcastExchange" in simple
