@@ -164,25 +164,20 @@ def main() -> None:
     #     text collides with the held-out eval set (broadcast n-gram join
     #     — the corpus text never shuffles)
     if args.benchmark:
-        from tdigest_spark.operators.dedup import ngram_contamination
+        from tdigest_spark.operators.dedup import decontaminate, ngram_contamination
 
         bench = spark.read.parquet(args.benchmark)
-        bad = (
-            ngram_contamination(
-                curated, bench, "text", "doc_id",
-                n=args.decontam_ngram, min_overlap=args.decontam_overlap,
-            )
-            .filter("contaminated")
-            .select("doc_id")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        report["n_contaminated"] = bad.count()
-        clean = curated.join(bad, "doc_id", "left_anti").persist(
+        flags = ngram_contamination(
+            curated, bench, "text", "doc_id",
+            n=args.decontam_ngram, min_overlap=args.decontam_overlap,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        report["n_contaminated"] = flags.filter("contaminated").count()
+        clean = decontaminate(curated, contamination=flags).persist(
             StorageLevel.MEMORY_AND_DISK
         )
         report["n_decontaminated"] = clean.count()
         curated.unpersist()
-        bad.unpersist()
+        flags.unpersist()
         curated = clean
         _mark("decontaminate")
 

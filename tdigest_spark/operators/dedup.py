@@ -453,9 +453,15 @@ def ngram_contamination(
     string-keyed broadcast lane is the default (and the oracle lane).
     """
     bench_text = bench_text_col or text_col
+    # NULL/empty/whitespace-only text degenerates to a single '' shingle
+    # (shingles_from_tokens's short-doc fallback) — an empty string is not
+    # an n-gram, and letting it through would mark every empty corpus doc
+    # contaminated whenever the benchmark holds one empty row.  Both sides
+    # drop it (the oracle SQL mirrors this).
     bench_grams = (
         benchmark.select(tokens_col(bench_text).alias("__t"))
         .select(F.explode(shingles_from_tokens("__t", n)).alias("__g"))
+        .filter(F.col("__g") != "")
         .distinct()
     )
     corpus_grams = (
@@ -463,6 +469,7 @@ def ngram_contamination(
         .select(id_col, tokens_col(text_col).alias("__t"))
         .select(id_col, F.array_distinct(shingles_from_tokens("__t", n)).alias("__gs"))
         .select(id_col, F.explode("__gs").alias("__g"))
+        .filter(F.col("__g") != "")
     )
     if broadcast_benchmark:
         hits = corpus_grams.join(F.broadcast(bench_grams), "__g")
@@ -487,26 +494,32 @@ def ngram_contamination(
 
 def decontaminate(
     corpus: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 8,
     min_overlap: int = 1,
+    contamination: DataFrame | None = None,
     **kwargs,
 ) -> DataFrame:
     """Drop contaminated documents: corpus rows whose text shares >=
     min_overlap distinct n-grams with the benchmark set.  The anti-join
     key frame is (id)-only; contaminated sets are tiny relative to the
     corpus, so Spark's AQE converts the anti-join to broadcast at
-    runtime."""
-    bad = (
-        ngram_contamination(
+    runtime.
+
+    Callers that also need the per-doc counts (reporting pipelines) pass
+    a precomputed — and typically persisted — `contamination` frame from
+    ngram_contamination instead of `benchmark`, so the flags are computed
+    once and this stays the single canonical drop path."""
+    if contamination is None:
+        if benchmark is None:
+            raise ValueError("pass either benchmark or contamination")
+        contamination = ngram_contamination(
             corpus, benchmark, text_col, id_col,
             n=n, min_overlap=min_overlap, **kwargs,
         )
-        .filter("contaminated")
-        .select(id_col)
-    )
+    bad = contamination.filter("contaminated").select(id_col)
     return corpus.join(bad, id_col, "left_anti")
 
 

@@ -1541,14 +1541,19 @@ bench AS (
   SELECT full_t[1:greatest(len(full_t) // 2, 1)] AS t FROM bench_t
 ),
 bg AS (
-  SELECT DISTINCT unnest({gram_case}) AS g FROM bench
+  -- '' / NULL grams excluded on both sides (mirror of the operator's
+  -- degenerate-shingle filter for NULL/empty text)
+  SELECT DISTINCT g FROM (SELECT unnest({gram_case}) AS g FROM bench)
+  WHERE g IS NOT NULL AND g != ''
 ),
 corpus AS (
   SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk != '') AS t
   FROM documents
 ),
 cg AS (
-  SELECT doc_id, unnest(list_distinct({gram_case})) AS g FROM corpus
+  SELECT doc_id, g FROM (
+    SELECT doc_id, unnest(list_distinct({gram_case})) AS g FROM corpus)
+  WHERE g IS NOT NULL AND g != ''
 ),
 hits AS (
   SELECT doc_id, count(*) AS cnt FROM cg JOIN bg USING (g) GROUP BY doc_id

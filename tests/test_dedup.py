@@ -299,7 +299,11 @@ def test_ngram_contamination_counts(spark):
         "doc_id long, text string",
     )
     # benchmark = first 9 tokens of doc 0 -> 8-grams: positions 1..2
-    bench = spark.createDataFrame([("a b c d e f g h i",)], "text string")
+    # benchmark includes NULL and empty rows: their degenerate \'\'
+    # shingle must NOT contaminate NULL/empty-text corpus docs
+    bench = spark.createDataFrame(
+        [("a b c d e f g h i",), (None,), ("",)], "text string"
+    )
     out = {
         r["doc_id"]: (r["n_overlap"], r["contaminated"])
         for r in D.ngram_contamination(

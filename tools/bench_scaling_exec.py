@@ -107,6 +107,12 @@ def run_level(n: int, files: list[str], runs: int, jobname: str = "digest") -> d
     import shutil
     import tempfile
 
+    if len(files) < n:
+        raise SystemExit(
+            f"level {n}: only {len(files)} input files — need >= 1 per "
+            "executor (an idle executor makes the scaling ratio "
+            "meaningless; raise --files-cap or re-split the corpus)"
+        )
     barrier_dir = tempfile.mkdtemp(prefix=f"exec_barrier_{n}_")
     groups: list[list[str]] = [[] for _ in range(n)]
     for i, f in enumerate(sorted(files)):
@@ -121,8 +127,19 @@ def run_level(n: int, files: list[str], runs: int, jobname: str = "digest") -> d
                 stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
             )
         )
-    # release the barrier once every executor reports ready
+    # release the barrier once every executor reports ready; a worker
+    # that dies pre-barrier (bad input, OOM) must abort the level, not
+    # hang it forever
     while len(glob.glob(os.path.join(barrier_dir, "ready_*"))) < n:
+        dead = [p.returncode for p in procs if p.poll() not in (None, 0)]
+        if dead:
+            for p in procs:
+                p.kill()
+            raise SystemExit(
+                f"level {n}: {len(dead)} executor(s) died before the "
+                f"barrier (exit codes {dead}); rerun the worker command "
+                "without stderr=DEVNULL to see the traceback"
+            )
         time.sleep(0.1)
     open(os.path.join(barrier_dir, "go"), "w").close()
 
