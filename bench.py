@@ -200,6 +200,26 @@ def main() -> None:
 
     bench("minhash_lsh_dedup_xx", dedup_xx)
 
+    # 5d. benchmark decontamination: broadcast n-gram join, corpus text
+    #     never shuffles (every 13th doc's first-half tokens = eval set)
+    def decontam():
+        from tdigest_spark.operators.dedup import ngram_contamination
+
+        toks = F.filter(
+            F.split(F.col("text"), F.lit(" ").cast("string"), -1),
+            lambda t: t != "",
+        )
+        bench_set = docs.filter(F.col("doc_id") % 13 == 0).select(
+            F.concat_ws(
+                " ",
+                F.slice(toks, 1,
+                        F.greatest(F.floor(F.size(toks) / 2), F.lit(1)).cast("int")),
+            ).alias("text")
+        )
+        ngram_contamination(docs, bench_set, "text", "doc_id", n=8).collect()
+
+    bench("decontaminate_docs", decontam)
+
     # 6. SimHash signatures (explode + 64-way conditional agg)
     bench("simhash", lambda: simhash64(docs, "text", "doc_id").collect())
 

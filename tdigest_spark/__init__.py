@@ -17,6 +17,7 @@ Public surface:
   hll_estimate, kmv_estimate, ...)
 - operators.dedup / similarity / text / multimodal: web-corpus pipeline
   operators (MinHash-LSH / SimHash / embedding / perceptual-hash dedup,
+  benchmark decontamination,
   ANN, quality + repetition signals, language-ID, fingerprints)
 - operators.joins: as-of join (grouped + bucketed global) and range join
 - operators.sampling: deterministic content-keyed samples and
