@@ -343,3 +343,25 @@ def test_ngram_contamination_shuffle_lane_matches_broadcast(spark, corpus):
         corpus, bench, n=5, min_overlap=1, broadcast_benchmark=False
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_decontaminate_precomputed_flags(spark):
+    """Reporting pipelines compute flags once (ngram_contamination) and
+    drop through decontaminate(contamination=...) — same result as the
+    benchmark-driven path, and benchmark/contamination are mutually
+    validated."""
+    corpus = spark.createDataFrame(
+        [(0, "a b c d e f g h i j"), (1, "z y x w v u t s r q")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([("a b c d e f g h i j",)], "text string")
+    flags = D.ngram_contamination(corpus, bench, n=8)
+    via_flags = D.decontaminate(corpus, contamination=flags)
+    via_bench = D.decontaminate(corpus, bench, n=8)
+    assert (
+        [r["doc_id"] for r in via_flags.collect()]
+        == [r["doc_id"] for r in via_bench.collect()]
+        == [1]
+    )
+    with pytest.raises(ValueError):
+        D.decontaminate(corpus)
