@@ -75,3 +75,27 @@ def test_histogram_counts_compress():
     back = codec.decompress(words)
     assert len(back) >= len(counts)
     assert np.array_equal(back[: len(counts)], counts)
+
+
+# ---------------------------------------------------------- property-based
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=(1 << 60) - 1),
+             min_size=1, max_size=400),
+    st.sampled_from([Simple64, Simple32]),
+)
+def test_roundtrip_arbitrary_sequences(vals, cls):
+    """Any in-range sequence survives compress->decompress bit-exactly
+    (the reference pins this with ~1,000 unrolled cases,
+    test/SimpleCompression.jl:75-1176; hypothesis sweeps the same space
+    adversarially — selector boundaries, runs of zeros, width jumps)."""
+    limit = 60 if cls is Simple64 else 28
+    vals = np.array([v & ((1 << limit) - 1) for v in vals], dtype=np.uint64)
+    codec = cls()
+    back = codec.decompress(codec.compress(vals), n=len(vals))
+    assert np.array_equal(back, vals)
