@@ -275,7 +275,10 @@ def final_digest(spark: SparkSession, checkpoint_dir: str) -> MergingDigest:
 
 
 def metrics(spark: SparkSession, checkpoint_dir: str) -> dict:
-    m = read_manifest(spark, checkpoint_dir)
+    # one record per split_id: a rerun race can append the same split
+    # twice (final_digest dedups the same way), and summing raw records
+    # would double-count those rows
+    m = read_manifest(spark, checkpoint_dir).dropDuplicates(["split_id"])
     agg = m.agg(
         F.countDistinct("split_id").alias("splits"),
         F.sum("n_rows").alias("rows"),

@@ -72,7 +72,18 @@ class _SimpleCodec:
 
     def add(self, v: int, out: list[int]) -> None:
         """Buffer one value; append any completed words to `out`
-        (greedy emission rule of SimpleCompression.jl:185-210)."""
+        (greedy emission rule of SimpleCompression.jl:185-210).
+
+        NOTE: _max_code is deliberately NEVER reset after a word is
+        emitted — the reference resets maxCode only in empty!
+        (SimpleCompression.jl:158-159), so after one wide value the
+        greedy trigger fires on every subsequent add and small values
+        get one word each until reset().  That degrades compression on
+        mixed-width input, but it is the reference's own wire behavior
+        and this port keeps bit-parity over fixing it (pinned by
+        tests/test_codec.py::test_wide_value_poisons_packing_like_reference).
+        The practical use (log-histogram counts of similar magnitude)
+        never hits the regime."""
         code = self._bit_code(v)
         self._values.append(int(v))
         self._min_code.append(code)

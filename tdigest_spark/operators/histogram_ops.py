@@ -37,7 +37,6 @@ def histogram_by(
     keys = list(by)
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     sdf = df.select(*[F.col(k) for k in keys], value.cast("double").alias(_VALUE))
-    n_bins = len(LogHistogram(min_value, max_value, epsilon).counts)
 
     key_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
@@ -59,25 +58,31 @@ def histogram_by(
         for pdf in batches:
             vals = pdf[_VALUE].to_numpy(dtype=np.float64)
             ok = ~np.isnan(vals) & (vals > 0)
+            # groupby().indices: one pass over the batch, index arrays per
+            # group — not a per-group boolean scan of the whole batch —
+            # and dropna=False keeps NULL group keys (SQL GROUP BY
+            # semantics; a NaN key never satisfies == comparisons, so the
+            # mask formulation silently dropped those rows entirely).
+            # Mirrors digest.build_partials_grouped.
             if not keys:
-                grp_iter = [((), ok)]
+                grp_iter = [((), np.arange(len(pdf)))]
             else:
-                gcols = [pdf[k] for k in keys]
-                import pandas as _pd
-
-                gkey = _pd.MultiIndex.from_arrays(gcols)
                 grp_iter = [
-                    (tuple(g) if isinstance(g, tuple) else (g,), (gkey == g) & ok)
-                    for g in gkey.unique()
+                    (g if isinstance(g, tuple) else (g,), idx)
+                    for g, idx in pdf.groupby(
+                        keys, sort=False, dropna=False
+                    ).indices.items()
                 ]
-            for g, mask in grp_iter:
+            for g, idx in grp_iter:
                 h = hists.get(g)
                 if h is None:
                     h = hists[g] = LogHistogram(min_value, max_value, epsilon)
                     rows[g] = 0
-                v = vals[np.asarray(mask)]
-                h.add(v)
-                rows[g] += int(v.size)
+                v = vals[idx]
+                v = v[ok[idx]]
+                if v.size:
+                    h.add(v)
+                    rows[g] += int(v.size)
         if hists:
             out = {k: [g[i] for g in hists] for i, k in enumerate(keys)}
             out["counts"] = [h.counts.tolist() for h in hists.values()]
@@ -87,18 +92,28 @@ def histogram_by(
     # stage 1: per (group, input-partition) partial vectors via mapInPandas
     partials = sdf.mapInPandas(build_partition, schema=part_schema)
 
-    # stage 2: JVM-side vector sum via posexplode + re-assembly
+    # stage 2: JVM-side vector sum via posexplode + re-assembly.  n_rows
+    # is counted exactly once per partial (at pos 0) — summing the
+    # replicated column and dividing by n_bins would go through a double
+    # and lose exactness past 2^53 total weight
     exploded = partials.select(
-        *keys, F.col("n_rows"), F.posexplode("counts").alias("pos", "cnt")
+        *keys,
+        F.col("n_rows"),
+        F.posexplode("counts").alias("pos", "cnt"),
+    ).select(
+        *keys,
+        F.when(F.col("pos") == 0, F.col("n_rows")).otherwise(F.lit(0)).alias("__nr1"),
+        "pos",
+        "cnt",
     )
     summed = exploded.groupBy(*keys, "pos").agg(
-        F.sum("cnt").alias("cnt"), F.sum("n_rows").alias("nr")
+        F.sum("cnt").alias("cnt"), F.sum("__nr1").alias("nr")
     )
     out = summed.groupBy(*keys).agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("pos", "cnt"))), lambda s: s["cnt"]
         ).alias("counts"),
-        (F.sum("nr") / F.lit(n_bins)).cast("bigint").alias("n_rows"),
+        F.sum("nr").cast("bigint").alias("n_rows"),
     )
     return out
 

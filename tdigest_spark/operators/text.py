@@ -44,11 +44,17 @@ DEFAULT_STOPWORDS: Sequence[str] = tuple(
 def tokens_col(text_col: Column | str, delimiter: str = " ") -> Column:
     """Split into tokens on a literal delimiter, dropping empty tokens.
 
-    A literal single-space split (not a regex) so DuckDB's
-    ``string_split`` produces the identical array.
+    A literal split (not a regex) so DuckDB's ``string_split`` produces
+    the identical array.  F.split treats its pattern as a Java regex, so
+    the delimiter is regex-escaped here — without that, delimiter="."
+    would split between every character and "|" between every pair.
+    (re.escape leaves " " untouched, so the default path is unchanged.)
     """
+    import re as _re
+
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.filter(F.split(c, F.lit(delimiter).cast("string"), -1), lambda t: t != "")
+    pat = F.lit(_re.escape(delimiter)).cast("string")
+    return F.filter(F.split(c, pat, -1), lambda t: t != "")
 
 
 def token_stats(

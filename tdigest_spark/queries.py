@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .histogram import LogHistogram
 from .operators import digest, histogram_ops
 from .operators.dedup import (
+    _track,
     embedding_near_dup,
     estimated_jaccard_pairs,
     exact_dedup,
@@ -232,10 +233,12 @@ def q_tdigest_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", F.to_date(F.col("ts"))
     )
     # persist: both output grains re-read this KB-sized digest table, and
-    # without it each union branch would rebuild the digests from raw rows
-    fine = digest.digest_by(
+    # without it each union branch would rebuild the digests from raw rows.
+    # _track registers it with dedup's cache ledger so the harness's
+    # per-query release_cached() stage boundary can free the blocks.
+    fine = _track(digest.digest_by(
         ev, "value", by=["event_type", "day"], delta=EVENTS_DELTA
-    ).persist()
+    ).persist())
     # day digests become canonical-ordered partials of the type digest
     partials = fine.withColumn(
         digest._SALT, F.datediff(F.col("day"), F.lit("1970-01-01")).cast("int")
@@ -641,7 +644,8 @@ def q_theta_users_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # persist: both crossJoin sides read this KB-sized sketch table; an
     # unpersisted plan re-runs the raw scan + aggregation per side
-    sk = SK.kmv_by(ev, "user_id", by=["event_type"], k=KMV_K).persist()
+    # (_track -> released at the harness's release_cached() boundary)
+    sk = _track(SK.kmv_by(ev, "user_id", by=["event_type"], k=KMV_K).persist())
     a = sk.select(F.col("event_type").alias("type_a"), F.col("kmv").alias("__ka"))
     b = sk.select(F.col("event_type").alias("type_b"), F.col("kmv").alias("__kb"))
     pairs = a.crossJoin(b).filter(F.col("type_a") < F.col("type_b"))
@@ -1457,8 +1461,10 @@ def q_lsh_est_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     corpus = _docs_with_twins(load_table(spark, sf_dir, "documents"))
-    sigs = minhash_signatures(corpus, "text", "doc_id", MINHASH_K, SHINGLE_K).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sigs = _track(
+        minhash_signatures(corpus, "text", "doc_id", MINHASH_K, SHINGLE_K).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     cands = lsh_candidate_pairs(
         corpus, "text", "doc_id", MINHASH_K, SHINGLE_K, LSH_BANDS,

@@ -111,12 +111,21 @@ class K1(ScaleFunction):
 
 
 class K2(ScaleFunction):
-    """Cluster sizes ~ q(1-q); k = norm*log(q/(1-q)); Z = 4 ln(n/delta) + 24."""
+    """Cluster sizes ~ q(1-q); k = norm*log(q/(1-q)); Z = 4 ln(n/delta) + 24.
+
+    Intent correction vs the reference (scale.jl:87, unguarded): for
+    n < delta*exp(-6) the raw Z goes negative, inverting k()/q() and
+    making the check_weights size bound vacuously true.  The ln term is
+    floored at 0 (treat sub-delta populations as n = delta): in that
+    regime every centroid is a singleton so any positive normalizer is
+    valid, the clamp is continuous at n = delta, and the formula is
+    bit-identical to the reference for all n >= delta (the only regime
+    test/ref.csv covers)."""
 
     name = "K_2"
 
     def _z(self, delta, n):
-        return 4.0 * np.log(n / delta) + 24.0
+        return 4.0 * max(np.log(n / delta), 0.0) + 24.0
 
     def k(self, q, norm):
         qq = _clip_q(q)
@@ -142,12 +151,16 @@ class K2(ScaleFunction):
 
 
 class K3(ScaleFunction):
-    """Cluster sizes ~ min(q, 1-q); Z = 4 ln(n/delta) + 21.  Default scale."""
+    """Cluster sizes ~ min(q, 1-q); Z = 4 ln(n/delta) + 21.  Default scale.
+
+    Same negative-Z guard as K2 (reference scale.jl:129 is unguarded:
+    n < delta*exp(-21/4) would invert k()/q()); ln floored at 0,
+    bit-identical to the reference for n >= delta."""
 
     name = "K_3"
 
     def _z(self, delta, n):
-        return 4.0 * np.log(n / delta) + 21.0
+        return 4.0 * max(np.log(n / delta), 0.0) + 21.0
 
     def k(self, q, norm):
         qq = _clip_q(q)

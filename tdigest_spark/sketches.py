@@ -76,6 +76,10 @@ def hll_by(
     next 13 hex chars.  Plan: project hash -> groupBy(keys, bucket) max
     (partial agg, map-side combine) -> assemble dense register array
     JVM-side.  Standard error ~1.04/sqrt(2^p) (~1.6% at p=12).
+
+    NULL values are ignored (COUNT(DISTINCT) semantics — a NULL hashes
+    to a NULL bucket, which is not a distinct item); a group whose
+    values are ALL NULL emits no row.
     """
     if p % 4 != 0 or not 4 <= p <= 16:
         raise ValueError("p must be 4, 8, 12, or 16 (whole hex prefix)")
@@ -83,7 +87,7 @@ def hll_by(
     keys = list(by)
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     h = _h128("hll:", value)
-    hashed = df.select(
+    hashed = df.filter(value.isNotNull()).select(
         *keys,
         _hex_to_long(F.substring(h, 1, p // 4)).cast("int").alias("__bucket"),
         _rho_from_hex(F.substring(h, p // 4 + 1, 13)).alias("__rho"),
@@ -147,14 +151,19 @@ def countmin_by(
     """Grouped Count-Min sketch: (by..., counts array<long>) of length
     depth*width, row-major.  Row j buckets by md5(j||':'||v).  Point
     estimates via countmin_query_col.  Error: +eps*N with
-    eps ~ e/width at confidence 1-(1/2)^depth."""
+    eps ~ e/width at confidence 1-(1/2)^depth.
+
+    NULL values are ignored (they hash to NULL positions, not items);
+    a group whose values are ALL NULL emits no row."""
     keys = list(by)
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     pos_cols = []
     for j in range(depth):
         b = _hex_to_long(F.substring(_h128(f"cm{j}:", value), 1, 8)) % width
         pos_cols.append((b + j * width).cast("int"))
-    hashed = df.select(*keys, F.explode(F.array(*pos_cols)).alias("__pos"))
+    hashed = df.filter(value.isNotNull()).select(
+        *keys, F.explode(F.array(*pos_cols)).alias("__pos")
+    )
     per_pos = hashed.groupBy(*keys, "__pos").agg(F.count("*").alias("__c"))
     dense = per_pos.groupBy(*keys).agg(
         F.map_from_entries(F.collect_list(F.struct("__pos", "__c"))).alias("__m")

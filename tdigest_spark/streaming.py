@@ -416,6 +416,10 @@ def windowed_hll_by(
     )
     proj = (
         sdf.withWatermark(ts_col, watermark)
+        # NULL values are ignored (COUNT(DISTINCT) semantics, mirroring
+        # the batch sketches.hll_by): a NULL hashes to a NULL bucket,
+        # which would otherwise NaN-poison the int64 cast in update()
+        .filter(F.col(value_col).isNotNull())
         .select(
             F.col(ts_col),
             *keys,

@@ -99,3 +99,20 @@ def test_roundtrip_arbitrary_sequences(vals, cls):
     codec = cls()
     back = codec.decompress(codec.compress(vals), n=len(vals))
     assert np.array_equal(back, vals)
+
+
+def test_wide_value_poisons_packing_like_reference():
+    """Reference parity pin: maxCode is NEVER reset after emitting a word
+    (SimpleCompression.jl resets it only in empty!, :158-159), so one
+    wide value makes every later small value emit its own word until
+    reset().  This wastes space but is the reference's wire behavior —
+    an 'optimized' encoder that recomputes maxCode would stop being
+    bit-identical.  (codec.py add() docstring documents the choice.)"""
+    codec = Simple64()
+    poisoned = codec.compress(np.array([2**59] + [1] * 30, dtype=np.uint64))
+    assert len(poisoned) == 31  # 1 wide word + 30 one-value words
+    codec2 = Simple64()
+    clean = codec2.compress(np.array([1] * 30, dtype=np.uint64))
+    assert len(clean) == 1  # fresh encoder packs 30 ones into one word
+    # round-trip stays exact in both regimes
+    assert list(codec.decompress(poisoned, n=31)) == [2**59] + [1] * 30

@@ -263,3 +263,14 @@ def test_ngram_contamination_broadcasts_benchmark_no_text_shuffle(docs):
     # __g-partitioned shuffle would mean corpus grams are moving.
     assert simple.count("hashpartitioning(__g") == 1
     assert "BroadcastExchange" in simple
+
+
+def test_histogram_by_keeps_null_group_keys(spark):
+    """SQL GROUP BY keeps NULL keys; the pre-fix mask formulation
+    (gkey == g) never matched NaN keys so those rows vanished."""
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), ("g1", 3.0)], "k string, v double"
+    )
+    out = {r["k"]: r["n_rows"] for r in
+           histogram_ops.histogram_by(df, "v", 0.1, 10.0, by=["k"]).collect()}
+    assert out == {None: 2, "g1": 1}

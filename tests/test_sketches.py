@@ -307,3 +307,26 @@ def test_heavy_hitters_auto_shuffle_semi_join(spark):
     exp = {it: c for it, c in cnt.items() if c > 0.02 * len(items)}
     got = {r["item"]: r["freq"] for r in hh.collect()}
     assert got == exp
+
+
+def test_hll_countmin_ignore_nulls(spark):
+    """COUNT(DISTINCT)/frequency semantics: NULL values are not items.
+    Before the fix a single NULL made map_from_entries throw
+    NULL_MAP_KEY and killed the job."""
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("a", "y"), ("b", None)],
+        "g string, v string",
+    )
+    hll = {r["g"]: r["registers"] for r in SK.hll_by(df, "v", by=["g"], p=8).collect()}
+    # group a: 2 distinct non-null items; group b: all-NULL -> no row
+    assert set(hll) == {"a"}
+    est = (
+        spark.createDataFrame([(hll["a"],)], "registers array<int>")
+        .select(SK.hll_estimate_col("registers", 8).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert abs(est - 2) < 0.5
+
+    cm = {r["g"]: r["counts"] for r in SK.countmin_by(df, "v", by=["g"]).collect()}
+    assert set(cm) == {"a"}
+    assert sum(cm["a"]) == 2 * 4  # 2 non-null rows x depth=4 positions
