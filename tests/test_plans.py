@@ -274,3 +274,19 @@ def test_histogram_by_keeps_null_group_keys(spark):
     out = {r["k"]: r["n_rows"] for r in
            histogram_ops.histogram_by(df, "v", 0.1, 10.0, by=["k"]).collect()}
     assert out == {None: 2, "g1": 1}
+
+
+def test_hll_build_partial_aggregation(spark):
+    """hll_by's two groupBys both partial-aggregate (map-side combine):
+    the shuffle carries (keys, bucket, maxrho) partials — at most
+    groups x 2^p rows per input partition — never the raw value stream."""
+    from tdigest_spark import sketches as SK
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    h = SK.hll_by(ev, "user_id", by=["event_type"], p=8)
+    plan = explain_str(h, "simple")
+    # all-JVM: no Python stage anywhere
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+    # both aggregates split into partial + final around their exchange
+    assert plan.count("HashAggregate") >= 4
+    assert plan.count("Exchange") == 2
