@@ -63,7 +63,29 @@ def worker(
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    if jobname == "minhash":
+    if jobname == "decon":
+        # eval-set decontamination: per-doc n-gram construction + probe
+        # of the (identically rebuilt) broadcast benchmark gram set.
+        # Embarrassingly parallel per slice — flags depend only on the
+        # doc and the broadcast set — so the split is faithful; the
+        # benchmark build is per-executor constant overhead at both
+        # levels (on a cluster it broadcasts once).
+        from tdigest_spark.operators.dedup import ngram_contamination
+
+        bench_path = os.environ.get("DECON_BENCH", "/tmp/decon_bench_4m")
+
+        def job() -> int:
+            df = spark.read.parquet(*files).select(
+                F.xxhash64("url").alias("doc_id"), "text"
+            )
+            bench = spark.read.parquet(bench_path)
+            flags = ngram_contamination(df, bench, "text", "doc_id", n=8)
+            r = flags.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("contaminated").cast("long")).alias("c"),
+            ).collect()
+            return int(r[0]["n"])
+    elif jobname == "minhash":
         # LSH dedup stage 1: the md5-lane MinHash signature build (the
         # pipeline-dominant stage in the 4M-doc curation run).  The
         # consuming select hashes the whole signature array so no lane
@@ -174,9 +196,11 @@ def main() -> None:
     ap.add_argument("--levels", default="4,16")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument(
-        "--job", default="digest", choices=("digest", "minhash"),
+        "--job", default="digest", choices=("digest", "minhash", "decon"),
         help="digest: grouped t-digest partial build over the _lens table; "
-        "minhash: LSH dedup stage-1 signature build over the text corpus",
+        "minhash: LSH dedup stage-1 signature build over the text corpus; "
+        "decon: eval-set n-gram decontamination flags over the text corpus "
+        "(benchmark parquet from $DECON_BENCH, default /tmp/decon_bench_4m)",
     )
     ap.add_argument(
         "--files-cap", type=int, default=0,
@@ -194,7 +218,7 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    if args.job == "minhash":
+    if args.job in ("minhash", "decon"):
         files = glob.glob(os.path.join(CORPUS, "*", "*.parquet"))
         if not files:
             raise SystemExit(f"no corpus at {CORPUS}; run bench_scaling.py once")
