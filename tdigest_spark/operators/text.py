@@ -327,3 +327,56 @@ def repetition_stats(
         )
     )
     return df.select(id_col).join(metrics, id_col, "left")
+
+
+# ----------------------------------------------------------------- URLs
+
+
+_URL_SCHEME_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+_URL_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)"
+_URL_PORT_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]*:([0-9]+)"
+_URL_PATH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+_URL_QUERY_RE = "\\?([^#]*)"
+
+
+def url_host(url_col: Column | str) -> Column:
+    """Lowercased host (userinfo and port stripped) — the key for
+    host-level quotas/dedup in crawl curation.  Pure regexp_extract
+    (RE2-compatible pattern, so DuckDB oracles reproduce it verbatim)."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    return F.lower(F.regexp_extract(c, _URL_HOST_RE, 1))
+
+
+def url_canonical(url_col: Column | str) -> Column:
+    """Canonical URL: scheme and host lowercased, userinfo kept out of
+    the host key, default ports stripped (http:80, https:443), fragment
+    dropped, empty path normalized to '/', query preserved verbatim.
+
+    Deliberately NOT done: query-param reordering and percent-decoding —
+    both change semantics on real sites (param order can be significant,
+    decoding can alias distinct resources); crawl dedup wants a stable
+    conservative key, not an aggressive one.
+
+    All parts are regexp_extract + concat (JVM codegen; same RE2-safe
+    patterns in the DuckDB oracle).  Non-URL strings (no scheme://)
+    canonicalize to NULL so callers can filter or fall back.
+    """
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    scheme = F.lower(F.regexp_extract(c, _URL_SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(c, _URL_HOST_RE, 1))
+    port = F.regexp_extract(c, _URL_PORT_RE, 1)
+    path = F.regexp_extract(c, _URL_PATH_RE, 1)
+    query = F.regexp_extract(c, _URL_QUERY_RE, 1)
+    default = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    port_part = F.when((port == "") | default, F.lit("")).otherwise(
+        F.concat(F.lit(":"), port)
+    )
+    path_part = F.when(path == "", F.lit("/")).otherwise(path)
+    query_part = F.when(query == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), query)
+    )
+    return F.when(
+        scheme == "", F.lit(None).cast("string")
+    ).otherwise(F.concat(scheme, F.lit("://"), host, port_part, path_part, query_part))

@@ -1260,6 +1260,81 @@ FROM w
 """
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + host extraction over deterministically
+    synthesized messy URLs (mixed-case scheme/host, userinfo, default and
+    non-default ports, empty paths, queries, fragments — one knob per
+    doc_id residue class so every rule is exercised).  Pure
+    regexp_extract string algebra; the oracle runs the identical RE2
+    patterns."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HtTpS")).otherwise(F.lit("Http")),
+        F.lit("://"),
+        F.when(did % 11 == 0, F.lit("User@")).otherwise(F.lit("")),
+        F.lit("WWW.Site"),
+        (did % 37).cast("string"),
+        F.lit(".Example.ORG"),
+        F.when(did % 4 == 0, F.lit(":443"))
+        .when(did % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.concat(F.lit("/Art/"), did.cast("string")))
+        .otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("?q=Ab&z=9")).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit("#Sec-2")).otherwise(F.lit("")),
+    )
+    from .operators.text import url_canonical, url_host
+
+    return (
+        docs.select("doc_id", url.alias("__u"))
+        .select(
+            "doc_id",
+            url_canonical("__u").alias("canonical_url"),
+            url_host("__u").alias("host"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_URL_NORMALIZE = r"""
+WITH u AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HtTpS' ELSE 'Http' END)
+    || '://'
+    || (CASE WHEN doc_id % 11 = 0 THEN 'User@' ELSE '' END)
+    || 'WWW.Site' || CAST(doc_id % 37 AS VARCHAR) || '.Example.ORG'
+    || (CASE WHEN doc_id % 4 = 0 THEN ':443'
+             WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN '/Art/' || CAST(doc_id AS VARCHAR) ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN '?q=Ab&z=9' ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN '#Sec-2' ELSE '' END) AS url
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1)) AS host,
+    regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]*:([0-9]+)', 1) AS port,
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM u
+)
+SELECT doc_id,
+  scheme || '://' || host
+  || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+            OR (scheme = 'https' AND port = '443')
+       THEN '' ELSE ':' || port END)
+  || (CASE WHEN path = '' THEN '/' ELSE path END)
+  || (CASE WHEN query = '' THEN '' ELSE '?' || query END) AS canonical_url,
+  host
+FROM p
+ORDER BY doc_id
+"""
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return language_id(docs)
@@ -2040,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "bpe_token_stats": q_bpe_token_stats,
         "language_id": q_language_id,
+        "url_normalize": q_url_normalize,
         "source_set_ops": q_source_set_ops,
         "token_freq_udtf": q_token_freq_udtf,
         "dedup_exact": q_dedup_exact,
@@ -2094,6 +2170,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": _SQL_DOC_REPETITION,
         "bpe_token_stats": _sql_bpe_token_stats(),
         "language_id": _sql_language_id(),
+        "url_normalize": _SQL_URL_NORMALIZE,
         "source_set_ops": _SQL_SOURCE_SET_OPS,
         "token_freq_udtf": _SQL_TOKEN_FREQ_UDTF,
         "dedup_exact": _SQL_DEDUP_EXACT,

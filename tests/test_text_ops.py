@@ -106,3 +106,23 @@ def test_repetition_stats_values(spark):
     assert out[2]["top_bigram_frac"] == 1.0
     assert out[3]["dup_token_ratio"] is None
     assert out[3]["top_bigram_frac"] is None
+
+
+def test_url_canonicalization_edges(spark):
+    from tdigest_spark.operators.text import url_canonical, url_host
+
+    rows = [
+        ("HTTP://Example.COM:80/a?b=1#f", "http://example.com/a?b=1", "example.com"),
+        ("https://USER:pw@WWW.X.org:443", "https://www.x.org/", "www.x.org"),
+        ("http://h.io:8080", "http://h.io:8080/", "h.io"),
+        ("ftp://Files.example.net/pub/", "ftp://files.example.net/pub/", "files.example.net"),
+        ("not a url", None, ""),
+        (None, None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in rows], "url string")
+    got = df.select(
+        url_canonical("url").alias("c"), url_host("url").alias("h")
+    ).collect()
+    for (u, want_c, want_h), r in zip(rows, got):
+        assert r["c"] == want_c, (u, r["c"])
+        assert r["h"] == want_h, (u, r["h"])
