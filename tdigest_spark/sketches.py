@@ -268,6 +268,8 @@ def kmv_by(
     """Grouped KMV (k-minimum-values / theta) distinct sketch:
     (by..., kmv array<string>) — the k lexicographically-smallest 15-hex
     (60-bit) md5 prefixes of the group's DISTINCT values, sorted.
+    NULL values are ignored (md5(NULL) is NULL, which collect_set drops
+    — same COUNT(DISTINCT) semantics as hll_by/countmin_by).
 
     This is the sketch family that supports SET ALGEBRA: union /
     intersection distinct-count estimates compose from the sketches alone
