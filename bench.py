@@ -200,6 +200,40 @@ def main() -> None:
 
     bench("minhash_lsh_dedup_xx", dedup_xx)
 
+    # 5e. INCREMENTAL dedup: the 10%-of-corpus twin increment deduped
+    #     against the standing corpus's PRECOMPUTED signature index (built
+    #     and persisted outside the timed region — on a real pipeline the
+    #     index is last month's artifact).  Times what a monthly crawl
+    #     actually pays: signature build over the increment + two KB-lane
+    #     joins; the old corpus is never re-read.  Compare to 5 (full
+    #     dedup re-hashes everything).
+    from tdigest_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_signatures,
+    )
+    from tdigest_spark.queries import (
+        LSH_BANDS as _BANDS,
+        LSH_MAX_BUCKET as _MAXB,
+        MINHASH_K as _MK,
+        NEARDUP_MOD as _NDM,
+        SHINGLE_K as _SK,
+    )
+
+    idx_sigs = minhash_signatures(docs, "text", "doc_id", _MK, _SK).persist()
+    idx_sigs.count()  # materialize: the index is a precomputed artifact
+
+    def incr_dedup():
+        twins = docs.filter((F.col("doc_id") % _NDM) == 0).select(
+            "doc_id", F.expr("substring(text, 1, n_chars - 20)").alias("text")
+        )
+        dedup_against_index(
+            twins, idx_sigs, "text", "doc_id", threshold=0.5,
+            n_hashes=_MK, shingle_k=_SK, bands=_BANDS, max_bucket=_MAXB,
+        ).count()
+
+    bench("minhash_incremental_dedup", incr_dedup)
+    idx_sigs.unpersist()
+
     # 5d. benchmark decontamination: broadcast n-gram join, corpus text
     #     never shuffles (every 13th doc's first-half tokens = eval set)
     def decontam():

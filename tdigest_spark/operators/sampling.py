@@ -91,6 +91,43 @@ def deterministic_fixed_sample(
     )
 
 
+def quota_by_key(
+    df: DataFrame,
+    key_col: str,
+    order_by: Sequence[Column | str],
+    k: int,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Per-key quota cap: keep at most `k` rows per `key_col`, preferring
+    rows earliest in `order_by` — the host-quota / domain-balancing
+    primitive of crawl curation (no single site may dominate the corpus).
+
+    `order_by` MUST be a total order per key (break ties with the id
+    column) or the kept set is nondeterministic under re-partitioning —
+    the same trap `deterministic_sample` exists to avoid.  Pass
+    `rank_col` to also keep the within-key rank (1-based).
+
+    Plan: one hash shuffle on `key_col` + a per-key sort for row_number —
+    the minimum any per-key top-k needs.  Skew note for 100 TB: a
+    pathological key (one host with 10^8 pages) serializes into a single
+    window partition; since rows beyond rank k are discarded anyway,
+    pre-thin such keys first (e.g. `deterministic_sample` at a rate that
+    leaves ~10k x k expected rows for keys whose approximate count —
+    one cheap partial-agg pass — exceeds that), then apply the exact
+    quota.  For every realistic host distribution the plain window is
+    the right plan; AQE handles moderate skew in the shuffle itself.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    w = Window.partitionBy(key_col).orderBy(*cols)
+    rk = "__qk_rank" if rank_col is None else rank_col
+    out = df.withColumn(rk, F.row_number().over(w)).filter(F.col(rk) <= int(k))
+    return out.drop(rk) if rank_col is None else out
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

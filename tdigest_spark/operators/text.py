@@ -329,6 +329,123 @@ def repetition_stats(
     return df.select(id_col).join(metrics, id_col, "left")
 
 
+# ------------------------------------------------------------------ PII
+
+# Patterns constrained to the Java∩RE2 regex subset (no lookarounds, no
+# backreferences, ASCII classes, leftmost-greedy quantifiers — identical
+# match semantics in Spark's Java regex and DuckDB's RE2), so redaction
+# and counts are exactly oracle-checkable.
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_PATTERN = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE_PATTERN = r"\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b"
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_redacted",
+) -> DataFrame:
+    """C4/Dolma-style PII scrub: emails, IPv4 addresses, and US-style
+    phone numbers replaced with typed placeholder tokens, plus per-doc
+    match counts (the audit signal a curation run reports).
+
+    Appends: n_emails, n_ipv4, n_phones (long; NULL for NULL text) and
+    `out_col` (the redacted text).
+
+    Categories are counted and redacted SEQUENTIALLY — emails first, then
+    IPv4 over the email-redacted string, then phones over the IP-redacted
+    string — so a digit run can never be double-counted as both an IP and
+    a phone (an email's host part is also never counted as a bare IP).
+    Each stage is bound in its own projection; all stages are plain
+    regexp_replace / regexp_extract_all column expressions that run
+    inside whole-stage codegen in the scan stage — no UDF, no shuffle,
+    and the text column never leaves the executor that scanned it (the
+    100 TB shape: redaction is free relative to the parquet decode).
+
+    Deliberately NOT here: names/addresses (need NER models — out of
+    scope for a regex pass and never oracle-exact) and aggressive phone
+    variants (international free-form numbers collide with dates, prices
+    and ids; a conservative scrub beats a corpus-mangling one).
+    """
+    c = F.col(text_col)
+    n_em = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_PATTERN), 0))
+    out = df.withColumn("n_emails", n_em.cast("long")).withColumn(
+        "__r1", F.regexp_replace(c, PII_EMAIL_PATTERN, "<EMAIL>")
+    )
+    n_ip = F.size(F.regexp_extract_all(F.col("__r1"), F.lit(PII_IPV4_PATTERN), 0))
+    out = out.withColumn("n_ipv4", n_ip.cast("long")).withColumn(
+        "__r2", F.regexp_replace(F.col("__r1"), PII_IPV4_PATTERN, "<IP>")
+    )
+    n_ph = F.size(F.regexp_extract_all(F.col("__r2"), F.lit(PII_PHONE_PATTERN), 0))
+    return (
+        out.withColumn("n_phones", n_ph.cast("long"))
+        .withColumn(out_col, F.regexp_replace(F.col("__r2"), PII_PHONE_PATTERN, "<PHONE>"))
+        .drop("__r1", "__r2")
+    )
+
+
+# ----------------------------------------------------------------- lines
+
+# Substrings that mark navigation/boilerplate lines in crawl text (C4's
+# "javascript" rule and friends).  Matched case-insensitively as plain
+# substrings — no regex, so the oracle is a literal contains().
+DEFAULT_LINE_BLOCKLIST: Sequence[str] = (
+    "javascript",
+    "cookie",
+    "privacy policy",
+    "terms of use",
+)
+
+
+def clean_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    blocklist: Sequence[str] = DEFAULT_LINE_BLOCKLIST,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """C4-style line-level cleaning: split the document on newlines, keep
+    only lines that (a) have at least `min_words` whitespace tokens,
+    (b) end in terminal punctuation (. ! ?) when `require_terminal_punct`,
+    and (c) contain no blocklist substring (case-insensitive), then
+    reassemble the survivors with newlines.
+
+    Appends: n_lines, n_lines_kept (long) and `out_col`.  NULL text stays
+    NULL across all three; a document whose every line is dropped gets
+    clean_text = '' (so the caller's min-length gate removes it, matching
+    C4's behaviour).
+
+    Everything is array algebra over one split — filter/size/array_join
+    inside whole-stage codegen in the scan stage, per-document and
+    shuffle-free, so the operator costs one pass over the text bytes at
+    any scale.  The blocklist is unrolled into literal contains() tests
+    (it is a config constant, not data), which keeps the oracle SQL
+    engine-neutral and lets Catalyst constant-fold the lowercasing.
+    """
+    lines = F.split(F.col(text_col), "\n", -1)
+
+    def _keep(l):  # noqa: E741 - l is the conventional line var
+        n_words = F.size(F.filter(F.split(l, " ", -1), lambda t: t != ""))
+        cond = n_words >= F.lit(min_words)
+        if require_terminal_punct:
+            cond = cond & l.rlike(r"[.!?]$")
+        low = F.lower(l)
+        for b in blocklist:
+            cond = cond & ~F.contains(low, F.lit(b.lower()))
+        return cond
+
+    kept = F.filter(lines, _keep)
+    return (
+        df.withColumn("__cl_all", lines)
+        .withColumn("__cl_kept", kept)
+        .withColumn("n_lines", F.size("__cl_all").cast("long"))
+        .withColumn("n_lines_kept", F.size("__cl_kept").cast("long"))
+        .withColumn(out_col, F.array_join("__cl_kept", "\n"))
+        .drop("__cl_all", "__cl_kept")
+    )
+
+
 # ----------------------------------------------------------------- URLs
 
 

@@ -1369,6 +1369,217 @@ FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON d.doc_id = b.d
 """
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over deterministically PII-laced text (emails, IPv4,
+    phone numbers injected per doc_id residue class so every category,
+    the sequential-count rule, and the no-PII path are all exercised).
+    Counts and redaction are Java∩RE2 regex algebra — the oracle runs
+    the identical patterns with regexp_replace(..., 'g')."""
+    from .operators.text import pii_redact
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    laced = F.concat(
+        F.substring("text", 1, 40),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact user"), did.cast("string"),
+                F.lit("@mail.example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" from 10.0."), (did % 256).cast("string"),
+                F.lit(".7 logged"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" call 555-01"), (did % 10).cast("string"),
+                F.lit("-2368 today"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return (
+        pii_redact(docs.select("doc_id", laced.alias("text")))
+        .select("doc_id", "n_emails", "n_ipv4", "n_phones", "text_redacted")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_pii_redact() -> str:
+    from .operators.text import (
+        PII_EMAIL_PATTERN,
+        PII_IPV4_PATTERN,
+        PII_PHONE_PATTERN,
+    )
+
+    em, ip, ph = PII_EMAIL_PATTERN, PII_IPV4_PATTERN, PII_PHONE_PATTERN
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+    substring(text, 1, 40)
+    || (CASE WHEN doc_id % 3 = 0
+         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+         ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0
+         THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 logged'
+         ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0
+         THEN ' call 555-01' || CAST(doc_id % 10 AS VARCHAR) || '-2368 today'
+         ELSE '' END) AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{em}')) AS BIGINT) AS n_emails,
+         regexp_replace(text, '{em}', '<EMAIL>', 'g') AS r1
+  FROM u
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(r1, '{ip}')) AS BIGINT) AS n_ipv4,
+         regexp_replace(r1, '{ip}', '<IP>', 'g') AS r2
+  FROM s1
+)
+SELECT doc_id, n_emails, n_ipv4,
+       CAST(len(regexp_extract_all(r2, '{ph}')) AS BIGINT) AS n_phones,
+       regexp_replace(r2, '{ph}', '<PHONE>', 'g') AS text_redacted
+FROM s2
+ORDER BY doc_id
+"""
+
+
+CLEAN_MIN_WORDS = 3
+
+
+def q_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning over deterministically synthesized
+    multi-line pages (kept prose lines interleaved per doc_id residue
+    with too-short lines, blocklist boilerplate, and unterminated
+    fragments).  Pure per-document array algebra; the oracle mirrors the
+    split/filter/rejoin with DuckDB list functions."""
+    from .operators.text import clean_lines
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    page = F.concat_ws(
+        "\n",
+        F.concat(F.substring("text", 1, 50), F.lit(" ends well.")),
+        F.lit("Too short."),
+        F.when(did % 3 == 0, F.lit("Please enable JavaScript to continue viewing.")),
+        F.when(did % 2 == 0, F.concat(F.substring("text", 1, 30), F.lit(" no punct"))),
+        F.when(did % 4 == 0, F.lit("We updated our Cookie settings and Privacy Policy.")),
+        F.lit("This line stays in the final corpus!"),
+    )
+    return (
+        clean_lines(
+            docs.select("doc_id", page.alias("text")),
+            min_words=CLEAN_MIN_WORDS,
+        )
+        .select("doc_id", "n_lines", "n_lines_kept", "clean_text")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_clean_lines() -> str:
+    from .operators.text import DEFAULT_LINE_BLOCKLIST
+
+    block = "\n        ".join(
+        f"AND NOT contains(lower(x), '{b.lower()}')" for b in DEFAULT_LINE_BLOCKLIST
+    )
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+    concat_ws(chr(10),
+      substring(text, 1, 50) || ' ends well.',
+      'Too short.',
+      CASE WHEN doc_id % 3 = 0
+           THEN 'Please enable JavaScript to continue viewing.' END,
+      CASE WHEN doc_id % 2 = 0
+           THEN substring(text, 1, 30) || ' no punct' END,
+      CASE WHEN doc_id % 4 = 0
+           THEN 'We updated our Cookie settings and Privacy Policy.' END,
+      'This line stays in the final corpus!') AS page
+  FROM documents
+),
+l AS (
+  SELECT doc_id, string_split(page, chr(10)) AS ls FROM u
+),
+k AS (
+  SELECT doc_id, ls,
+         list_filter(ls, x ->
+           len(list_filter(string_split(x, ' '), tk -> tk != '')) >= {CLEAN_MIN_WORDS}
+           AND regexp_matches(x, '[.!?]$')
+           {block}) AS keep
+  FROM l
+)
+SELECT doc_id,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(keep) AS BIGINT) AS n_lines_kept,
+       array_to_string(keep, chr(10)) AS clean_text
+FROM k
+ORDER BY doc_id
+"""
+
+
+HOST_QUOTA_K = 3
+
+
+def q_host_quota_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host quota cap (domain balancing): synthesize crawl URLs over
+    37 hosts, extract the host key with url_host, and keep the top
+    HOST_QUOTA_K docs per host by (n_chars DESC, doc_id) — a total order,
+    so the kept set is engine- and partitioning-independent.  One window
+    shuffle on host; the oracle is the identical row_number window."""
+    from .operators.sampling import quota_by_key
+    from .operators.text import url_host
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://WWW.Site"),
+        (did % 37).cast("string"),
+        F.lit(".Example.ORG/p/"),
+        did.cast("string"),
+    )
+    framed = docs.select("doc_id", "n_chars", url_host(url).alias("host"))
+    return quota_by_key(
+        framed,
+        "host",
+        [F.desc("n_chars"), F.asc("doc_id")],
+        HOST_QUOTA_K,
+        rank_col="host_rank",
+    ).select(
+        "host", F.col("host_rank").cast("long").alias("host_rank"),
+        "doc_id", "n_chars",
+    ).orderBy("host", "host_rank")
+
+
+_SQL_HOST_QUOTA_TOPK = f"""
+WITH u AS (
+  SELECT doc_id, n_chars,
+    lower(regexp_extract(
+      'https://WWW.Site' || CAST(doc_id % 37 AS VARCHAR)
+        || '.Example.ORG/p/' || CAST(doc_id AS VARCHAR),
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1)) AS host
+  FROM documents
+),
+r AS (
+  SELECT host, doc_id, n_chars,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY n_chars DESC, doc_id ASC) AS host_rank
+  FROM u
+)
+SELECT host, CAST(host_rank AS BIGINT) AS host_rank, doc_id, n_chars
+FROM r WHERE host_rank <= {HOST_QUOTA_K}
+ORDER BY host, host_rank
+"""
+
+
 # --------------------------------------------------------------------------
 # dedup
 
@@ -1577,6 +1788,85 @@ SELECT id_a, id_b,
                             x -> x)) AS DOUBLE) / {MINHASH_K} AS jaccard_est
 FROM cand JOIN lanes la ON cand.id_a = la.doc_id
           JOIN lanes lb ON cand.id_b = lb.doc_id
+WHERE CAST(len(list_filter([la.lv[i] = lb.lv[i] FOR i IN range(1, {MINHASH_K + 1})],
+                           x -> x)) AS DOUBLE) / {MINHASH_K} >= 0.5
+"""
+
+
+def q_lsh_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup: the truncated twins play a NEW monthly
+    increment, deduped against the standing corpus's precomputed MinHash
+    signature INDEX (documents) — band-key equi-join candidates
+    (lsh_incremental_pairs) verified by lane agreement, the path that
+    never re-reads or re-hashes the old corpus.  Returns verified
+    (new_id, index_id, jaccard_est) matches."""
+    from pyspark import StorageLevel
+
+    from .operators.dedup import estimated_jaccard_two, lsh_incremental_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    twins = docs.filter((F.col("doc_id") % NEARDUP_MOD) == 0).select(
+        F.col("doc_id").alias("doc_id"),
+        F.expr("substring(text, 1, n_chars - 20)").alias("text"),
+    )
+    index_sigs = _track(
+        minhash_signatures(docs, "text", "doc_id", MINHASH_K, SHINGLE_K).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
+    new_sigs = _track(
+        minhash_signatures(twins, "text", "doc_id", MINHASH_K, SHINGLE_K).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
+    pairs = lsh_incremental_pairs(
+        new_sigs, index_sigs, "doc_id", MINHASH_K, LSH_BANDS, LSH_MAX_BUCKET
+    )
+    return estimated_jaccard_two(
+        pairs, new_sigs, index_sigs, "new_id", "index_id", "doc_id"
+    ).filter(F.col("jaccard_est") >= 0.5)
+
+
+def _sql_lsh_incremental_dedup() -> str:
+    twins_sql = f"""
+  SELECT doc_id, substring(text, 1, CAST(n_chars - 20 AS INTEGER)) AS text
+  FROM documents WHERE doc_id % {NEARDUP_MOD} = 0
+"""
+    isigs = _sql_minhash("documents")
+    nsigs = _sql_minhash(f"({twins_sql})")
+
+    def band_sel(src: str) -> str:
+        return "\n  UNION ALL\n  ".join(
+            f"SELECT doc_id, {b} AS band, band_{b} AS band_key FROM {src}"
+            for b in range(LSH_BANDS)
+        )
+
+    return f"""
+WITH isigs AS ({isigs}),
+nsigs AS ({nsigs}),
+ib AS (
+  {band_sel("isigs")}
+),
+nb AS (
+  {band_sel("nsigs")}
+),
+ok AS (
+  -- mirror of the Spark-side index-bucket guard
+  SELECT band, band_key FROM ib GROUP BY band, band_key
+  HAVING count(*) <= {LSH_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
+  FROM nb n JOIN ok USING (band, band_key)
+            JOIN ib i USING (band, band_key)
+),
+nl AS (SELECT doc_id, string_split(minhash_sig, ',') AS lv FROM nsigs),
+il AS (SELECT doc_id, string_split(minhash_sig, ',') AS lv FROM isigs)
+SELECT new_id, index_id,
+       CAST(len(list_filter([la.lv[i] = lb.lv[i] FOR i IN range(1, {MINHASH_K + 1})],
+                            x -> x)) AS DOUBLE) / {MINHASH_K} AS jaccard_est
+FROM cand JOIN nl la ON cand.new_id = la.doc_id
+          JOIN il lb ON cand.index_id = lb.doc_id
 WHERE CAST(len(list_filter([la.lv[i] = lb.lv[i] FOR i IN range(1, {MINHASH_K + 1})],
                            x -> x)) AS DOUBLE) / {MINHASH_K} >= 0.5
 """
@@ -2116,6 +2406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "language_id": q_language_id,
         "url_normalize": q_url_normalize,
+        "pii_redact": q_pii_redact,
+        "clean_lines": q_clean_lines,
+        "host_quota_topk": q_host_quota_topk,
         "source_set_ops": q_source_set_ops,
         "token_freq_udtf": q_token_freq_udtf,
         "dedup_exact": q_dedup_exact,
@@ -2123,6 +2416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
         "lsh_est_jaccard_pairs": q_lsh_est_jaccard_pairs,
+        "lsh_incremental_dedup": q_lsh_incremental_dedup,
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
         "bloom_membership": q_bloom_membership,
@@ -2171,6 +2465,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_stats": _sql_bpe_token_stats(),
         "language_id": _sql_language_id(),
         "url_normalize": _SQL_URL_NORMALIZE,
+        "pii_redact": _sql_pii_redact(),
+        "clean_lines": _sql_clean_lines(),
+        "host_quota_topk": _SQL_HOST_QUOTA_TOPK,
         "source_set_ops": _SQL_SOURCE_SET_OPS,
         "token_freq_udtf": _SQL_TOKEN_FREQ_UDTF,
         "dedup_exact": _SQL_DEDUP_EXACT,
@@ -2178,6 +2475,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _sql_minhash(),
         "lsh_near_dup_pairs": _sql_lsh_near_dup_pairs(),
         "lsh_est_jaccard_pairs": _sql_lsh_est_jaccard_pairs(),
+        "lsh_incremental_dedup": _sql_lsh_incremental_dedup(),
         "simhash": _sql_simhash(),
         "simhash_near_pairs": _sql_simhash_near_pairs(),
         "bloom_membership": _sql_bloom_membership(),

@@ -365,3 +365,78 @@ def test_decontaminate_precomputed_flags(spark):
     )
     with pytest.raises(ValueError):
         D.decontaminate(corpus)
+
+
+# ------------------------------------------------------------- incremental
+
+
+@pytest.fixture(scope="module")
+def incr(spark):
+    """A standing index of 30 docs and a NEW increment: near-dup twins of
+    index docs 0-4, an exact copy of index doc 5, and 5 novel docs.  New
+    ids deliberately collide with index ids (separate namespaces)."""
+    rng = np.random.default_rng(21)
+    index = [(i, _words(rng, 40)) for i in range(30)]
+    new = (
+        [(i, " ".join(t.split()[:-3])) for i, t in index[:5]]  # twins, ids 0-4
+        + [(5, index[5][1])]                                    # exact, id 5
+        + [(100 + i, _words(rng, 40)) for i in range(5)]        # novel
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    return mk(index), mk(new)
+
+
+def test_lsh_incremental_pairs_finds_twins(incr):
+    index_df, new_df = incr
+    isigs = D.minhash_signatures(index_df)
+    nsigs = D.minhash_signatures(new_df)
+    pairs = {
+        (r["new_id"], r["index_id"])
+        for r in D.lsh_incremental_pairs(nsigs, isigs).collect()
+    }
+    # every twin/copy is candidate-paired with its original
+    for i in range(6):
+        assert (i, i) in pairs
+    # novel docs pair with nothing (random 4-char word soup)
+    assert not any(n >= 100 for n, _ in pairs)
+
+
+def test_estimated_jaccard_two_namespaces(incr):
+    index_df, new_df = incr
+    isigs = D.minhash_signatures(index_df)
+    nsigs = D.minhash_signatures(new_df)
+    pairs = D.lsh_incremental_pairs(nsigs, isigs)
+    est = {
+        (r["new_id"], r["index_id"]): r["jaccard_est"]
+        for r in D.estimated_jaccard_two(
+            pairs, nsigs, isigs, "new_id", "index_id"
+        ).collect()
+    }
+    assert est[(5, 5)] == 1.0  # exact copy agrees on every lane
+    for i in range(5):
+        assert est[(i, i)] >= 0.5  # truncated twins
+
+
+def test_dedup_against_index_keeps_only_novel(incr):
+    index_df, new_df = incr
+    isigs = D.minhash_signatures(index_df)
+    kept = sorted(
+        r["doc_id"]
+        for r in D.dedup_against_index(new_df, isigs, threshold=0.5).collect()
+    )
+    assert kept == [100 + i for i in range(5)]
+    D.release_cached()
+
+
+def test_lsh_incremental_index_bucket_guard(spark):
+    """A template cluster in the INDEX (many identical docs) is excluded
+    from the join by max_bucket, so a hot band key cannot fan out."""
+    template = "x y z w v u t s r q p o"
+    index_df = spark.createDataFrame(
+        [(i, template) for i in range(10)], "doc_id long, text string"
+    )
+    new_df = spark.createDataFrame([(0, template)], "doc_id long, text string")
+    isigs = D.minhash_signatures(index_df)
+    nsigs = D.minhash_signatures(new_df)
+    assert D.lsh_incremental_pairs(nsigs, isigs, max_bucket=5).count() == 0
+    assert D.lsh_incremental_pairs(nsigs, isigs, max_bucket=1000).count() == 10

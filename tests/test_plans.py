@@ -290,3 +290,31 @@ def test_hll_build_partial_aggregation(spark):
     # both aggregates split into partial + final around their exchange
     assert plan.count("HashAggregate") >= 4
     assert plan.count("Exchange") == 2
+
+
+def test_pii_and_clean_lines_stay_in_scan_stage(docs):
+    """PII redaction and line cleaning are pure scalar/array expressions:
+    whole-stage codegen, no Python, no Exchange — they ride the scan."""
+    from tdigest_spark.operators.text import clean_lines, pii_redact
+
+    for op in (pii_redact, clean_lines):
+        plan = explain_str(op(docs), "simple")
+        assert "*(1)" in plan, op.__name__
+        assert "BatchEvalPython" not in plan, op.__name__
+        assert "Exchange" not in plan, op.__name__
+
+
+def test_lsh_incremental_pairs_equi_join_only(docs):
+    """Incremental dedup joins new and index band keys with a hash/merge
+    equi-join — never a nested loop or cartesian — and the index-side
+    bucket guard is a partial aggregation (count before any join)."""
+    from tdigest_spark.operators.dedup import (
+        lsh_incremental_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs)
+    plan = explain_str(lsh_incremental_pairs(sigs, sigs), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # map-side-combined bucket-size guard

@@ -74,3 +74,57 @@ def test_stratified_sample_rates(spark):
     n_en = sum(1 for r in out if r["lang"] == "en")
     n_de = sum(1 for r in out if r["lang"] == "de")
     assert 250 < n_en < 550 and 850 < n_de < 1150
+
+
+# ------------------------------------------------------------------ quota
+
+
+def test_quota_by_key_caps_and_orders(spark):
+    from pyspark.sql import functions as F
+
+    from tdigest_spark.operators.sampling import quota_by_key
+
+    rows = [
+        # host a: 4 docs, quality 40>30>20>10 -> keep 40,30,20
+        (1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0), (4, "a", 40.0),
+        # host b: 2 docs (under quota) -> keep both
+        (5, "b", 5.0), (6, "b", 1.0),
+        # host c: ties on quality -> id breaks them deterministically
+        (7, "c", 9.0), (8, "c", 9.0), (9, "c", 9.0), (10, "c", 9.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, quality double")
+    out = quota_by_key(
+        df, "host", [F.desc("quality"), F.asc("doc_id")], 3, rank_col="rk"
+    )
+    got = {(r["host"], r["doc_id"]): r["rk"] for r in out.collect()}
+    assert set(got) == {
+        ("a", 4), ("a", 3), ("a", 2),
+        ("b", 5), ("b", 6),
+        ("c", 7), ("c", 8), ("c", 9),
+    }
+    assert got[("a", 4)] == 1 and got[("a", 2)] == 3
+    assert got[("c", 7)] == 1  # tie broken by id
+
+
+def test_quota_by_key_partitioning_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from tdigest_spark.operators.sampling import quota_by_key
+
+    rows = [(i, f"h{i % 3}", float(i % 7)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, host string, q double")
+    a = quota_by_key(df, "host", [F.desc("q"), F.asc("doc_id")], 5)
+    b = quota_by_key(
+        df.repartition(13), "host", [F.desc("q"), F.asc("doc_id")], 5
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_quota_by_key_rejects_bad_k(spark):
+    import pytest as _pt
+
+    from tdigest_spark.operators.sampling import quota_by_key
+
+    df = spark.range(3).withColumnRenamed("id", "k")
+    with _pt.raises(ValueError):
+        quota_by_key(df, "k", ["k"], 0)

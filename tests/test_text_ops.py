@@ -126,3 +126,91 @@ def test_url_canonicalization_edges(spark):
     for (u, want_c, want_h), r in zip(rows, got):
         assert r["c"] == want_c, (u, r["c"])
         assert r["h"] == want_h, (u, r["h"])
+
+
+# ------------------------------------------------------------------- PII
+
+
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    rows = [
+        (0, "write to alice.smith+x@Mail.Example.COM for help"),
+        (1, "server 192.168.100.200 and 10.0.0.1 replied"),
+        (2, "call (555) 010-2368 or 555-010-2368 today"),
+        (3, "a@b.co sent 10.0.0.1 then dialed 555-010-2368"),
+        (4, None),
+        (5, "no pii here at all"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pii_redact_counts_and_text(pii_docs):
+    out = {r["doc_id"]: r for r in T.pii_redact(pii_docs).collect()}
+    assert (out[0]["n_emails"], out[0]["n_ipv4"], out[0]["n_phones"]) == (1, 0, 0)
+    assert out[0]["text_redacted"] == "write to <EMAIL> for help"
+    assert (out[1]["n_emails"], out[1]["n_ipv4"], out[1]["n_phones"]) == (0, 2, 0)
+    assert out[1]["text_redacted"] == "server <IP> and <IP> replied"
+    assert (out[2]["n_emails"], out[2]["n_ipv4"], out[2]["n_phones"]) == (0, 0, 2)
+    assert out[2]["text_redacted"] == "call <PHONE> or <PHONE> today"
+    # all three categories in one doc, counted once each (sequential rule)
+    assert (out[3]["n_emails"], out[3]["n_ipv4"], out[3]["n_phones"]) == (1, 1, 1)
+    assert out[3]["text_redacted"] == "<EMAIL> sent <IP> then dialed <PHONE>"
+    assert (out[5]["n_emails"], out[5]["n_ipv4"], out[5]["n_phones"]) == (0, 0, 0)
+    assert out[5]["text_redacted"] == "no pii here at all"
+
+
+def test_pii_redact_null_text(pii_docs):
+    r = {x["doc_id"]: x for x in T.pii_redact(pii_docs).collect()}[4]
+    assert r["n_emails"] is None and r["n_ipv4"] is None and r["n_phones"] is None
+    assert r["text_redacted"] is None
+
+
+def test_pii_no_cross_category_double_count(spark):
+    # a phone never matches inside an already-redacted IP and vice versa:
+    # IPv4 groups are <=3 digits (no 4-digit tail), phones have no dots
+    df = spark.createDataFrame(
+        [(0, "ip 10.20.30.40 phone 555-010-2368")], "doc_id long, text string"
+    )
+    r = T.pii_redact(df).collect()[0]
+    assert (r["n_ipv4"], r["n_phones"]) == (1, 1)
+    assert r["text_redacted"] == "ip <IP> phone <PHONE>"
+
+
+# ----------------------------------------------------------------- lines
+
+
+def test_clean_lines_rules(spark):
+    page = "\n".join(
+        [
+            "This sentence survives the cleaning pass.",
+            "Too short.",
+            "Please enable JavaScript to continue viewing.",
+            "this line has no terminal punctuation at all",
+            "We updated our Cookie settings and Privacy Policy.",
+            "Another good line ends here!",
+        ]
+    )
+    df = spark.createDataFrame([(0, page), (1, None)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.clean_lines(df).collect()}
+    assert out[0]["n_lines"] == 6
+    assert out[0]["n_lines_kept"] == 2
+    assert out[0]["clean_text"] == (
+        "This sentence survives the cleaning pass.\nAnother good line ends here!"
+    )
+    assert out[1]["n_lines"] is None and out[1]["clean_text"] is None
+
+
+def test_clean_lines_all_dropped_yields_empty(spark):
+    df = spark.createDataFrame([(0, "nope\nstill no")], "doc_id long, text string")
+    r = T.clean_lines(df).collect()[0]
+    assert r["n_lines_kept"] == 0 and r["clean_text"] == ""
+
+
+def test_clean_lines_options(spark):
+    df = spark.createDataFrame(
+        [(0, "three words here\nbad cookie line yes")], "doc_id long, text string"
+    )
+    r = T.clean_lines(df, require_terminal_punct=False).collect()[0]
+    assert r["n_lines_kept"] == 1  # blocklist still applies
+    r2 = T.clean_lines(df, require_terminal_punct=False, blocklist=()).collect()[0]
+    assert r2["n_lines_kept"] == 2
