@@ -647,6 +647,70 @@ def decontaminate(
     return corpus.join(bad, id_col, "left_anti")
 
 
+def frequent_ngram_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Within-corpus boilerplate signal: per document, how many of its
+    distinct word n-grams occur in >= `min_df` documents of the corpus
+    (document frequency over n-grams — the within-corpus counterpart of
+    ngram_contamination's eval-set overlap; cf. the repeated-substring
+    dedup rule of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better").  A document whose gram mass is mostly
+    corpus-frequent is template/boilerplate; the caller thresholds
+    `frequent_frac`.
+
+    Returns one row per input row: (id_col, n_grams, n_frequent_grams
+    long, frequent_frac double) — NULL metrics for NULL text
+    (enrichment shape, cardinality preserved).
+
+    100 TB plan: two passes over the gram stream, both recomputed from
+    the scan (grams are ~20x the text bytes — persisting them is the
+    mistake; re-deriving is one more codegen'd scan).  Pass 1 counts
+    document frequency per gram with a partial-aggregating groupBy
+    (shuffle carries (gram, count-partial) only); pass 2 joins the gram
+    stream to the >= min_df gram keys (shuffle equi-join, co-partitioned
+    on the gram) and partial-agg counts per doc.  No id lists per gram
+    are ever materialized (the hot-gram OOM `_bounded_buckets` exists to
+    avoid), and the text column never crosses an exchange.
+    """
+    grams = (
+        ensure_parallelism(df.select(id_col, text_col))
+        .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens_col(text_col).alias("__t"))
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingles_from_tokens("__t", n)).alias("__gs"),
+        )
+        .select(F.col(id_col), F.explode("__gs").alias("__g"))
+        .filter(F.col("__g") != "")
+    )
+    # grams are distinct per doc, so count(*) per gram IS document frequency
+    freq = (
+        grams.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("__g")
+    )
+    per_doc = grams.join(freq, "__g", "left_semi").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_frequent_grams")
+    )
+    totals = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    metrics = totals.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.coalesce("n_frequent_grams", F.lit(0)).alias("n_frequent_grams"),
+        (
+            F.coalesce("n_frequent_grams", F.lit(0)).cast("double")
+            / F.col("n_grams")
+        ).alias("frequent_frac"),
+    )
+    return df.select(id_col).join(metrics, id_col, "left")
+
+
 # ------------------------------------------------------------------- simhash
 
 

@@ -128,6 +128,113 @@ def quota_by_key(
     return out.drop(rk) if rank_col is None else out
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    budget: int,
+    n_buckets: int = 1024,
+    salt: str = "pack",
+) -> DataFrame:
+    """Sequence packing for pretraining shards: assign documents to
+    token-budget bins (packed training sequences) with first-fit-
+    decreasing, the classic 11/9·OPT greedy.  Returns one row per input
+    row: (id_col, pack_id long, pack_pos long, <len_col> long) where
+    pack_pos is the document's position inside its packed sequence.
+
+    Determinism and scale come from the same trick as the rest of this
+    module: documents are routed to `n_buckets` CONTENT-KEYED buckets
+    (md5(salt||id)), each bucket is packed independently with a
+    deterministic in-bucket order (len desc, id asc), and
+    pack_id = bucket * 2^32 + local bin index.  The result is invariant
+    to partitioning, cluster size, and engine; packing quality is within
+    a whisker of global FFD as long as each bucket holds many documents
+    relative to the bin capacity (size n_buckets so a bucket is ~10^4-10^6
+    docs at your scale — the groupBy is one hash shuffle of
+    (id, length) rows, ~16 B each, never the text).
+
+    Packing is inherently sequential per bin, so this is the module's
+    one Pandas-UDF operator (applyInPandas per bucket; Arrow-batched
+    sort + first-fit over a pruned active-bin list — bins that cannot
+    fit the smallest remaining document close forever).  Documents
+    longer than `budget` get a bin of their own (pack_pos 0) — callers
+    that truncate should chunk first (text.chunk_tokens).
+
+    Not SQL-expressible (greedy loop), so there is no driver oracle;
+    the pytest suite pins assignment totality, capacity, determinism
+    under repartitioning, and fill efficiency.
+    """
+    import pandas as pd
+
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(n_buckets),
+    )
+
+    out_schema = f"{id_col} long, pack_id long, pack_pos long, {len_col} long"
+
+    def _pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(key[0])
+        order = pdf.sort_values(
+            [len_col, id_col], ascending=[False, True], kind="mergesort"
+        )
+        lens = order[len_col].to_numpy()
+        min_need = int(lens[-1]) if len(lens) else 0
+        active: list[list[int]] = []  # [remaining, bin_idx] of open bins
+        n_bins = 0
+        counts: list[int] = []
+        pack_id = []
+        pack_pos = []
+        for ln in lens:
+            need = int(ln)
+            placed = None
+            for slot in active:
+                if slot[0] >= need:
+                    placed = slot
+                    break
+            if placed is None:
+                placed = [max(budget - need, 0), n_bins]
+                counts.append(0)
+                n_bins += 1
+                active.append(placed)
+            else:
+                placed[0] -= need
+            i = placed[1]
+            pack_id.append(b * (1 << 32) + i)
+            pack_pos.append(counts[i])
+            counts[i] += 1
+            # lengths are non-increasing, so a bin that cannot fit the
+            # SMALLEST remaining doc is closed forever — this keeps the
+            # first-fit scan over a short active list, not all bins
+            if placed[0] < min_need:
+                active.remove(placed)
+        return pd.DataFrame(
+            {
+                id_col: order[id_col].to_numpy(),
+                "pack_id": pack_id,
+                "pack_pos": pack_pos,
+                len_col: order[len_col].to_numpy(),
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(len_col).cast("long").alias(len_col))
+        .withColumn("__bk", bucket)
+        .groupBy("__bk")
+        .applyInPandas(_pack, out_schema)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

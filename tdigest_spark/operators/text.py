@@ -329,6 +329,68 @@ def repetition_stats(
     return df.select(id_col).join(metrics, id_col, "left")
 
 
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Context-window chunking: split each document's token stream into
+    consecutive windows of at most `budget` tokens (`overlap` tokens of
+    lookback between adjacent windows — 0 for training shards, >0 for
+    retrieval corpora), the standard preprocessing step before
+    tokenizer/embedding stages with a fixed sequence length.
+
+    Returns one row per (document, window): (id_col, chunk_idx long,
+    n_chunk_tokens long, chunk_text).  Documents with NULL, empty, or
+    whitespace-only text emit no chunks (there is nothing to pack);
+    every other document's tokens are covered exactly once (plus the
+    overlap lookback).
+
+    Plan: tokens are bound in their own projection (the O(tokens²)
+    inline-lambda pitfall — see shingles_from_tokens), the window
+    structs are built with sequence+transform+slice JVM-side, and ONE
+    posexplode emits the rows — all inside the scan stage, shuffle-free
+    and linear in text bytes at any scale.
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    if not 0 <= overlap < budget:
+        raise ValueError("overlap must be in [0, budget)")
+    step = budget - overlap
+    with_toks = (
+        df.select(F.col(id_col), F.col(text_col))
+        .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens_col(text_col).alias("__ct"))
+        .filter(F.size("__ct") > 0)
+    )
+    n = F.size("__ct")
+    # number of windows: 1 + ceil((n - budget) / step) for n > budget
+    n_chunks = F.when(
+        n <= budget, F.lit(1)
+    ).otherwise(
+        F.lit(1) + F.ceil((n - F.lit(budget)).cast("double") / F.lit(step)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice("__ct", i * step + 1, budget)),
+    )
+    return (
+        with_toks.select(
+            F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size(
+                F.filter(F.split("chunk_text", " ", -1), lambda t: t != "")
+            ).cast("long").alias("n_chunk_tokens"),
+            "chunk_text",
+        )
+    )
+
+
 # ------------------------------------------------------------------ PII
 
 # Patterns constrained to the Java∩RE2 regex subset (no lookarounds, no

@@ -1580,6 +1580,103 @@ ORDER BY host, host_rank
 """
 
 
+CHUNK_BUDGET, CHUNK_OVERLAP = 32, 8
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: every document split into 32-token
+    windows with 8 tokens of overlap — one posexplode in the scan stage.
+    chunk_idx/chunk_text/token counts are integer+string algebra the
+    oracle reproduces with zipped list comprehensions."""
+    from .operators.text import chunk_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_tokens(
+        docs, "text", "doc_id", budget=CHUNK_BUDGET, overlap=CHUNK_OVERLAP
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def _sql_doc_chunking() -> str:
+    b, s = CHUNK_BUDGET, CHUNK_BUDGET - CHUNK_OVERLAP
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk != '') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+nz AS (
+  SELECT doc_id, t,
+         (CASE WHEN len(t) <= {b} THEN 1
+               ELSE 1 + CAST(ceil((len(t) - {b}) / CAST({s} AS DOUBLE)) AS INT)
+          END) AS m
+  FROM t WHERE len(t) > 0
+),
+c AS (
+  SELECT doc_id,
+    unnest([i - 1 FOR i IN range(1, m + 1)]) AS chunk_idx,
+    unnest([array_to_string(t[(i-1)*{s}+1:(i-1)*{s}+{b}], ' ')
+            FOR i IN range(1, m + 1)]) AS chunk_text
+  FROM nz
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(list_filter(string_split(chunk_text, ' '), tk -> tk != ''))
+            AS BIGINT) AS n_chunk_tokens,
+       chunk_text
+FROM c
+ORDER BY doc_id, chunk_idx
+"""
+
+
+BOILER_N, BOILER_MIN_DF = 8, 2
+
+
+def q_boilerplate_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-corpus boilerplate signal: per doc, how many of its
+    distinct word 8-grams occur in >= 2 documents (document frequency
+    over n-grams).  Exact integer counts + one ratio — hash-exact."""
+    from .operators.dedup import frequent_ngram_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frequent_ngram_flags(
+        docs, "text", "doc_id", n=BOILER_N, min_df=BOILER_MIN_DF
+    ).orderBy("doc_id")
+
+
+def _sql_boilerplate_ngram_flags() -> str:
+    k = BOILER_N
+    gram_case = f"""CASE WHEN len(t) >= {k}
+            THEN [array_to_string(t[i:i+{k - 1}], ' ') FOR i IN range(1, len(t) - {k - 2})]
+            ELSE [array_to_string(t, ' ')] END"""
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk != '') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, unnest(list_distinct({gram_case})) AS g FROM t
+),
+gnz AS (SELECT doc_id, g FROM g WHERE g != ''),
+f AS (
+  SELECT g FROM gnz GROUP BY g HAVING count(*) >= {BOILER_MIN_DF}
+),
+pd AS (
+  SELECT doc_id, count(*) AS n_frequent_grams
+  FROM gnz JOIN f USING (g) GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM gnz GROUP BY doc_id)
+SELECT d.doc_id, tot.n_grams,
+       -- NULL-text / zero-gram docs stay NULL (they are absent from tot),
+       -- matching the operator's enrichment contract
+       CASE WHEN tot.n_grams IS NULL THEN NULL
+            ELSE coalesce(pd.n_frequent_grams, 0) END AS n_frequent_grams,
+       CAST(coalesce(pd.n_frequent_grams, 0) AS DOUBLE) / tot.n_grams
+         AS frequent_frac
+FROM documents d
+LEFT JOIN tot ON d.doc_id = tot.doc_id
+LEFT JOIN pd ON d.doc_id = pd.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # dedup
 
@@ -2409,6 +2506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "clean_lines": q_clean_lines,
         "host_quota_topk": q_host_quota_topk,
+        "doc_chunking": q_doc_chunking,
+        "boilerplate_ngram_flags": q_boilerplate_ngram_flags,
         "source_set_ops": q_source_set_ops,
         "token_freq_udtf": q_token_freq_udtf,
         "dedup_exact": q_dedup_exact,
@@ -2468,6 +2567,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _sql_pii_redact(),
         "clean_lines": _sql_clean_lines(),
         "host_quota_topk": _SQL_HOST_QUOTA_TOPK,
+        "doc_chunking": _sql_doc_chunking(),
+        "boilerplate_ngram_flags": _sql_boilerplate_ngram_flags(),
         "source_set_ops": _SQL_SOURCE_SET_OPS,
         "token_freq_udtf": _SQL_TOKEN_FREQ_UDTF,
         "dedup_exact": _SQL_DEDUP_EXACT,

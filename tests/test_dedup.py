@@ -440,3 +440,35 @@ def test_lsh_incremental_index_bucket_guard(spark):
     nsigs = D.minhash_signatures(new_df)
     assert D.lsh_incremental_pairs(nsigs, isigs, max_bucket=5).count() == 0
     assert D.lsh_incremental_pairs(nsigs, isigs, max_bucket=1000).count() == 10
+
+
+# --------------------------------------------------------- frequent n-grams
+
+
+def test_frequent_ngram_flags(spark):
+    shared = "one two three four five"
+    docs = [
+        (0, shared + " alpha beta"),      # shares the 5-gram with 1 and 2
+        (1, shared + " gamma delta"),
+        (2, shared),                       # only the shared gram
+        (3, "six seven eight nine ten"),   # unique grams only
+        (4, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in D.frequent_ngram_flags(df, n=5, min_df=2).collect()
+    }
+    # doc 2 is exactly the shared 5-gram: 1 gram, 1 frequent
+    assert (out[2]["n_grams"], out[2]["n_frequent_grams"]) == (1, 1)
+    assert out[2]["frequent_frac"] == 1.0
+    # docs 0/1: 3 grams each (7 tokens), the shared one is frequent;
+    # 'two three four five alpha' etc. are unique
+    assert out[0]["n_grams"] == 3 and out[0]["n_frequent_grams"] == 1
+    assert out[1]["n_grams"] == 3 and out[1]["n_frequent_grams"] == 1
+    # doc 3: nothing frequent
+    assert (out[3]["n_grams"], out[3]["n_frequent_grams"]) == (1, 0)
+    assert out[3]["frequent_frac"] == 0.0
+    # NULL text keeps its row with NULL metrics
+    assert out[4]["n_grams"] is None and out[4]["n_frequent_grams"] is None
+    assert len(out) == 5

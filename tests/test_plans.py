@@ -318,3 +318,31 @@ def test_lsh_incremental_pairs_equi_join_only(docs):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan  # map-side-combined bucket-size guard
+
+
+def test_chunk_tokens_scan_stage_only(docs):
+    """Chunking is tokens -> sequence/transform/slice -> one posexplode:
+    no shuffle, no Python — linear in text bytes."""
+    from tdigest_spark.operators.text import chunk_tokens
+
+    plan = explain_str(chunk_tokens(docs, budget=16), "simple")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_frequent_ngram_flags_no_text_shuffle(docs):
+    """Document-frequency flags shuffle only (gram) and (id, count)
+    streams; the text column never crosses an Exchange or a Join, and
+    both aggregations are map-side partial."""
+    from tdigest_spark.operators.dedup import frequent_ngram_flags
+
+    plan = explain_str(frequent_ngram_flags(docs))
+    for block in plan.split("\n\n"):
+        head = block.lstrip().split("\n")[0]
+        if head.startswith("(") and ("Exchange" in head or "Join" in head):
+            if "RoundRobinPartitioning" in block:
+                # ensure_parallelism's local small-file splitter — a
+                # documented no-op at scale (input splits >> cores)
+                continue
+            assert "text#" not in block, head
+    assert "partial_count" in explain_str(frequent_ngram_flags(docs), "simple")

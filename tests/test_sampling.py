@@ -128,3 +128,55 @@ def test_quota_by_key_rejects_bad_k(spark):
     df = spark.range(3).withColumnRenamed("id", "k")
     with _pt.raises(ValueError):
         quota_by_key(df, "k", ["k"], 0)
+
+
+# ---------------------------------------------------------------- packing
+
+
+def test_pack_sequences_capacity_and_totality(spark):
+    from tdigest_spark.operators.sampling import pack_sequences
+
+    rows = [(i, 10 + (i * 7) % 90) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, "doc_id", "n_tokens", budget=128, n_buckets=4)
+    got = out.collect()
+    # every doc assigned exactly once
+    assert sorted(r["doc_id"] for r in got) == list(range(200))
+    # no bin exceeds the budget
+    fills = {}
+    for r in got:
+        fills[r["pack_id"]] = fills.get(r["pack_id"], 0) + r["n_tokens"]
+    assert all(v <= 128 for v in fills.values())
+    # pack_pos is 0..k-1 within each bin
+    by_bin = {}
+    for r in got:
+        by_bin.setdefault(r["pack_id"], []).append(r["pack_pos"])
+    assert all(sorted(v) == list(range(len(v))) for v in by_bin.values())
+    # FFD fill efficiency: mean fill of non-singleton bins is decent
+    assert sum(fills.values()) / (len(fills) * 128) > 0.6
+
+
+def test_pack_sequences_deterministic_under_partitioning(spark):
+    from tdigest_spark.operators.sampling import pack_sequences
+
+    rows = [(i, 5 + (i * 13) % 60) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    a = pack_sequences(df, "doc_id", "n_tokens", budget=64, n_buckets=8)
+    b = pack_sequences(
+        df.repartition(17), "doc_id", "n_tokens", budget=64, n_buckets=8
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pack_sequences_oversized_doc_gets_own_bin(spark):
+    from tdigest_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, 500), (1, 10), (2, 10)], "doc_id long, n_tokens long"
+    )
+    got = {r["doc_id"]: r for r in pack_sequences(
+        df, "doc_id", "n_tokens", budget=100, n_buckets=1
+    ).collect()}
+    assert got[0]["pack_pos"] == 0
+    # the oversized doc shares its bin with nobody
+    assert sum(1 for r in got.values() if r["pack_id"] == got[0]["pack_id"]) == 1

@@ -214,3 +214,50 @@ def test_clean_lines_options(spark):
     assert r["n_lines_kept"] == 1  # blocklist still applies
     r2 = T.clean_lines(df, require_terminal_punct=False, blocklist=()).collect()[0]
     assert r2["n_lines_kept"] == 2
+
+
+# --------------------------------------------------------------- chunking
+
+
+def test_chunk_tokens_no_overlap(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g"), (1, "x y"), (2, None), (3, "   ")],
+        "doc_id long, text string",
+    )
+    rows = T.chunk_tokens(df, budget=3).collect()
+    got = {(r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"])
+           for r in rows}
+    assert got == {
+        (0, 0): ("a b c", 3),
+        (0, 1): ("d e f", 3),
+        (0, 2): ("g", 1),
+        (1, 0): ("x y", 2),
+    }  # NULL and whitespace-only docs emit nothing
+
+
+def test_chunk_tokens_overlap_covers_all(spark):
+    toks = [f"t{i}" for i in range(25)]
+    df = spark.createDataFrame([(0, " ".join(toks))], "doc_id long, text string")
+    rows = sorted(
+        T.chunk_tokens(df, budget=8, overlap=2).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # step = 6: starts 0,6,12,18 then 24 -> ceil((25-8)/6)=3 -> 4 chunks
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2, 3]
+    assert rows[0]["chunk_text"].split() == toks[0:8]
+    assert rows[1]["chunk_text"].split() == toks[6:14]
+    assert rows[3]["chunk_text"].split() == toks[18:25]
+    assert rows[3]["n_chunk_tokens"] == 7
+    # union of chunks covers every token
+    seen = set()
+    for r in rows:
+        seen.update(r["chunk_text"].split())
+    assert seen == set(toks)
+
+
+def test_chunk_tokens_rejects_bad_params(spark):
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        T.chunk_tokens(df, budget=0)
+    with pytest.raises(ValueError):
+        T.chunk_tokens(df, budget=4, overlap=4)
