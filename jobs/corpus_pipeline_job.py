@@ -7,8 +7,12 @@
 Stages (each a library operator; all narrow or KB-shuffle):
   1. extract_text(html)      — Arrow-batched byte-exact extraction
   2. quality filter          — stopword/alpha-ratio/token-count gates (JVM)
+  2.5 (optional --line-dedup-min-docs N) RefinedWeb cross-corpus line
+      dedup — boilerplate lines removed before doc-level dedup
   3. exact + MinHash-LSH dedup -> cluster resolution -> keep representatives
   3.5 (optional --benchmark) eval-set decontamination — broadcast n-gram join
+  3.75 (optional --score) model-based quality columns — bigram-LM
+      avg_nll_bits/oov + hashed-feature classifier logit
   4. profile                 — per-lang t-digest of text length, HLL of
                                distinct hosts, token-count KLL
   5. write curated parquet (partitioned by lang) + one JSON report line
@@ -55,6 +59,16 @@ def main() -> None:
                          "dropped (eval-set decontamination)")
     ap.add_argument("--decontam-ngram", type=int, default=8)
     ap.add_argument("--decontam-overlap", type=int, default=1)
+    ap.add_argument("--line-dedup-min-docs", type=int, default=0,
+                    help="if > 0, RefinedWeb-style cross-corpus line dedup "
+                         "before doc-level dedup: lines in >= N distinct "
+                         "docs are removed everywhere (xxhash64 lane)")
+    ap.add_argument("--score", action="store_true",
+                    help="append model-based quality columns to the output: "
+                         "bigram-LM avg_nll_bits/oov_bigrams (LM trained on "
+                         "the curated en slice) and the hashed-feature "
+                         "classifier logit")
+    ap.add_argument("--classifier-buckets", type=int, default=1 << 20)
     args = ap.parse_args()
 
     spark = (
@@ -108,6 +122,41 @@ def main() -> None:
     report["n_input"] = raw.count()
     report["n_quality"] = kept.count()
     _mark("extract_quality")
+
+    # 2.5 (optional) cross-corpus line dedup BEFORE doc-level dedup:
+    #     boilerplate lines inflate near-dup similarity, so RefinedWeb
+    #     removes them first.  Detection shuffles (hash, id) pairs; the
+    #     rewrite join is the one corpus-wide shuffle by doc_id (inherent
+    #     — per-line verdicts must meet the text somewhere).  Docs whose
+    #     every line was boilerplate are dropped.
+    if args.line_dedup_min_docs > 0:
+        from tdigest_spark.operators.dedup import dedup_lines_corpus
+
+        # persist the operator output so detection runs once: the stats
+        # aggregate and the rewrite join both read the cached frame
+        ld = dedup_lines_corpus(
+            kept, "text", "doc_id",
+            min_docs=args.line_dedup_min_docs, hash_fn="xxhash64",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        report["n_lines_removed"] = ld.agg(
+            F.sum(F.col("n_lines") - F.col("n_lines_kept"))
+        ).collect()[0][0]
+        rewritten = (
+            kept.drop("text")
+            .join(
+                ld.filter(F.col("n_lines_kept") > 0).select(
+                    "doc_id", F.col("clean_text").alias("text")
+                ),
+                "doc_id",
+            )
+            .filter(F.length("text") > 0)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        report["n_after_line_dedup"] = rewritten.count()
+        kept.unpersist()
+        ld.unpersist()
+        kept = rewritten
+        _mark("line_dedup")
 
     # 3. dedup: exact first (cheap), then near-dup on the survivors
     exact = exact_dedup(kept, ("text",), "doc_id")
@@ -181,6 +230,40 @@ def main() -> None:
         curated = clean
         _mark("decontaminate")
 
+    # 3.75 (optional) model-based quality columns: bigram-LM NLL (LM
+    #     trained on the curated en slice — the cleanest text available
+    #     by this stage) and the hashed-feature classifier logit.  The
+    #     classifier is scan-stage algebra; the LM join shuffles (prefix,
+    #     word) count rows and doc ids, never text.
+    if args.score:
+        from tdigest_spark.operators.scoring import (
+            bigram_nll_bits,
+            hashed_logit,
+            train_bigram_lm,
+        )
+
+        lm = train_bigram_lm(curated.filter(F.col("lang") == "en"))
+        nll = bigram_nll_bits(curated, lm).select(
+            "doc_id", "avg_nll_bits", "oov_bigrams"
+        )
+        logit = hashed_logit(
+            curated, n_buckets=args.classifier_buckets
+        ).select("doc_id", "logit")
+        scored_out = (
+            curated.join(nll, "doc_id", "left")
+            .join(logit, "doc_id", "left")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        row = scored_out.agg(
+            F.avg("avg_nll_bits"), F.avg("logit"), F.count("avg_nll_bits")
+        ).collect()[0]
+        report["mean_avg_nll_bits"] = round(row[0], 4) if row[0] is not None else None
+        report["mean_logit"] = round(row[1], 6) if row[1] is not None else None
+        report["n_lm_scored"] = row[2]
+        curated.unpersist()
+        curated = scored_out
+        _mark("score")
+
     # 4. profile the curated corpus — text length AND token count per
     #    lang from ONE scan (build_partials_multi shares the pass)
     prof_in = curated.select(
@@ -211,8 +294,11 @@ def main() -> None:
     report["token_p99"] = kll.select(qudf(F.col("kll"), F.lit(0.99))).collect()[0][0]
     _mark("profile")
 
-    # 5. write curated output
-    curated.select("url", "lang", "text").write.mode("overwrite").partitionBy(
+    # 5. write curated output (plus the model-score columns when enabled)
+    out_cols = ["url", "lang", "text"]
+    if args.score:
+        out_cols += ["avg_nll_bits", "oov_bigrams", "logit"]
+    curated.select(*out_cols).write.mode("overwrite").partitionBy(
         "lang"
     ).parquet(args.output)
     _mark("write")

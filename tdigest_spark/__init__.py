@@ -17,8 +17,10 @@ Public surface:
   hll_estimate, kmv_estimate, ...)
 - operators.dedup / similarity / text / multimodal: web-corpus pipeline
   operators (MinHash-LSH / SimHash / embedding / perceptual-hash dedup,
-  benchmark decontamination,
+  benchmark decontamination, cross-corpus line dedup,
   ANN, quality + repetition signals, language-ID, fingerprints)
+- operators.scoring: model-based quality scoring (CCNet-style bigram-LM
+  NLL, fastText-style hashed-feature linear classifier)
 - operators.joins: as-of join (grouped + bucketed global) and range join
 - operators.sampling: deterministic content-keyed samples and
   train/val/test splits

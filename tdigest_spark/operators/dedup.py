@@ -714,6 +714,106 @@ def frequent_ngram_flags(
 # ------------------------------------------------------------------- simhash
 
 
+def dedup_lines_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    normalize: bool = True,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Cross-corpus line-level deduplication (RefinedWeb-style).
+
+    A line whose normalized form appears in >= `min_docs` DISTINCT
+    documents is boilerplate (nav bars, cookie banners, footers) and is
+    removed from EVERY document that contains it; the rest of each
+    document is reassembled in original line order.  This is the
+    corpus-global complement to `text.clean_lines` (per-doc heuristics):
+    C4 cleans lines by local shape, RefinedWeb additionally drops lines
+    by corpus frequency.
+
+    Semantics:
+    - normalization (default): lower(trim(line)); lines whose normalized
+      key is empty ('' / whitespace) are EXEMPT — never counted, always
+      kept (blank separators are not boilerplate evidence).
+    - a duplicated line is removed from all its docs (no canonical
+      keeper — per RefinedWeb, frequency itself marks boilerplate).
+    - repeated occurrences inside ONE doc count once toward `min_docs`
+      (distinct-doc frequency), but every occurrence is removed.
+    - NULL text passes through with NULL outputs (no row drop).
+
+    Returns (id_col, n_lines, n_lines_kept, clean_text).
+
+    Scale shape (100 TB): dup detection shuffles only (line_key, id)
+    pairs — never text.  The verdict set is aggregated per doc (id ->
+    array of dup keys present in that doc, typically a handful of
+    hashes) and joined back; the final text rewrite is a per-row
+    `F.filter` over the line array (order-preserving, no re-sort, no
+    posexplode/collect round trip).  The one corpus-wide shuffle is
+    that id join — inherent, since per-line verdicts must meet the text
+    somewhere; when the global dup-key set is small enough to
+    broadcast, AQE converts the join automatically.  hash_fn="md5" is
+    the oracle-neutral lane; "xxhash64" halves key bytes for
+    production (same plan shape).
+    """
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64' (got {hash_fn!r})")
+
+    def _key(c):
+        return F.lower(F.trim(c)) if normalize else c
+
+    def _hash(c):
+        return F.md5(c) if hash_fn == "md5" else F.xxhash64(c)
+
+    lines = F.split(F.col(text_col), "\n")
+    base = df.select(F.col(id_col), F.col(text_col))
+
+    # (key_hash, id) pairs for non-exempt lines, one per (line, doc)
+    occurrences = (
+        base.select(
+            F.col(id_col), F.explode(lines).alias("__line")
+        )
+        .select(F.col(id_col), _key(F.col("__line")).alias("__k"))
+        .filter(F.col("__k") != "")
+        .select(F.col(id_col), _hash(F.col("__k")).alias("__kh"))
+        .distinct()
+    )
+    dup_keys = (
+        occurrences.groupBy("__kh")
+        .agg(F.count("*").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__kh")
+    )
+    # per-doc array of dup keys present in that doc (narrow: id + hashes)
+    doc_dups = (
+        occurrences.join(dup_keys, "__kh")
+        .groupBy(id_col)
+        .agg(F.collect_set("__kh").alias("__dk"))
+    )
+
+    kept = F.filter(
+        lines,
+        lambda x: (_key(x) == "")
+        | F.col("__dk").isNull()
+        | ~F.array_contains(F.col("__dk"), _hash(_key(x))),
+    )
+    return (
+        base.join(doc_dups, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col(text_col).isNotNull(), F.size(lines).cast("long")
+            ).alias("n_lines"),
+            F.when(
+                F.col(text_col).isNotNull(), F.size(kept).cast("long")
+            ).alias("n_lines_kept"),
+            F.when(
+                F.col(text_col).isNotNull(), F.concat_ws("\n", kept)
+            ).alias("clean_text"),
+        )
+    )
+
+
 def _nibble_bit_sums(j: int):
     """Column: sum over tokens of ±1 for bit j of the token's 64-bit md5
     prefix.  Expects the 16 nibble ints pre-bound as __n0..__n15 (one

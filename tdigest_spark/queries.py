@@ -1724,6 +1724,179 @@ FROM corpus GROUP BY md5(text)
 """
 
 
+LINE_DEDUP_MIN_DOCS = 4
+
+
+def _line_dedup_page() -> "F.Column":
+    """Deterministic multi-line crawl page per doc: a unique prose line
+    (kept), corpus-wide boilerplate (removed), 1-in-3 boilerplate
+    (removed), a cohort line shared by ~n_docs/200 docs (kept or removed
+    depending on SF — the threshold behavior itself is under test), a
+    whitespace separator (exempt), and a near-unique tail."""
+    did = F.col("doc_id")
+    return F.concat_ws(
+        "\n",
+        F.concat(F.substring("text", 1, 60), F.lit(" #"), did.cast("string")),
+        F.lit("Subscribe to our newsletter today!"),
+        F.when(did % 3 == 0, F.lit("All Rights Reserved - Site Operator.")),
+        F.concat(F.lit("Cohort banner "), (did % 200).cast("string")),
+        F.lit("   "),
+        F.when(did % 2 == 0, F.substring("text", 5, 40)),
+    )
+
+
+def q_line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style cross-corpus line dedup: lines appearing in >=
+    LINE_DEDUP_MIN_DOCS distinct docs are boilerplate, removed from every
+    doc, remainder reassembled in order.  Detection shuffles (md5(line),
+    id) pairs only; the rewrite is an order-preserving F.filter over the
+    line array (no posexplode/collect round trip)."""
+    from .operators.dedup import dedup_lines_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_lines_corpus(
+        docs.select("doc_id", _line_dedup_page().alias("text")),
+        min_docs=LINE_DEDUP_MIN_DOCS,
+    ).orderBy("doc_id")
+
+
+_SQL_LINE_DEDUP_CORPUS = f"""
+WITH u AS (
+  SELECT doc_id,
+    string_split(concat_ws(chr(10),
+      substring(text, 1, 60) || ' #' || CAST(doc_id AS VARCHAR),
+      'Subscribe to our newsletter today!',
+      CASE WHEN doc_id % 3 = 0
+           THEN 'All Rights Reserved - Site Operator.' END,
+      'Cohort banner ' || CAST(doc_id % 200 AS VARCHAR),
+      '   ',
+      CASE WHEN doc_id % 2 = 0 THEN substring(text, 5, 40) END
+    ), chr(10)) AS ls
+  FROM documents
+),
+e AS (
+  SELECT DISTINCT doc_id, md5(lower(trim(x))) AS kh
+  FROM (SELECT doc_id, unnest(ls) AS x FROM u)
+  WHERE lower(trim(x)) != ''
+),
+d AS (SELECT kh FROM e GROUP BY kh HAVING count(*) >= {LINE_DEDUP_MIN_DOCS}),
+dd AS (SELECT e.doc_id, list(e.kh) AS dk FROM e JOIN d USING (kh)
+       GROUP BY e.doc_id),
+f AS (
+  SELECT u.doc_id, u.ls,
+         CASE WHEN dk IS NULL THEN u.ls
+              ELSE list_filter(u.ls, x -> lower(trim(x)) = ''
+                     OR NOT list_contains(dk, md5(lower(trim(x))))) END AS keep
+  FROM u LEFT JOIN dd USING (doc_id)
+)
+SELECT doc_id,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(keep) AS BIGINT) AS n_lines_kept,
+       array_to_string(keep, chr(10)) AS clean_text
+FROM f ORDER BY doc_id
+"""
+
+
+CLASSIFIER_BUCKETS = 512
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-feature linear scorer: logit = ordered-fold
+    mean of md5-derived bucket weights over the token array.  Zero
+    shuffles (pure scan-stage column algebra); float-exact vs the oracle
+    because no libm is involved — integer md5 algebra, one
+    correctly-rounded division per token weight, identical fold order."""
+    from .operators.scoring import hashed_logit
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return hashed_logit(docs, n_buckets=CLASSIFIER_BUCKETS).orderBy("doc_id")
+
+
+_SQL_QUALITY_CLASSIFIER = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), tk -> tk != '') AS ts
+  FROM documents
+)
+SELECT doc_id,
+  CAST(COALESCE(len(ts), 0) AS BIGINT) AS n_tokens,
+  CASE WHEN len(ts) > 0 THEN
+    list_reduce(list_transform(ts, x ->
+      CAST(('0x' || substr(md5('w:' || CAST(
+              ('0x' || substr(md5('b:' || x), 1, 8))::BIGINT
+                % {CLASSIFIER_BUCKETS} AS VARCHAR)), 1, 8))::BIGINT
+           % 2001 - 1000 AS DOUBLE) / 1000.0
+    ), (a, b) -> a + b) / CAST(len(ts) AS DOUBLE)
+  END AS logit
+FROM t ORDER BY doc_id
+"""
+
+
+def q_lm_nll_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal: add-one-smoothed bigram LM trained
+    on the lang='en' slice, every doc scored by total/mean bits per
+    bigram.  Per-term log2 is quantized to 1e-6 bits (JVM and DuckDB
+    libm differ by 1 ulp on ~30% of inputs — measured); the per-doc sum
+    is an ordered fold, so the gate is value-exact."""
+    from .operators.scoring import bigram_nll_bits, train_bigram_lm
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    lm = train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    return bigram_nll_bits(docs, lm).orderBy("doc_id")
+
+
+_SQL_LM_NLL_BITS = """
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), tk -> tk != '') AS ts
+  FROM documents
+),
+tb AS (
+  SELECT ts[i] AS prefix, ts[i+1] AS word
+  FROM (SELECT ts, unnest(generate_series(1, len(ts)-1)) AS i
+        FROM t WHERE lang = 'en' AND len(ts) >= 2)
+),
+bc AS (SELECT prefix, word, count(*) AS c_bigram FROM tb GROUP BY prefix, word),
+pc AS (SELECT prefix, sum(c_bigram) AS c_prefix FROM bc GROUP BY prefix),
+vv AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(ts) AS w FROM t WHERE lang = 'en')
+),
+e AS (
+  SELECT doc_id, i, ts[i] AS prefix, ts[i+1] AS word
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts)-1)) AS i
+        FROM t WHERE len(ts) >= 2)
+),
+j AS (
+  SELECT e.doc_id, e.i,
+         round(-log2(
+           CAST(COALESCE(bc.c_bigram, 0) + 1.0 AS DOUBLE)
+           / CAST(COALESCE(pc.c_prefix, 0) + 1.0 * vv.v AS DOUBLE)), 6) AS nll,
+         CASE WHEN bc.c_bigram IS NULL THEN 1 ELSE 0 END AS oov
+  FROM e
+  LEFT JOIN bc ON e.prefix = bc.prefix AND e.word = bc.word
+  LEFT JOIN pc ON e.prefix = pc.prefix
+  CROSS JOIN vv
+),
+s AS (
+  SELECT doc_id,
+         count(*) AS n_bigrams,
+         sum(oov) AS oov_bigrams,
+         list_reduce(list(nll ORDER BY i), (a, b) -> a + b) AS nll_bits
+  FROM j GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(s.oov_bigrams, 0) AS BIGINT) AS oov_bigrams,
+       s.nll_bits,
+       s.nll_bits / CAST(s.n_bigrams AS DOUBLE) AS avg_nll_bits
+FROM t LEFT JOIN s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "text", "doc_id", MINHASH_K, SHINGLE_K)
@@ -2511,6 +2684,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_set_ops": q_source_set_ops,
         "token_freq_udtf": q_token_freq_udtf,
         "dedup_exact": q_dedup_exact,
+        "line_dedup_corpus": q_line_dedup_corpus,
+        "quality_classifier": q_quality_classifier,
+        "lm_nll_bits": q_lm_nll_bits,
         "decontaminate_docs": q_decontaminate_docs,
         "minhash_signatures": q_minhash_signatures,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
@@ -2572,6 +2748,9 @@ def oracle_sql() -> dict[str, str]:
         "source_set_ops": _SQL_SOURCE_SET_OPS,
         "token_freq_udtf": _SQL_TOKEN_FREQ_UDTF,
         "dedup_exact": _SQL_DEDUP_EXACT,
+        "line_dedup_corpus": _SQL_LINE_DEDUP_CORPUS,
+        "quality_classifier": _SQL_QUALITY_CLASSIFIER,
+        "lm_nll_bits": _SQL_LM_NLL_BITS,
         "decontaminate_docs": _sql_decontaminate_docs(),
         "minhash_signatures": _sql_minhash(),
         "lsh_near_dup_pairs": _sql_lsh_near_dup_pairs(),

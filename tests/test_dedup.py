@@ -472,3 +472,87 @@ def test_frequent_ngram_flags(spark):
     # NULL text keeps its row with NULL metrics
     assert out[4]["n_grams"] is None and out[4]["n_frequent_grams"] is None
     assert len(out) == 5
+
+
+# ---------------------------------------------------------------- line dedup
+
+
+def test_dedup_lines_corpus_removes_frequent_lines(spark):
+    boiler = "Subscribe to our newsletter"
+    rows = [
+        (0, f"unique zero line\n{boiler}\nclosing zero"),
+        (1, f"unique one line\n{boiler}\nclosing one"),
+        (2, f"unique two line\n{boiler}\nclosing two"),
+        (3, "all original content\nnothing shared here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.dedup_lines_corpus(df, min_docs=3).collect()}
+    assert out[0]["n_lines"] == 3 and out[0]["n_lines_kept"] == 2
+    assert out[0]["clean_text"] == "unique zero line\nclosing zero"
+    assert out[3]["n_lines_kept"] == 2  # untouched doc
+    assert out[3]["clean_text"] == rows[3][1]
+
+
+def test_dedup_lines_corpus_threshold_and_normalization(spark):
+    rows = [
+        (0, "SHARED LINE\nalpha"),
+        (1, "  shared line  \nbeta"),  # same after lower+trim
+        (2, "gamma\ndelta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # min_docs=2: the normalized 'shared line' spans docs 0 and 1 -> removed
+    out = {r["doc_id"]: r for r in D.dedup_lines_corpus(df, min_docs=2).collect()}
+    assert out[0]["clean_text"] == "alpha"
+    assert out[1]["clean_text"] == "beta"
+    # min_docs=3: below threshold -> kept verbatim (original casing/spacing)
+    out3 = {r["doc_id"]: r for r in D.dedup_lines_corpus(df, min_docs=3).collect()}
+    assert out3[0]["clean_text"] == "SHARED LINE\nalpha"
+    assert out3[1]["clean_text"] == "  shared line  \nbeta"
+    # normalize=False: different raw lines -> not duplicates
+    outr = {
+        r["doc_id"]: r
+        for r in D.dedup_lines_corpus(df, min_docs=2, normalize=False).collect()
+    }
+    assert outr[0]["clean_text"] == "SHARED LINE\nalpha"
+
+
+def test_dedup_lines_corpus_within_doc_repeats_count_once(spark):
+    rows = [
+        (0, "echo line\necho line\nown words"),  # 2 occurrences, 1 doc
+        (1, "other text\nmore text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.dedup_lines_corpus(df, min_docs=2).collect()}
+    # distinct-doc frequency is 1 < 2: kept, both occurrences
+    assert out[0]["clean_text"] == rows[0][1]
+    # but at min_docs=1 every non-exempt line is "duplicate": all removed
+    out1 = {r["doc_id"]: r for r in D.dedup_lines_corpus(df, min_docs=1).collect()}
+    assert out1[0]["n_lines_kept"] == 0 and out1[0]["clean_text"] == ""
+
+
+def test_dedup_lines_corpus_blank_exempt_and_null_text(spark):
+    rows = [
+        (0, "shared\n\nkeep zero"),
+        (1, "shared\n\nkeep one"),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.dedup_lines_corpus(df, min_docs=2).collect()}
+    # blank line appears in 2 docs but is exempt; 'shared' is removed
+    assert out[0]["clean_text"] == "\nkeep zero"
+    assert out[0]["n_lines"] == 3 and out[0]["n_lines_kept"] == 2
+    # NULL text survives with NULL outputs (enrichment contract)
+    assert out[2]["n_lines"] is None and out[2]["clean_text"] is None
+    assert len(out) == 3
+
+
+def test_dedup_lines_corpus_xxhash_lane_same_verdicts(spark):
+    rows = [
+        (0, "common footer\nunique a"),
+        (1, "common footer\nunique b"),
+        (2, "solo doc\nno shared lines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    md5 = D.dedup_lines_corpus(df, min_docs=2, hash_fn="md5")
+    xx = D.dedup_lines_corpus(df, min_docs=2, hash_fn="xxhash64")
+    assert sorted(map(tuple, md5.collect())) == sorted(map(tuple, xx.collect()))

@@ -346,3 +346,35 @@ def test_frequent_ngram_flags_no_text_shuffle(docs):
                 continue
             assert "text#" not in block, head
     assert "partial_count" in explain_str(frequent_ngram_flags(docs), "simple")
+
+
+def test_hashed_logit_no_shuffle(docs):
+    """The hashed-feature classifier is pure scan-stage column algebra:
+    no Exchange, no join, no Python stage anywhere in the plan."""
+    from tdigest_spark.operators.scoring import hashed_logit
+
+    plan = explain_str(hashed_logit(docs))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_line_dedup_detection_shuffles_no_text(docs):
+    """Cross-corpus line dedup: the dup-key detection branch (everything
+    feeding the per-doc dup-key aggregate) shuffles only (hash, id)
+    pairs — the text column is projected away before the first
+    Exchange.  Text appears only on the final rewrite join's base side."""
+    from tdigest_spark.operators.dedup import dedup_lines_corpus
+
+    out = dedup_lines_corpus(docs, min_docs=2)
+    plan = explain_str(out, "formatted")
+    # every Exchange node's attributes are hashes/ids, never text: the
+    # narrow dup-key side broadcasts into the rewrite join at this scale
+    n_exchanges = 0
+    for node in plan.split("\n\n"):
+        if node.strip().startswith("(") and "Exchange" in node.split("\n")[0]:
+            n_exchanges += 1
+            assert "text" not in node.lower(), node
+    assert n_exchanges >= 2  # the detection groupBys actually shuffled
+    # the rewrite is array algebra: no posexplode/collect_list round trip
+    assert "collect_list" not in plan

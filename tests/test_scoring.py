@@ -1,0 +1,140 @@
+"""Model-based scoring operators (operators/scoring.py): hashed-feature
+linear classifier and bigram-LM NLL against plain-Python references."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tdigest_spark.operators import scoring as S
+
+
+def _md5hex(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _py_bucket(tok: str, n_buckets: int) -> int:
+    return int(_md5hex("b:" + tok)[:8], 16) % n_buckets
+
+
+def _py_weight(bucket: int) -> float:
+    return (int(_md5hex(f"w:{bucket}")[:8], 16) % 2001 - 1000) / 1000.0
+
+
+def _py_logit(text: str, n_buckets: int) -> float | None:
+    toks = [t for t in text.split(" ") if t]
+    if not toks:
+        return None
+    acc = 0.0  # left fold, same order as F.aggregate
+    for t in toks:
+        acc += _py_weight(_py_bucket(t, n_buckets))
+    return acc / float(len(toks))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "the cat sat", "en"),
+        (2, "dog", "en"),  # 1 token: no bigrams
+        (3, "", "en"),  # empty
+        (4, None, "en"),  # NULL text
+        (5, "völlig neue wörter überall hier", "de"),  # all-OOV vs en LM
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+class TestHashedLogit:
+    def test_exact_vs_python_fold(self, spark, docs):
+        out = {r["doc_id"]: r for r in S.hashed_logit(docs, n_buckets=64).collect()}
+        assert out[0]["n_tokens"] == 6
+        assert out[0]["logit"] == _py_logit("the cat sat on the mat", 64)
+        assert out[5]["logit"] == _py_logit("völlig neue wörter überall hier", 64)
+
+    def test_empty_and_null_text(self, spark, docs):
+        out = {r["doc_id"]: r for r in S.hashed_logit(docs).collect()}
+        assert out[3]["n_tokens"] == 0 and out[3]["logit"] is None
+        assert out[4]["n_tokens"] == 0 and out[4]["logit"] is None
+        assert len(out) == docs.count()  # enrichment op: no row drops
+
+    def test_custom_weight_fn(self, spark, docs):
+        # constant weight 1.0 -> logit is exactly 1.0 for non-empty docs
+        out = {
+            r["doc_id"]: r
+            for r in S.hashed_logit(
+                docs, weight_fn=lambda b: F.lit(1.0)
+            ).collect()
+        }
+        assert out[0]["logit"] == 1.0
+        assert out[2]["logit"] == 1.0
+
+
+class TestBigramLM:
+    def test_training_counts(self, spark, docs):
+        bc, pc, vv = S.train_bigram_lm(docs.filter(F.col("lang") == "en"))
+        bigrams = {(r["prefix"], r["word"]): r["c_bigram"] for r in bc.collect()}
+        # "the cat" occurs in doc0 and doc1
+        assert bigrams[("the", "cat")] == 2
+        assert bigrams[("cat", "sat")] == 2
+        assert bigrams[("on", "the")] == 1
+        prefixes = {r["prefix"]: r["c_prefix"] for r in pc.collect()}
+        # 'the' as prefix: the->cat (x2), the->mat (x1)
+        assert prefixes["the"] == 3
+        # MLE normalization: prefix counts equal summed bigram counts
+        assert sum(prefixes.values()) == sum(bigrams.values())
+        # vocab: the,cat,sat,on,mat,dog (doc2's lone token counts; 3/4 empty)
+        assert vv.collect()[0]["v"] == 6
+
+    def test_nll_matches_python(self, spark, docs):
+        lm = S.train_bigram_lm(docs.filter(F.col("lang") == "en"))
+        out = {
+            r["doc_id"]: r for r in S.bigram_nll_bits(docs, lm).collect()
+        }
+        v = 6
+        bigr = {("the", "cat"): 2, ("cat", "sat"): 2, ("sat", "on"): 1,
+                ("on", "the"): 1, ("the", "mat"): 1}
+        pref = {"the": 3, "cat": 2, "sat": 1, "on": 1}
+
+        def py_nll(text):
+            toks = [t for t in text.split(" ") if t]
+            acc = 0.0
+            for a, b in zip(toks, toks[1:]):
+                p = (bigr.get((a, b), 0) + 1.0) / (pref.get(a, 0) + 1.0 * v)
+                acc += round(-math.log2(p), 6)
+            return acc
+
+        assert out[0]["n_bigrams"] == 5 and out[0]["oov_bigrams"] == 0
+        assert out[0]["nll_bits"] == pytest.approx(
+            py_nll("the cat sat on the mat"), abs=1e-9
+        )
+        assert out[0]["avg_nll_bits"] == pytest.approx(
+            out[0]["nll_bits"] / 5.0, abs=0
+        )
+        # all-OOV German doc: every bigram unseen, scored by smoothing
+        assert out[5]["oov_bigrams"] == out[5]["n_bigrams"] == 4
+        assert out[5]["nll_bits"] == pytest.approx(
+            4 * round(-math.log2(1.0 / v), 6), abs=1e-9
+        )
+
+    def test_short_and_null_docs_survive(self, spark, docs):
+        lm = S.train_bigram_lm(docs.filter(F.col("lang") == "en"))
+        out = {
+            r["doc_id"]: r for r in S.bigram_nll_bits(docs, lm).collect()
+        }
+        assert len(out) == docs.count()
+        for did in (2, 3, 4):  # 1 token / empty / NULL
+            assert out[did]["n_bigrams"] == 0
+            assert out[did]["nll_bits"] is None
+            assert out[did]["avg_nll_bits"] is None
+
+    def test_higher_nll_for_unusual_text(self, spark):
+        # 50 docs of a repetitive in-distribution phrase + 1 gibberish doc
+        rows = [(i, "alpha beta gamma delta alpha beta", "en") for i in range(50)]
+        rows.append((99, "qq zz pp rr qq zz", "en"))
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        lm = S.train_bigram_lm(df.filter(F.col("doc_id") < 50))
+        out = {r["doc_id"]: r for r in S.bigram_nll_bits(df, lm).collect()}
+        assert out[99]["avg_nll_bits"] > out[0]["avg_nll_bits"]
