@@ -471,3 +471,58 @@ def cdfs_of(
     return out.select(
         *by, "x", tdigest_cdf_udf(F.col("digest"), F.col("x")).alias(value_name)
     )
+
+
+def quantile_filter(
+    df: DataFrame,
+    value_col: str,
+    q: float,
+    by: Sequence[str] = (),
+    delta: float = 100.0,
+    scale: str = "K_3",
+    keep: str = "ge",
+    cutoff_col: str | None = None,
+) -> DataFrame:
+    """Adaptive quantile gate: keep rows whose `value_col` compares
+    `keep`-wise against the PER-GROUP t-digest quantile(q) of that same
+    column — the curation pattern "drop the bottom quartile of quality
+    per language", where the threshold is data-dependent and group-local
+    instead of a hand-tuned global constant.  This is the sketch library
+    feeding a pipeline decision, not just a report.
+
+    Plan shape (the 100 TB path): one map-side-combining digest build
+    (`digest_by(combine="map")` — raw rows never shuffle, partials are
+    KB), a cutoff table of |groups| rows, then a BROADCAST join of the
+    cutoffs back onto the corpus with a scan-stage comparison.  The big
+    side is scanned exactly twice (build + filter) and shuffled zero
+    times.
+
+    `keep`: "ge"/"gt"/"le"/"lt" — which side of the cutoff survives.
+    Rows whose group key is NULL join null-safely (NULL is a group like
+    any other, matching groupBy semantics); rows whose value is NULL
+    never satisfy the comparison and are dropped, like a SQL WHERE.
+    Pass `cutoff_col` to retain the threshold that was applied.
+    """
+    if keep not in ("ge", "gt", "le", "lt"):
+        raise ValueError("keep must be one of 'ge', 'gt', 'le', 'lt'")
+    d = digest_by(df, value_col, by=by, delta=delta, scale=scale)
+    cut = cutoff_col or "__qf_cut"
+    cuts = quantiles_of(d, [float(q)], by=by, value_name=cut).drop("q")
+    if by:
+        renamed = cuts.select(
+            *[F.col(c).alias(f"__qf_{c}") for c in by], F.col(cut)
+        )
+        cond = None
+        for c in by:
+            term = F.col(c).eqNullSafe(F.col(f"__qf_{c}"))
+            cond = term if cond is None else (cond & term)
+        joined = df.join(F.broadcast(renamed), cond).drop(
+            *[f"__qf_{c}" for c in by]
+        )
+    else:
+        joined = df.crossJoin(F.broadcast(cuts))
+    v = F.col(value_col).cast("double")
+    c = F.col(cut)
+    pred = {"ge": v >= c, "gt": v > c, "le": v <= c, "lt": v < c}[keep]
+    out = joined.filter(pred)
+    return out if cutoff_col else out.drop(cut)

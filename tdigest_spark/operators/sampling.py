@@ -235,6 +235,139 @@ def pack_sequences(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weights: dict,
+    default_weight: float = 0.0,
+    salt: str = "mix",
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Dataset-mixture sampling with epoch up-weighting: each stratum is
+    repeated `weights[stratum]` times in expectation — an integer number
+    of full passes plus a deterministically sampled fractional pass
+    (weight 2.4 = every doc twice + a 40% content-keyed sample for the
+    third pass).  This is the standard data-mixing move when assembling
+    a training corpus from sources of unequal quality/size; weight < 1
+    degenerates to `stratified_sample`, weight >= 1 up-weights.
+
+    Copy i of a row survives iff u_i(id) < weight - i, where
+    u_i = md5(salt:i:id) in [0, 1) — so each extra pass draws an
+    independent content-keyed sample, and a document's multiset of
+    copies is invariant to partitioning, cluster size, and engine.
+    Output repeats the input row once per surviving copy with
+    `copy_col` = 0, 1, ...; downstream packing/shuffling treats copies
+    as distinct training examples.
+
+    Plan: a literal copy-index array is exploded in the scan stage and
+    filtered by a scalar predicate — no shuffle, no UDF, no join; cost
+    is O(rows x ceil(max weight)).  Rows whose stratum is absent from
+    `weights` (including NULL strata) get `default_weight`.
+    """
+    import math
+
+    if default_weight < 0 or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be >= 0")
+    max_w = max([default_weight, *weights.values()], default=0.0)
+    max_copies = max(1, math.ceil(max_w))
+    rate: Column = F.lit(float(default_weight))
+    for s, w in sorted(weights.items()):
+        rate = F.when(F.col(strata_col) == s, F.lit(float(w))).otherwise(rate)
+    out = df.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(max_copies)])
+        ).alias(copy_col),
+    )
+    h = F.md5(
+        F.concat(
+            F.lit(salt + ":"),
+            F.col(copy_col).cast("string"),
+            F.lit(":"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    u = F.conv(F.substring(h, 1, 13), 16, 10).cast("double") / F.lit(_HEX13)
+    return out.filter(u < rate - F.col(copy_col).cast("double"))
+
+
+def freeze_to_budget(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    budget: int,
+    salt: str = "freeze",
+) -> DataFrame:
+    """Freeze a corpus to a token budget: keep the deterministic prefix
+    of the corpus — documents ordered by content hash u(id) — whose
+    INCLUSIVE running sum of `len_col` stays within `budget`.  The kept
+    set is a fixed, engine-reproducible "dataset freeze": re-running on
+    a re-partitioned or re-shuffled copy of the same corpus selects the
+    same documents, and growing the corpus only perturbs the selection
+    near the hash boundary (reservoir-style stability).
+
+    Scale design: a naive windowed cumsum needs ONE global sort + a
+    single-partition running total — THE bottleneck at 10^12 docs.  The
+    hash order is uniform by construction, so instead the 52-bit hash
+    space is cut into 4096 fixed ranges (the first 3 hex chars of the
+    md5): one partial-aggregating pass computes per-range length sums
+    (<= 4096 rows to the driver), a driver prefix scan finds the single
+    BOUNDARY range, and only that range — ~1/4096 of the (id, len)
+    lane, never the text — is exactly cumsum'd; its kept ids come back
+    as a broadcast semi-join.  Ranges below the boundary pass a
+    scan-stage predicate untouched; ranges above are pruned in the scan.
+
+    NULL `len_col` counts as 0 (the row is kept if reached); rows with
+    NULL `id_col` hash to NULL and are dropped, like every content-keyed
+    operator in this module.
+    """
+    from pyspark.sql import Window
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    rng = F.conv(F.substring(h, 1, 3), 16, 10).cast("int")
+    u = F.conv(F.substring(h, 1, 13), 16, 10).cast("double") / F.lit(_HEX13)
+    ln = F.coalesce(F.col(len_col).cast("long"), F.lit(0))
+    lane = df.select(
+        F.col(id_col),
+        ln.alias("__fz_len"),
+        rng.alias("__fz_r"),
+        u.alias("__fz_u"),
+    )
+    sums = {
+        row["__fz_r"]: row["s"]
+        for row in lane.groupBy("__fz_r").agg(F.sum("__fz_len").alias("s")).collect()
+        if row["__fz_r"] is not None
+    }
+    running = 0
+    boundary = None
+    for i in range(4096):
+        s = int(sums.get(i, 0))
+        if running + s > budget:
+            boundary = i
+            break
+        running += s
+    if boundary is None:
+        return df.filter(rng.isNotNull())  # whole corpus fits
+    w = (
+        Window.orderBy("__fz_u", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept_ids = (
+        lane.filter(F.col("__fz_r") == boundary)
+        .withColumn("__fz_cum", F.sum("__fz_len").over(w))
+        .filter(F.col("__fz_cum") <= F.lit(budget - running))
+        .select(id_col)
+    )
+    below = df.filter(rng < F.lit(boundary))
+    at = df.filter(rng == F.lit(boundary)).join(
+        F.broadcast(kept_ids), id_col, "left_semi"
+    )
+    return below.unionByName(at)
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

@@ -1580,6 +1580,120 @@ ORDER BY host, host_rank
 """
 
 
+MIX_WEIGHTS = {"de": 2.4, "fr": 1.5, "zh": 1.0, "es": 0.6}
+MIX_DEFAULT = 0.25  # en and anything unlisted
+FREEZE_NUM, FREEZE_DEN = 3, 10  # freeze budget = 3/10 of total corpus chars
+ADAPTIVE_Q = 0.25
+
+
+def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture sampling with epoch up-weighting: de is repeated
+    2.4x (two full passes + a 40% content-keyed third pass), fr 1.5x,
+    zh kept once, es downsampled to 0.6, everything else (en) to 0.25.
+    Copy i of a doc survives iff md5('mix:i:id')/16^13 < weight - i —
+    a scan-stage explode + predicate, no shuffle.  The oracle is the
+    identical copy-lottery cross-joined against a literal copy range."""
+    from .operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture_sample(
+        docs, "doc_id", "lang", MIX_WEIGHTS, default_weight=MIX_DEFAULT
+    ).select("doc_id", "lang", F.col("copy").cast("int").alias("copy"))
+
+
+def _sql_mixture_epochs() -> str:
+    import math
+
+    max_copies = max(1, math.ceil(max([MIX_DEFAULT, *MIX_WEIGHTS.values()])))
+    whens = " ".join(
+        f"WHEN '{s}' THEN CAST({float(w)!r} AS DOUBLE)"
+        for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         CASE lang {whens} ELSE CAST({float(MIX_DEFAULT)!r} AS DOUBLE) END AS rate
+  FROM documents
+), copies AS (SELECT unnest(range({max_copies})) AS copy)
+SELECT doc_id, lang, CAST(copy AS INT) AS copy
+FROM r CROSS JOIN copies
+WHERE ('0x' || substr(md5('mix:' || CAST(copy AS VARCHAR) || ':'
+                          || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+        / CAST({float(16**13)!r} AS DOUBLE)
+      < rate - CAST(copy AS DOUBLE)
+"""
+
+
+def q_token_budget_freeze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus freeze to a length budget (3/10 of total chars): keep the
+    deterministic hash-ordered prefix whose inclusive running char sum
+    fits the budget.  The operator's scale path (4096 hash ranges, one
+    partial-agg pass + an exact cumsum over only the boundary range)
+    must reproduce the oracle's single global window cumsum exactly."""
+    from .operators.sampling import freeze_to_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.agg(F.sum("n_chars")).collect()[0][0] or 0
+    budget = (FREEZE_NUM * int(total)) // FREEZE_DEN
+    return freeze_to_budget(docs, "doc_id", "n_chars", budget).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+_SQL_TOKEN_BUDGET_FREEZE = f"""
+WITH b AS (
+  SELECT ({FREEZE_NUM} * sum(n_chars)) // {FREEZE_DEN} AS budget FROM documents
+), lane AS (
+  SELECT doc_id, lang, n_chars,
+         ('0x' || substr(md5('freeze:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+           / CAST({float(16**13)!r} AS DOUBLE) AS u
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_chars,
+         sum(COALESCE(n_chars, 0)) OVER (ORDER BY u, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM lane
+)
+SELECT doc_id, lang, n_chars FROM c CROSS JOIN b WHERE cum <= budget
+"""
+
+
+def q_adaptive_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch driving a curation decision: per-language t-digest
+    p25 of n_chars becomes the per-language keep threshold (drop the
+    shortest quartile of each language, not a global cutoff).  Build is
+    the map-side-combining digest path; the cutoffs broadcast back.
+    Singleton regime (DOCS_DELTA > group size) makes the cutoff the
+    exact rank statistic the oracle computes."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = digest.quantile_filter(
+        docs,
+        "n_chars",
+        ADAPTIVE_Q,
+        by=["lang"],
+        delta=DOCS_DELTA,
+        keep="ge",
+        cutoff_col="lang_cut",
+    )
+    return kept.select("doc_id", "lang", "n_chars", "lang_cut")
+
+
+_SQL_ADAPTIVE_QUANTILE_FILTER = f"""
+WITH g AS (
+  SELECT lang, list_sort(list(CAST(n_chars AS DOUBLE))) AS xs, count(*) AS n
+  FROM documents GROUP BY lang
+), cut AS (
+  SELECT lang,
+         xs[LEAST(CAST(floor(CAST({ADAPTIVE_Q} AS DOUBLE) * n) AS BIGINT) + 1, n)]
+           AS lang_cut
+  FROM g
+)
+SELECT d.doc_id, d.lang, d.n_chars, c.lang_cut
+FROM documents d JOIN cut c USING (lang)
+WHERE CAST(d.n_chars AS DOUBLE) >= c.lang_cut
+"""
+
+
 CHUNK_BUDGET, CHUNK_OVERLAP = 32, 8
 
 
@@ -2669,6 +2783,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_global": q_events_asof_global,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "doc_split_sample": q_doc_split_sample,
+        "mixture_epochs": q_mixture_epochs,
+        "token_budget_freeze": q_token_budget_freeze,
+        "adaptive_quantile_filter": q_adaptive_quantile_filter,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2733,6 +2850,9 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_global": _SQL_EVENTS_ASOF_GLOBAL,
         "heavy_hitter_tokens": _SQL_HEAVY_HITTER_TOKENS,
         "doc_split_sample": _sql_doc_split_sample(),
+        "mixture_epochs": _sql_mixture_epochs(),
+        "token_budget_freeze": _SQL_TOKEN_BUDGET_FREEZE,
+        "adaptive_quantile_filter": _SQL_ADAPTIVE_QUANTILE_FILTER,
         "doc_token_stats": _sql_doc_token_stats(),
         "doc_quality": _sql_doc_quality(),
         "doc_fingerprint": _SQL_DOC_FINGERPRINT,

@@ -180,3 +180,92 @@ def test_pack_sequences_oversized_doc_gets_own_bin(spark):
     assert got[0]["pack_pos"] == 0
     # the oversized doc shares its bin with nobody
     assert sum(1 for r in got.values() if r["pack_id"] == got[0]["pack_id"]) == 1
+
+
+# ------------------------------------------------------- mixture sampling
+
+
+def test_mixture_sample_copy_counts_and_invariance(spark):
+    from tdigest_spark.operators.sampling import mixture_sample
+
+    rows = [("a", i) for i in range(4000)] + [("b", i + 10_000) for i in range(4000)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    out = mixture_sample(df, "doc_id", "lang", {"a": 2.4, "b": 0.5}).collect()
+    n_a = sum(1 for r in out if r["lang"] == "a")
+    n_b = sum(1 for r in out if r["lang"] == "b")
+    # a: 2 guaranteed passes + ~40% third pass -> ~9600; b: ~2000
+    assert 9200 < n_a < 10_000
+    assert 1800 < n_b < 2200
+    # integer passes are exact: every 'a' doc appears with copy 0 and 1
+    copies_a = [(r["doc_id"], r["copy"]) for r in out if r["lang"] == "a"]
+    from collections import Counter
+
+    per_copy = Counter(c for _, c in copies_a)
+    assert per_copy[0] == 4000 and per_copy[1] == 4000
+    assert 1200 < per_copy[2] < 2000
+    # partition invariance: identical multiset on a repartitioned copy
+    out2 = mixture_sample(df.repartition(13), "doc_id", "lang", {"a": 2.4, "b": 0.5}).collect()
+    key = lambda rs: sorted((r["doc_id"], r["copy"]) for r in rs)
+    assert key(out) == key(out2)
+
+
+def test_mixture_sample_default_weight_and_validation(spark):
+    import pytest as _pytest
+
+    from tdigest_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [("x", i) for i in range(2000)], "lang string, doc_id long"
+    )
+    # unlisted stratum gets default_weight
+    out = mixture_sample(df, "doc_id", "lang", {"zz": 3.0}, default_weight=0.25)
+    n = out.count()
+    assert 400 < n < 600
+    with _pytest.raises(ValueError):
+        mixture_sample(df, "doc_id", "lang", {"a": -1.0})
+
+
+# ------------------------------------------------------- token-budget freeze
+
+
+def test_freeze_to_budget_matches_global_cumsum(spark):
+    from pyspark.sql import Window
+
+    from tdigest_spark.operators.sampling import freeze_to_budget, _HEX13
+
+    df = (
+        spark.range(5000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("n", (F.col("doc_id") % 97 + 1).cast("long"))
+    )
+    total = df.agg(F.sum("n")).collect()[0][0]
+    budget = total // 3
+    got = {r["doc_id"] for r in freeze_to_budget(df, "doc_id", "n", budget).collect()}
+    # oracle: naive single-partition global cumsum in hash order
+    h = F.md5(F.concat(F.lit("freeze:"), F.col("doc_id").cast("string")))
+    u = F.conv(F.substring(h, 1, 13), 16, 10).cast("double") / F.lit(_HEX13)
+    w = Window.orderBy(u, "doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r["doc_id"]
+        for r in df.withColumn("cum", F.sum("n").over(w))
+        .filter(F.col("cum") <= budget)
+        .collect()
+    }
+    assert got == want
+    # partition invariance
+    got2 = {
+        r["doc_id"]
+        for r in freeze_to_budget(df.repartition(11), "doc_id", "n", budget).collect()
+    }
+    assert got2 == got
+
+
+def test_freeze_to_budget_edges(spark):
+    from tdigest_spark.operators.sampling import freeze_to_budget
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id").withColumn(
+        "n", F.lit(10).cast("long")
+    )
+    assert freeze_to_budget(df, "doc_id", "n", 0).count() == 0
+    assert freeze_to_budget(df, "doc_id", "n", 10**9).count() == 100
+    assert freeze_to_budget(df, "doc_id", "n", 95).count() == 9  # inclusive cumsum

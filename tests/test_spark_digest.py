@@ -284,3 +284,49 @@ def test_grouped_multi_column_profile_matches_per_column(spark, tmp_path):
     # sanity: quantiles readable
     d = MergingDigest.from_bytes(prof[("x", "a")])
     assert 0.0 <= d.quantile(0.5) <= 100.0
+
+
+def test_quantile_filter_per_group_cutoff(spark):
+    from tdigest_spark.operators import digest
+
+    rows = [("en", float(i)) for i in range(1, 101)] + [
+        ("de", float(i)) for i in range(1, 41)
+    ]
+    df = spark.createDataFrame(rows, "lang string, v double")
+    kept = digest.quantile_filter(
+        df, "v", 0.25, by=["lang"], delta=500.0, keep="ge", cutoff_col="cut"
+    ).collect()
+    # singleton regime -> exact rank statistic: cutoff = 25th of 100 / 10th of 40
+    cuts = {r["lang"]: r["cut"] for r in kept}
+    en = sorted(r["v"] for r in kept if r["lang"] == "en")
+    de = sorted(r["v"] for r in kept if r["lang"] == "de")
+    assert en[0] == cuts["en"] and de[0] == cuts["de"]
+    assert en == [float(i) for i in range(int(cuts["en"]), 101)]
+    assert de == [float(i) for i in range(int(cuts["de"]), 41)]
+
+
+def test_quantile_filter_keep_modes_and_nulls(spark):
+    import pytest as _pytest
+
+    from tdigest_spark.operators import digest
+
+    rows = [(None if i % 7 == 0 else "g", float(i) if i % 5 else None) for i in range(1, 61)]
+    df = spark.createDataFrame(rows, "lang string, v double")
+    ge = digest.quantile_filter(df, "v", 0.5, by=["lang"], keep="ge")
+    lt = digest.quantile_filter(df, "v", 0.5, by=["lang"], keep="lt")
+    n_nonnull = df.filter(F.col("v").isNotNull()).count()
+    # ge + lt partition the non-null-value rows exactly (NULL v always dropped)
+    assert ge.count() + lt.count() == n_nonnull
+    # NULL lang is a group like any other: some of its rows survive
+    assert ge.filter(F.col("lang").isNull()).count() > 0
+    with _pytest.raises(ValueError):
+        digest.quantile_filter(df, "v", 0.5, keep="between")
+
+
+def test_quantile_filter_global_no_groups(spark):
+    from tdigest_spark.operators import digest
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "v double")
+    out = digest.quantile_filter(df, "v", 0.9, keep="gt")
+    vals = sorted(r["v"] for r in out.collect())
+    assert vals == [float(i) for i in range(91, 101)]
