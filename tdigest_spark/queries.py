@@ -15,9 +15,14 @@ for-value against DuckDB, so every float must be bit-reproducible):
 - all content hashing is md5 (identical across Spark/DuckDB/Python).
 - ratios are single divisions of identical integers; order-sensitive
   float accumulations (means, cosines) are round()ed on both sides.
-- LogHistogram bin bounds are exactly invertible (pow2 inverts the
-  bit-twiddled approx_log2), so bounds are embedded as double literals
-  and bucketing becomes a pure comparison count on both engines.
+- LogHistogram bucketing is replicated in SQL by recomputing the
+  bit-twiddled approx_log2 with identical IEEE operation order (exact
+  exponent/mantissa split + the quadratic), NOT by comparing against
+  pow2-derived bound literals — pow2 is not a perfect float inverse, so
+  edge-adjacent values can land differently (see _sql_loghistogram_events).
+- singleton/exact-regime constants (DOCS_DELTA, EVENTS_DELTA, KLL_EXACT_K,
+  KMV_K, ...) are sized for the LARGEST group at sf0.1, so the whole
+  battery is SF-robust across /root/testdata/sf{0.001,0.01,0.1}.
 """
 
 from __future__ import annotations
@@ -50,8 +55,11 @@ from .sources import load_table
 QUANTILES = (0.05, 0.25, 0.5, 0.75, 0.9, 0.99)
 CDF_POINTS = (100.0, 150.0, 200.0, 250.0, 300.0, 400.0, 500.0)
 EVENT_QS = (0.5, 0.9, 0.99)
-DOCS_DELTA = 500.0  # > max lang group (218 @ sf0.01) -> singleton regime
-EVENTS_DELTA = 4000.0  # > max event_type group (~2020 @ sf0.01)
+DOCS_DELTA = 8000.0  # > max lang group (2059 @ sf0.1) -> singleton regime
+EVENTS_DELTA = 50000.0  # > max event_type group (~20302 @ sf0.1)
+EVENTS_DAY_DELTA = 4000.0  # > max (event_type, day) group (739 @ sf0.1)
+AGG_SQL_DELTA = 2000.0  # > max (lang, source) group (112 @ sf0.1)
+KLL_EXACT_K = 8192  # >= 2x max lang group (2059 @ sf0.1) -> zero compactions
 HIST_MIN, HIST_MAX, HIST_EPS = 0.01, 500.0, 0.1
 MINHASH_K, SHINGLE_K, LSH_BANDS = 8, 3, 4  # 32-bit lanes, 2 rows/band
 LSH_MAX_BUCKET = 1000  # template-cluster guard, mirrored in the oracle SQL
@@ -192,12 +200,12 @@ FROM g CROSS JOIN qs
 def q_tdigest_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-windowed digest rollup: per (event_type, day) quantiles via
     the same grouped aggregation with a window key — the hypertable-style
-    continuous-aggregate shape.  Day groups are small at sf0.01, well
+    continuous-aggregate shape.  Day groups are <= 739 rows up to sf0.1,
     inside the singleton-exact regime."""
     ev = load_table(spark, sf_dir, "events").withColumn(
         "day", F.to_date(F.col("ts"))
     )
-    d = digest.digest_by(ev, "value", by=["event_type", "day"], delta=500.0)
+    d = digest.digest_by(ev, "value", by=["event_type", "day"], delta=EVENTS_DAY_DELTA)
     return digest.quantiles_of(d, (0.5, 0.9), by=["event_type", "day"]).select(
         "event_type",
         F.col("day").cast("date").alias("day"),
@@ -227,8 +235,8 @@ def q_tdigest_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     salt) — raw rows are never rescanned.  At 100 TB this is the rollup
     pattern: materialize fine-grained digests, answer every coarser grain
     by digest merge.  Both grains stay in the singleton-exact regime
-    (type groups ~2020 rows < EVENTS_DELTA), so both levels hash-match
-    the exact rank oracle."""
+    (type groups <= ~20302 rows up to sf0.1 < EVENTS_DELTA), so both
+    levels hash-match the exact rank oracle."""
     ev = load_table(spark, sf_dir, "events").withColumn(
         "day", F.to_date(F.col("ts"))
     )
@@ -330,17 +338,19 @@ FROM g JOIN cdf ON g.lang = cdf.lang JOIN tm ON g.lang = tm.lang
 
 def q_tdigest_agg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tdigest as a true SQL AGGREGATE (grouped-agg pandas UDF): one SQL
-    statement builds and queries digests. (lang, source) groups are <= 25
-    rows at sf0.01 — singleton-exact at delta=100."""
-    from .functions import register_sql_functions
+    statement builds and queries digests. (lang, source) groups are <= 112
+    rows up to sf0.1 — a query-local aggregate at AGG_SQL_DELTA keeps them
+    singleton-exact (the library default tdigest_agg stays delta=100)."""
+    from .functions import make_tdigest_agg, register_sql_functions
 
     register_sql_functions(spark)
+    spark.udf.register("tdigest_agg_exact", make_tdigest_agg(delta=AGG_SQL_DELTA))
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("__agg_docs")
     return spark.sql(
         """
         SELECT lang, source,
-               tdigest_quantile(tdigest_agg(CAST(n_chars AS DOUBLE)), 0.5d) AS p50,
-               tdigest_quantile(tdigest_agg(CAST(n_chars AS DOUBLE)), 0.9d) AS p90
+               tdigest_quantile(tdigest_agg_exact(CAST(n_chars AS DOUBLE)), 0.5d) AS p50,
+               tdigest_quantile(tdigest_agg_exact(CAST(n_chars AS DOUBLE)), 0.9d) AS p90
         FROM __agg_docs GROUP BY lang, source
         """
     )
@@ -540,13 +550,13 @@ GROUP BY l_returnflag, q
 
 
 def q_kll_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KLL quantiles per lang (k=500 > every group, so no compaction has
-    happened and answers equal the rank oracle exactly — same regime and
-    same oracle as the t-digest query)."""
+    """KLL quantiles per lang (k=KLL_EXACT_K >= every group up to sf0.1,
+    so no compaction has happened and answers equal the rank oracle
+    exactly — same regime and same oracle as the t-digest query)."""
     from .kll import kll_by, kll_quantile_udf
 
     docs = load_table(spark, sf_dir, "documents")
-    sk = kll_by(docs, "n_chars", by=["lang"], k=500, salt=2)
+    sk = kll_by(docs, "n_chars", by=["lang"], k=KLL_EXACT_K, salt=2)
     qudf = kll_quantile_udf()
     out = sk.select(
         "lang",
@@ -783,15 +793,45 @@ def q_loghistogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_loghistogram_events() -> str:
-    bounds = LogHistogram(HIST_MIN, HIST_MAX, HIST_EPS).bounds()[1:]
-    lits = ", ".join(repr(float(b)) for b in bounds)
+    """Replicates the Spark fit's bucket index math BIT-EXACTLY in SQL
+    rather than comparing against bound literals: `pow2` is not a perfect
+    float inverse of `approx_log2`, so a value within 1 ulp of a bin edge
+    can land differently under the two formulations (observed at sf0.1).
+    Here the oracle recomputes approx_log2 itself — IEEE exponent via a
+    corrected floor(log2(x)) (pow(2,e) comparisons are exact), mantissa
+    m = x / 2^e (exact division by a power of two), then the reference's
+    quadratic `m*(2 - m/3) + e' - 2/3` with the identical operation order
+    and double literals, so every multiply/add rounds identically in
+    DuckDB and NumPy (histogram.approx_log2 / LogHistogram.bucket)."""
+    h = LogHistogram(HIST_MIN, HIST_MAX, HIST_EPS)
+    lf, lo, nb = repr(h.log_factor), repr(h.log_offset), len(h.counts)
+    c3, c23 = repr(1.0 / 3.0), repr(2.0 / 3.0)
     return f"""
-WITH b AS (
+WITH v AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS x0 FROM events WHERE value > 0
+), w AS (
+  SELECT event_type, x0, GREATEST(x0, {HIST_MIN!r}) AS x FROM v
+), ec AS (
+  SELECT event_type, x0, x,
+         e0 + (CASE WHEN pow(2.0, CAST(e0 + 1 AS DOUBLE)) <= x THEN 1 ELSE 0 END)
+            - (CASE WHEN pow(2.0, CAST(e0 AS DOUBLE)) > x THEN 1 ELSE 0 END) AS e
+  FROM (SELECT event_type, x0, x, CAST(floor(log2(x)) AS BIGINT) AS e0 FROM w)
+), ap AS (
+  SELECT event_type, x0,
+         (((x / pow(2.0, CAST(e AS DOUBLE)))
+           * (2.0 - {c3} * (x / pow(2.0, CAST(e AS DOUBLE))))
+           + CAST(e - 1 AS DOUBLE)) - {c23}) AS alog
+  FROM ec
+), b AS (
   SELECT event_type,
-         CAST(len(list_filter([{lits}], bb -> CAST(value AS DOUBLE) > bb)) AS INTEGER) AS pos
-  FROM events WHERE value > 0
+         CASE WHEN x0 <= {HIST_MIN!r} THEN 0
+              WHEN x0 >= {HIST_MAX!r} THEN {nb - 1}
+              ELSE LEAST(GREATEST(CAST(ceil(alog * {lf} - {lo}) AS BIGINT) - 1, 0), {nb - 1})
+         END AS pos
+  FROM ap
 )
-SELECT event_type, pos, count(*) AS cnt FROM b GROUP BY event_type, pos
+SELECT event_type, CAST(pos AS INTEGER) AS pos, count(*) AS cnt
+FROM b GROUP BY event_type, pos
 """
 
 
@@ -2420,8 +2460,18 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_bloom_membership() -> str:
+    """A Bloom bit is set by ANY lane of ANY inserted value, so the oracle
+    unions all k lanes' positions before testing the probe's k bits (a
+    per-lane-only check misses cross-lane bits and under-reports the
+    deterministic false positives that appear once the array saturates —
+    observed at sf0.1, where ~3.4k of 4096 bits are set)."""
     import hashlib
 
+    lanes = "\nUNION ALL\n".join(
+        f"  SELECT event_type, ('0x' || substr(md5('bf{j}:' || "
+        f"CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % {BLOOM_M} AS p FROM events"
+        for j in range(BLOOM_K)
+    )
     parts = []
     for pr in BLOOM_PROBES:
         checks = []
@@ -2429,15 +2479,12 @@ def _sql_bloom_membership() -> str:
             pos = (
                 int(hashlib.md5(f"bf{j}:{pr}".encode()).hexdigest()[:8], 16) % BLOOM_M
             )
-            checks.append(
-                f"count(*) FILTER (WHERE ('0x' || substr(md5('bf{j}:' || "
-                f"CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % {BLOOM_M} = {pos}) > 0"
-            )
+            checks.append(f"count(*) FILTER (WHERE p = {pos}) > 0")
         parts.append(
             f"SELECT event_type, CAST({pr} AS BIGINT) AS probe, "
-            f"({' AND '.join(checks)}) AS maybe_member FROM events GROUP BY event_type"
+            f"({' AND '.join(checks)}) AS maybe_member FROM lanes GROUP BY event_type"
         )
-    return "\nUNION ALL\n".join(parts)
+    return f"WITH lanes AS (\n{lanes}\n)\n" + "\nUNION ALL\n".join(parts)
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

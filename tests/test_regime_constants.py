@@ -1,0 +1,124 @@
+"""Guard the oracle battery's exact-regime constants against the data.
+
+The hash-exact driver oracles rely on *regime* constants: t-digest deltas
+above the largest group (singleton regime -> rank-exact quantiles), KLL
+capacity above the largest group (zero compactions), KMV capacity above
+the distinct-user count (exact set algebra).  Those are sized for the
+LARGEST testdata scale (sf0.1) — but the driver can regenerate the
+parquet between rounds, silently growing a group past its constant and
+flipping a dozen queries into the approximate regime (this exact failure
+happened in round 3: a testdata refresh pushed the `en` lang group from
+218 to 2059 rows past DOCS_DELTA=500).
+
+This test recomputes every group-size bound with DuckDB against whatever
+parquet is actually on disk, for every sf dir present, and asserts each
+constant still clears it with margin.  Pure DuckDB — no Spark session —
+so it runs in milliseconds and fails loudly BEFORE the correctness gate
+would.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from tdigest_spark import queries as Q
+
+SF_DIRS = [
+    d
+    for d in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    )
+    if os.path.isdir(d)
+]
+
+pytestmark = pytest.mark.skipif(not SF_DIRS, reason="driver testdata absent")
+
+# singleton regime holds comfortably at delta >= 2n (empirically exact at
+# delta slightly above n; 2x is the documented safety margin)
+MARGIN = 2.0
+
+
+def _one(con, sql):
+    return con.sql(sql).fetchone()[0]
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_exact_regime_constants_dominate_data(sf_dir):
+    con = duckdb.connect()
+    docs = f"'{sf_dir}/documents.parquet'"
+    ev = f"'{sf_dir}/events.parquet'"
+
+    max_lang = _one(
+        con, f"SELECT max(c) FROM (SELECT count(*) c FROM {docs} GROUP BY lang)"
+    )
+    max_type = _one(
+        con, f"SELECT max(c) FROM (SELECT count(*) c FROM {ev} GROUP BY event_type)"
+    )
+    max_type_day = _one(
+        con,
+        f"SELECT max(c) FROM (SELECT count(*) c FROM {ev} "
+        "GROUP BY event_type, date_trunc('day', ts))",
+    )
+    max_lang_src = _one(
+        con,
+        f"SELECT max(c) FROM (SELECT count(*) c FROM {docs} GROUP BY lang, source)",
+    )
+    distinct_users = _one(con, f"SELECT count(DISTINCT user_id) FROM {ev}")
+
+    assert Q.DOCS_DELTA >= MARGIN * max_lang, (
+        f"DOCS_DELTA={Q.DOCS_DELTA} vs max lang group {max_lang} at {sf_dir}"
+    )
+    assert Q.EVENTS_DELTA >= MARGIN * max_type, (
+        f"EVENTS_DELTA={Q.EVENTS_DELTA} vs max event_type group {max_type}"
+    )
+    assert Q.EVENTS_DAY_DELTA >= MARGIN * max_type_day, (
+        f"EVENTS_DAY_DELTA={Q.EVENTS_DAY_DELTA} vs max (type, day) group "
+        f"{max_type_day}"
+    )
+    assert Q.AGG_SQL_DELTA >= MARGIN * max_lang_src, (
+        f"AGG_SQL_DELTA={Q.AGG_SQL_DELTA} vs max (lang, source) group "
+        f"{max_lang_src}"
+    )
+    # KLL stays uncompacted while stored <= k (exactly; keep 2x margin)
+    assert Q.KLL_EXACT_K >= MARGIN * max_lang, (
+        f"KLL_EXACT_K={Q.KLL_EXACT_K} vs max lang group {max_lang}"
+    )
+    # KMV set algebra is exact only below capacity
+    assert Q.KMV_K >= MARGIN * distinct_users, (
+        f"KMV_K={Q.KMV_K} vs {distinct_users} distinct users"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_singleton_regime_holds_on_actual_lang_groups(sf_dir):
+    """End-to-end regime check: build the by-lang digest configuration the
+    oracles use over the ACTUAL largest lang group and assert every
+    centroid is still a singleton (weight 1)."""
+    import numpy as np
+
+    from tdigest_spark.core import MergingDigest
+
+    con = duckdb.connect()
+    vals = (
+        con.sql(
+            f"SELECT CAST(n_chars AS DOUBLE) FROM '{sf_dir}/documents.parquet' "
+            "WHERE lang = (SELECT lang FROM (SELECT lang, count(*) c FROM "
+            f"'{sf_dir}/documents.parquet' GROUP BY lang ORDER BY c DESC LIMIT 1))"
+        )
+        .fetchnumpy()["CAST(n_chars AS DOUBLE)"]
+        .astype(np.float64)
+    )
+    d = MergingDigest(Q.DOCS_DELTA)
+    # partitioned build: chunked adds + a merge pass, like the Spark path
+    for chunk in np.array_split(vals, 8):
+        d.add(chunk)
+    d.compress()
+    assert (np.asarray(d.counts) == 1).all(), (
+        f"non-singleton centroid over {len(vals)} rows at DOCS_DELTA="
+        f"{Q.DOCS_DELTA} ({sf_dir})"
+    )
