@@ -378,3 +378,45 @@ def test_line_dedup_detection_shuffles_no_text(docs):
     assert n_exchanges >= 2  # the detection groupBys actually shuffled
     # the rewrite is array algebra: no posexplode/collect_list round trip
     assert "collect_list" not in plan
+
+
+def test_mixture_sample_scan_stage_only(docs):
+    """Mixture up-weighting is a literal copy-array explode + scalar
+    predicate in the scan stage: no Exchange, no join, no Python."""
+    from tdigest_spark.operators.sampling import mixture_sample
+
+    out = mixture_sample(docs, "doc_id", "lang", {"en": 2.4, "de": 0.5})
+    plan = explain_str(out)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_quantile_filter_broadcasts_cutoffs(docs):
+    """The adaptive quantile gate joins KB-sized per-group cutoffs back
+    onto the corpus via broadcast — never a sort-merge shuffle of the
+    big side."""
+    from tdigest_spark.operators import digest
+
+    out = digest.quantile_filter(
+        docs, "n_chars", 0.25, by=["lang"], delta=500.0
+    )
+    plan = explain_str(out, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_freeze_to_budget_narrow_lane_and_semi_join(docs):
+    """Token-budget freeze: the boundary range's exact cumsum and the
+    kept-id semi-join move only (id, len) lanes — the text column never
+    crosses an Exchange — and the kept ids come back as a broadcast
+    left-semi join, not a shuffle join."""
+    from tdigest_spark.operators.sampling import freeze_to_budget
+
+    out = freeze_to_budget(docs, "doc_id", "n_chars", budget=50_000)
+    plan = explain_str(out, "formatted")
+    for node in plan.split("\n\n"):
+        head = node.lstrip().split("\n")[0]
+        if head.startswith("(") and "Exchange" in head:
+            assert "text#" not in node, head
+    assert "SortMergeJoin" not in plan
