@@ -181,7 +181,10 @@ def pack_sequences(
         F.lit(n_buckets),
     )
 
-    out_schema = f"{id_col} long, pack_id long, pack_pos long, {len_col} long"
+    # preserve the caller's id type (string chunk ids are as valid as
+    # numeric doc ids); only the length is coerced
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, pack_id long, pack_pos long, {len_col} long"
 
     def _pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
         b = int(key[0])
