@@ -122,3 +122,43 @@ def test_ctor_validation():
         LogHistogram(-1.0, 100.0)   # non-positive
     with pytest.raises(ValueError):
         LogHistogram(1.0, 100.0, 1e-9)  # eps out of range
+
+
+LOG_FIT_CSV = "/root/reference/test/log-fit.csv"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(LOG_FIT_CSV), reason="reference log-fit.csv absent"
+)
+def test_golden_log_fit_csv():
+    """Golden artifact check against the reference's checked-in log-fit.csv
+    (written by test/histogram.jl:43-57): 467 rows of
+    (x, raw-bits log2 approximation, true log2) swept x=0.001..10 by 1.02x
+    (466 data rows).
+
+    Three cross-implementation pins:
+      1. y1 is reproduced BIT-FOR-BIT from the IEEE-754 representation
+         (reinterpret(UInt64,x)/2^52 - 0x3ff) — ties our bit-twiddling to
+         the Julia/Java lineage the same way test_scale.test_golden_ref_csv
+         ties the scale functions to ref.csv.
+      2. The reference's own bound holds: 0 < log2(x) - y1 < sqrt(2)/16
+         (4-bit worst case at mid-octave, histogram.jl:42).
+      3. Our quadratic-corrected approx_log2 BEATS the raw approximation at
+         every golden x (|err| <= 0.01 << 0.0884).
+    """
+    rows = np.genfromtxt(LOG_FIT_CSV, delimiter=",", skip_header=1)
+    assert rows.shape == (466, 3)
+    x, y1, y2 = rows[:, 0], rows[:, 1], rows[:, 2]
+
+    bits = x.view(np.uint64)
+    raw = bits / np.float64(2**52) - 0x3FF
+    np.testing.assert_array_equal(raw, y1)          # pin 1: bit-exact
+
+    true_log2 = np.log2(x)
+    np.testing.assert_allclose(true_log2, y2, rtol=0, atol=1e-12)
+    gap = true_log2 - y1
+    lower_bound = np.sqrt(2.0) / 16.0
+    assert np.all(gap > 0) and np.all(gap < lower_bound)   # pin 2
+
+    ours = np.abs(approx_log2(x) - true_log2)
+    assert ours.max() <= 0.01 < lower_bound          # pin 3
