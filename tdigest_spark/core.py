@@ -258,19 +258,23 @@ class MergingDigest:
                     means[:] = key_s
                 counts[:] = 1.0
             else:
-                ws = n - wm
-                # stable merge: prefix elements precede equal pending ones
+                # stable merge: prefix elements precede equal pending ones.
+                # The pending run's positions are exactly the complement of
+                # the prefix positions (the two position maps form a
+                # bijection onto [0, n)), so one boolean mask replaces the
+                # second searchsorted (n needles into the prefix).
                 pos_p = np.arange(wm) + key_s.searchsorted(key_p, "left")
-                pos_s = np.arange(ws) + key_p.searchsorted(key_s, "right")
                 if self._scratch_m is None:
                     self._scratch_m = np.empty_like(self._mean)
                     self._scratch_c = np.empty_like(self._count)
                 sm = self._scratch_m[:n]
                 sc = self._scratch_c[:n]
+                mask = np.ones(n, dtype=bool)
+                mask[pos_p] = False
                 sm[pos_p] = key_p
                 sc[pos_p] = counts[:wm]
-                sm[pos_s] = key_s
-                sc[pos_s] = 1.0
+                sm[mask] = key_s
+                sc[mask] = 1.0
                 if reverse_order:
                     np.negative(sm, out=means)
                 else:
@@ -302,10 +306,11 @@ class MergingDigest:
         cw = np.cumsum(counts)
         # Vectorized limits: the cluster starting right after prefix i may
         # absorb while cumulative weight stays <= W*q(k(cw[i]/W)+1)
-        # (TDigest.jl:284-299).  Both scale maps are ufuncs, so ALL
-        # candidate limits cost two vectorized calls instead of two scalar
-        # calls per cluster — the former hot spot of ingestion.
-        limit_w = total * self.scale.q(self.scale.k(cw / total, norm) + 1.0, norm)
+        # (TDigest.jl:284-299).  scale.limit computes all candidate limits
+        # in one segmented closed-form pass over the ascending quantiles —
+        # cheaper than composing the k/q ufuncs (which paid a log+exp per
+        # lane), and cheaper than per-cluster scalar calls in the walk.
+        limit_w = total * self.scale.limit(cw / total, norm)
 
         # Greedy boundary walk: pure index hopping (searchsorted per
         # cluster). Cluster 0 is the first centroid alone (never merged

@@ -57,6 +57,23 @@ class ScaleFunction:
     def max_step_cn(self, q, delta, n):
         return self.max_step(q, self.normalizer(delta, n))
 
+    def limit(self, q0, norm):
+        """q(k(q0) + 1): the next-cluster quantile limit of the merge walk
+        (TDigest.jl:284-299 computes this per cluster; core._compact
+        evaluates it vectorized over every cumulative weight).
+
+        ``q0`` MUST be ascending — subclasses exploit sortedness to
+        evaluate each algebraic branch on its contiguous segment instead
+        of paying every transcendental on every lane (the former single
+        largest cost of the ingest hot path).  Results may differ from
+        the literal q(k(q0)+1) composition by ~1 ulp (log/exp round-trip
+        replaced by its closed form); cluster boundaries are searchsorted
+        against these limits, so a 1-ulp shift only matters on an exact
+        tie between a limit and a cumulative weight — inputs the rank
+        bound is indifferent to.
+        """
+        return self.q(self.k(q0, norm) + 1.0, norm)
+
     def __repr__(self):
         return self.name
 
@@ -74,6 +91,10 @@ class K0(ScaleFunction):
 
     def max_step(self, q, norm):
         return np.asarray(q, dtype=np.float64) * 0 + 1.0 / norm
+
+    def limit(self, q0, norm):
+        # q((q0*norm + 1)/norm) == q0 + 1/norm up to 1 ulp
+        return np.asarray(q0, dtype=np.float64) + 1.0 / norm
 
     def normalizer(self, delta, n):
         return delta / 2.0
@@ -95,6 +116,23 @@ class K1(ScaleFunction):
     def max_step(self, q, norm):
         qq = np.clip(np.asarray(q, dtype=np.float64), 0.0, 1.0)
         return 2.0 * np.sin(0.5 / norm) * np.sqrt(qq * (1.0 - qq))
+
+    def limit(self, q0, norm):
+        # sin(asin(2q0-1) + c) expanded via the angle-addition identity:
+        # sin a = 2q0-1, cos a = sqrt((1-s)(1+s)); the k-clip at pi/2*norm
+        # becomes the contiguous tail q0 > (cos c + 1)/2 where limit == 1.
+        c = 1.0 / norm
+        if not c < np.pi / 2:          # tiny norm: angle algebra degenerates
+            return super().limit(q0, norm)
+        q0 = _clip_q(q0)
+        sin_c = float(np.sin(c))
+        cos_c = float(np.cos(c))
+        cut = int(np.searchsorted(q0, (cos_c + 1.0) / 2.0, side="right"))
+        out = np.empty_like(q0)
+        s = 2.0 * q0[:cut] - 1.0
+        out[:cut] = (s * cos_c + np.sqrt((1.0 - s) * (1.0 + s)) * sin_c + 1.0) / 2.0
+        out[cut:] = 1.0
+        return out
 
     def normalizer(self, delta, n):
         return delta / (2.0 * np.pi)
@@ -139,6 +177,13 @@ class K2(ScaleFunction):
         qq = np.asarray(q, dtype=np.float64)
         return qq * (1.0 - qq) / norm
 
+    def limit(self, q0, norm):
+        # q(k+1) in odds space: w' = (q0/(1-q0)) * e^{1/norm}, limit = w'/(1+w')
+        # — one exp total instead of log+exp per lane, no branches.
+        q0 = _clip_q(q0)
+        w = (q0 / (1.0 - q0)) * float(np.exp(1.0 / norm))
+        return w / (1.0 + w)
+
     def normalizer(self, delta, n):
         return delta / self._z(delta, n)
 
@@ -181,6 +226,23 @@ class K3(ScaleFunction):
     def max_step(self, q, norm):
         qq = np.asarray(q, dtype=np.float64)
         return np.minimum(qq, 1.0 - qq) / norm
+
+    def limit(self, q0, norm):
+        # Closed form of q(k(q0)+1) with E = e^{1/norm}; three contiguous
+        # segments of the ASCENDING q0 (branch cuts at 1/(2E) and 1/2):
+        #   q0 <= 1/(2E)      -> q0 * E            (k+1 still <= 0)
+        #   1/(2E) < q0 <= .5 -> 1 - 1/(4*E*q0)    (k <= 0, k+1 > 0)
+        #   q0 > .5           -> 1 - (1-q0)/E
+        # One scalar exp instead of a log+exp ufunc pass per lane.
+        q0 = _clip_q(q0)
+        E = float(np.exp(1.0 / norm))
+        i1 = int(np.searchsorted(q0, 0.5 / E, side="right"))
+        i2 = int(np.searchsorted(q0, 0.5, side="right"))
+        out = np.empty_like(q0)
+        np.multiply(q0[:i1], E, out=out[:i1])
+        np.subtract(1.0, 1.0 / (4.0 * E * q0[i1:i2]), out=out[i1:i2])
+        np.subtract(1.0, (1.0 - q0[i2:]) / E, out=out[i2:])
+        return out
 
     def normalizer(self, delta, n):
         return delta / self._z(delta, n)

@@ -135,3 +135,31 @@ def test_digest_level_max_step():
         assert pub == K_2.max_step_cn(q, d.public_compression, n_cent)
         # two-level: private compression > public -> smaller step
         assert priv < pub
+
+
+def test_limit_closed_forms_match_composition():
+    """scale.limit (segmented closed forms, the ingest hot path) must agree
+    with the literal q(k(q0)+1, norm) composition to a few ulp, and stay
+    monotone over ascending q0 (the merge walk searchsorts against it)."""
+    from tdigest_spark.scale import K_0, K_1, K_2, K_3, ScaleFunction
+
+    for scale in (K_0, K_1, K_2, K_3):
+        # K_1's asin/angle-identity forms both lose precision at the
+        # clipped extremes (asin is ill-conditioned near |s|=1); elsewhere
+        # everything is <= ~1e-14 relative.
+        tol = 1e-12 if scale is K_1 else 5e-14
+        for norm in (1.6, 5.0, 17.0, 40.0):
+            q0 = np.unique(
+                np.concatenate(
+                    [
+                        np.linspace(1e-16, 1.0, 5001),
+                        [1e-15, 0.5 - 1e-16, 0.5, 0.5 + 1e-16, 1 - 1e-15, 1.0],
+                        np.exp(np.linspace(np.log(1e-15), 0.0, 1000)),
+                    ]
+                )
+            )
+            ref = ScaleFunction.limit(scale, q0, norm)
+            got = scale.limit(q0, norm)
+            rel = np.abs(got - ref) / np.maximum(np.abs(ref), 1e-300)
+            assert rel.max() < tol, (scale.name, norm, rel.max())
+            assert np.all(np.diff(got) >= -1e-16), (scale.name, norm)
