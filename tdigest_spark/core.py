@@ -87,8 +87,13 @@ class MergingDigest:
         self.scale = get_scale(scale)
         self.max_size = max_size
         self.total_weight = 0.0
-        # +1 slack: scalar add appends before checking overflow
-        cap = max_size + _CHUNK + 1
+        # The buffer's HARD cap is max_size + _CHUNK + 1 (+1 slack: scalar
+        # add appends before checking overflow), but it is allocated lazily:
+        # grouped Spark builds hold one digest per live group, and a small
+        # group (or a large delta chosen for the singleton regime) should
+        # cost memory proportional to its data, not to the worst-case
+        # pending buffer (22 MB at delta=200k; 171 KB even at delta=100).
+        cap = min(max_size + _CHUNK, 1024) + 1
         self._mean = np.empty(cap, dtype=np.float64)
         self._count = np.empty(cap, dtype=np.float64)
         self._n = 0
@@ -133,8 +138,20 @@ class MergingDigest:
         for lo in range(0, vals.size, _CHUNK):
             self._add_chunk(vals[lo : lo + _CHUNK])
 
+    def _grow(self, need: int) -> None:
+        """Geometric buffer growth, capped at the reference's merge-on-temp
+        working-set bound (max_size + chunk slack)."""
+        cap = self._mean.size
+        while cap < need:
+            cap *= 2
+        cap = max(min(cap, self.max_size + _CHUNK + 1), need)
+        self._mean = np.resize(self._mean[: self._n], cap)
+        self._count = np.resize(self._count[: self._n], cap)
+
     def _add_chunk(self, vals: np.ndarray) -> None:
         b = vals.size
+        if self._n + b > self._mean.size:
+            self._grow(self._n + b)
         self.total_weight += b
         if self.log is not None:
             # one singleton log entry per appended sample (TDigest.jl:148-151)
@@ -264,7 +281,7 @@ class MergingDigest:
                 # bijection onto [0, n)), so one boolean mask replaces the
                 # second searchsorted (n needles into the prefix).
                 pos_p = np.arange(wm) + key_s.searchsorted(key_p, "left")
-                if self._scratch_m is None:
+                if self._scratch_m is None or self._scratch_m.size < n:
                     self._scratch_m = np.empty_like(self._mean)
                     self._scratch_c = np.empty_like(self._count)
                 sm = self._scratch_m[:n]

@@ -21,8 +21,11 @@ for-value against DuckDB, so every float must be bit-reproducible):
   pow2-derived bound literals — pow2 is not a perfect float inverse, so
   edge-adjacent values can land differently (see _sql_loghistogram_events).
 - singleton/exact-regime constants (DOCS_DELTA, EVENTS_DELTA, KLL_EXACT_K,
-  KMV_K, ...) are sized for the LARGEST group at sf0.1, so the whole
-  battery is SF-robust across /root/testdata/sf{0.001,0.01,0.1}.
+  KMV_K, ...) are sized ~10x ABOVE the largest group at sf0.1, so the
+  battery is SF-robust across /root/testdata/sf{0.001,0.01,0.1} AND
+  survives a driver testdata regeneration of the magnitude round 3 saw
+  (~10x group growth); the headroom is free in the singleton regime
+  (no compaction fires, buffers grow lazily with the data).
 """
 
 from __future__ import annotations
@@ -55,17 +58,23 @@ from .sources import load_table
 QUANTILES = (0.05, 0.25, 0.5, 0.75, 0.9, 0.99)
 CDF_POINTS = (100.0, 150.0, 200.0, 250.0, 300.0, 400.0, 500.0)
 EVENT_QS = (0.5, 0.9, 0.99)
-DOCS_DELTA = 8000.0  # > max lang group (2059 @ sf0.1) -> singleton regime
-EVENTS_DELTA = 50000.0  # > max event_type group (~20302 @ sf0.1)
-EVENTS_DAY_DELTA = 4000.0  # > max (event_type, day) group (739 @ sf0.1)
-AGG_SQL_DELTA = 2000.0  # > max (lang, source) group (112 @ sf0.1)
-KLL_EXACT_K = 8192  # >= 2x max lang group (2059 @ sf0.1) -> zero compactions
+# Exact-regime constants are sized ~10x above the sf0.1 bound (not the
+# documented 2x minimum) because the driver REGENERATES testdata between
+# rounds and round 3 saw ~10x group growth; the singleton regime makes a
+# larger delta FREE (no compaction ever fires, digests stay the same size
+# as the data, and core buffers grow lazily).  tests/test_regime_constants
+# recomputes the bounds from the parquet on disk and fails fast.
+DOCS_DELTA = 24000.0  # > max lang group (2059 @ sf0.1) -> singleton regime
+EVENTS_DELTA = 200000.0  # > max event_type group (~20302 @ sf0.1)
+EVENTS_DAY_DELTA = 8000.0  # > max (event_type, day) group (739 @ sf0.1)
+AGG_SQL_DELTA = 2000.0  # > max (lang, source) group (112 @ sf0.1; 17x)
+KLL_EXACT_K = 32768  # >= 16x max lang group (2059 @ sf0.1) -> zero compactions
 HIST_MIN, HIST_MAX, HIST_EPS = 0.01, 500.0, 0.1
 MINHASH_K, SHINGLE_K, LSH_BANDS = 8, 3, 4  # 32-bit lanes, 2 rows/band
 LSH_MAX_BUCKET = 1000  # template-cluster guard, mirrored in the oracle SQL
 SIMHASH_MAX_HAMMING = 3
 BLOOM_M, BLOOM_K = 4096, 5
-KMV_K = 8192  # > distinct users anywhere at sf0.01 -> exact set algebra
+KMV_K = 32768  # > 20x distinct users @ sf0.1 -> exact set algebra
 BLOOM_PROBES = (0, 1, 2, 3, 4, 900001, 900002, 900003, 900004, 900005)
 IVF_CENT_MOD = 97  # vec_id % 97 == 1 rows serve as deterministic centroids
 IVF_NPROBE = 2
