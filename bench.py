@@ -85,7 +85,7 @@ def main() -> None:
 
     timings_first: dict[str, float] = {}
 
-    def bench(name: str, fn) -> None:
+    def bench(name: str, fn, n_trials: int = 2) -> None:
         # Two trials per query, min reported.  fn() rebuilds the whole
         # DataFrame each trial (fresh plan objects -> no shuffle-reuse
         # trap), so trial 2 measures real execution with codegen + page
@@ -94,7 +94,7 @@ def main() -> None:
         # min is the stable, comparable statistic.  The first-trial sum
         # is still emitted as cold_sec.
         trials: list[float] = []
-        for trial in (0, 1):
+        for trial in range(n_trials):
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
@@ -133,7 +133,11 @@ def main() -> None:
         merged = digest.merge_partials(partials, by=())
         digest.quantiles_of(merged, (0.001, 0.01, 0.5, 0.99, 0.999), by=()).collect()
 
-    bench("tdigest_global_lineitem", global_digest)
+    # docs_per_sec (a headline metric) is derived from this one timing,
+    # so it gets an unconditional third trial: the adaptive retry only
+    # fires when the two readings DISAGREE, and one bad IO window can
+    # slow both in agreement (observed: 2.66s vs the 1.3s steady state).
+    bench("tdigest_global_lineitem", global_digest, n_trials=3)
     digest_build_sec = timings["tdigest_global_lineitem"]
 
     # 1b. one-pass MULTI-column profiling: 3 digests from a single scan.
