@@ -6,6 +6,7 @@ from .digest import (
     build_partials_per_partition,
     cdfs_of,
     digest_by,
+    digest_drift,
     digest_of,
     merge_partials,
     quantiles_of,
@@ -17,6 +18,7 @@ __all__ = [
     "build_partials_per_partition",
     "cdfs_of",
     "digest_by",
+    "digest_drift",
     "digest_of",
     "merge_partials",
     "quantiles_of",

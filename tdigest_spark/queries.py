@@ -131,6 +131,52 @@ GROUP BY lang, x
 """
 
 
+def q_tdigest_drift_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot distribution drift from the sketches alone
+    (operators/digest.py:digest_drift): the corpus is split into two
+    deterministic content-keyed halves (md5 parity — stand-ins for two
+    crawl snapshots), per-lang digests built per half, and the max
+    absolute CDF gap over the probe grid computed digest-vs-digest.
+    Singleton regime -> both halves' cdfs are rank-exact, so the drift
+    statistic is value-exact against the SQL two-sample computation."""
+    from .operators.sampling import _unit_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = _unit_hash(F.col("doc_id"), "drift")
+    a = docs.filter(u < 0.5)
+    b = docs.filter(u >= 0.5)
+    da = digest.digest_by(a, "n_chars", by=["lang"], delta=DOCS_DELTA)
+    db = digest.digest_by(b, "n_chars", by=["lang"], delta=DOCS_DELTA)
+    return digest.digest_drift(da, db, CDF_POINTS, by=["lang"]).select(
+        "lang", "cdf_drift"
+    )
+
+
+_SQL_DRIFT_BY_LANG = f"""
+WITH u AS (
+  SELECT lang, n_chars,
+         ('0x' || substr(md5('drift:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+           / CAST({float(16 ** 13)!r} AS DOUBLE) AS us
+  FROM documents
+), xs(x) AS (VALUES {", ".join(f"({x})" for x in CDF_POINTS)}),
+ca AS (
+  SELECT lang, x,
+         (count(*) FILTER (WHERE n_chars < x)
+          + count(*) FILTER (WHERE n_chars = x) / 2.0) / count(*) AS cdf_a
+  FROM u CROSS JOIN xs WHERE us < 0.5 GROUP BY lang, x
+),
+cb AS (
+  SELECT lang, x,
+         (count(*) FILTER (WHERE n_chars < x)
+          + count(*) FILTER (WHERE n_chars = x) / 2.0) / count(*) AS cdf_b
+  FROM u CROSS JOIN xs WHERE us >= 0.5 GROUP BY lang, x
+)
+SELECT ca.lang, max(abs(cdf_a - cdf_b)) AS cdf_drift
+FROM ca JOIN cb ON ca.lang = cb.lang AND ca.x = cb.x
+GROUP BY ca.lang
+"""
+
+
 def q_tdigest_trimmed_mean_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import tdigest_trimmed_mean_udf
 
@@ -2814,6 +2860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tdigest_quantiles_by_lang": q_tdigest_quantiles_by_lang,
         "tdigest_cdf_by_lang": q_tdigest_cdf_by_lang,
+        "tdigest_drift_by_lang": q_tdigest_drift_by_lang,
         "tdigest_trimmed_mean_by_lang": q_tdigest_trimmed_mean_by_lang,
         "tdigest_stats_by_lang": q_tdigest_stats_by_lang,
         "tdigest_events_by_type": q_tdigest_events_by_type,
@@ -2881,6 +2928,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "tdigest_quantiles_by_lang": _SQL_QUANTILES_BY_LANG,
         "tdigest_cdf_by_lang": _SQL_CDF_BY_LANG,
+        "tdigest_drift_by_lang": _SQL_DRIFT_BY_LANG,
         "tdigest_trimmed_mean_by_lang": _SQL_TRIMMED_MEAN_BY_LANG,
         "tdigest_stats_by_lang": _SQL_STATS_BY_LANG,
         "tdigest_events_by_type": _SQL_EVENTS_BY_TYPE,

@@ -330,3 +330,66 @@ def test_quantile_filter_global_no_groups(spark):
     out = digest.quantile_filter(df, "v", 0.9, keep="gt")
     vals = sorted(r["v"] for r in out.collect())
     assert vals == [float(i) for i in range(91, 101)]
+
+
+def test_digest_drift_zero_for_identical_snapshots(spark):
+    from tdigest_spark.operators import digest_drift
+
+    df = spark.range(2000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    d = digest_by(df, "v", by=["g"], delta=5000.0)
+    out = digest_drift(d, d, (10.0, 48.5, 90.0), by=["g"]).collect()
+    assert len(out) == 3
+    assert all(r["cdf_drift"] == 0.0 for r in out)
+
+
+def test_digest_drift_matches_numpy_two_sample(spark):
+    """Singleton regime: per-point gaps equal the exact empirical
+    two-sample CDF gaps (mid-rank tie convention), and the reduced drift
+    is their max."""
+    from tdigest_spark.operators import digest_drift
+
+    rng = np.random.default_rng(12)
+    va = rng.integers(0, 200, 3000).astype(float)
+    vb = (rng.integers(0, 200, 2500) + 30).astype(float)  # shifted
+    a = spark.createDataFrame([(float(x),) for x in va], "v double")
+    b = spark.createDataFrame([(float(x),) for x in vb], "v double")
+    da = digest_by(a.withColumn("g", F.lit("k")), "v", by=["g"], delta=50000.0)
+    db = digest_by(b.withColumn("g", F.lit("k")), "v", by=["g"], delta=50000.0)
+    # interior probes only: at x == a sample's MAX the reference cdf is
+    # 1 - 0.5/n regardless of tie mass (core.cdf boundary rule), which
+    # matches the plain mid-tie formula only for a unique max — same
+    # exposure the driver's cdf oracles accept (probe grids sit well
+    # inside every group's range).
+    xs = (25.0, 50.0, 100.0, 150.0, 180.0)
+
+    def ecdf(vals, x):
+        return (np.sum(vals < x) + np.sum(vals == x) / 2.0) / vals.size
+
+    pts = {
+        r["x"]: (r["cdf_a"], r["cdf_b"], r["cdf_gap"])
+        for r in digest_drift(da, db, xs, by=["g"], per_point=True).collect()
+    }
+    exp_gaps = []
+    for x in xs:
+        ea, eb = ecdf(va, x), ecdf(vb, x)
+        ca, cb, gap = pts[x]
+        assert ca == ea and cb == eb, (x, ca, ea, cb, eb)
+        assert gap == abs(ea - eb)
+        exp_gaps.append(abs(ea - eb))
+    drift = digest_drift(da, db, xs, by=["g"]).collect()[0]["cdf_drift"]
+    assert drift == max(exp_gaps)
+    assert drift > 0.1  # the shift is visible
+
+
+def test_digest_drift_inner_join_drops_one_sided_groups(spark):
+    from tdigest_spark.operators import digest_drift
+
+    a = spark.createDataFrame([("x", 1.0), ("y", 2.0)], "g string, v double")
+    b = spark.createDataFrame([("x", 1.0)], "g string, v double")
+    da = digest_by(a, "v", by=["g"], delta=100.0)
+    db = digest_by(b, "v", by=["g"], delta=100.0)
+    out = digest_drift(da, db, (1.5,), by=["g"]).collect()
+    assert [r["g"] for r in out] == ["x"]
