@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import shingles_from_tokens, tokens_col
 
@@ -811,6 +811,138 @@ def dedup_lines_corpus(
                 F.col(text_col).isNotNull(), F.concat_ws("\n", kept)
             ).alias("clean_text"),
         )
+    )
+
+
+def span_hashes(toks: Column | str, k: int, hash_fn: str = "md5"):
+    """Hash of every k-token window (stride 1) of a *materialized* token
+    array, as an array<string> / array<bigint> column; docs shorter than
+    k tokens yield an empty array (no duplication evidence at this
+    granularity).  `toks` must be a bound column from its own projection
+    — an inline expression would be re-evaluated per window index
+    (see text.shingles_from_tokens).  O(n*k) hash work per doc; a rolling
+    (Rabin-Karp) lane would make it O(n) but is not expressible as an
+    engine-neutral md5, so the oracle lane pays the k factor."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    _h = F.md5 if hash_fn == "md5" else F.xxhash64
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda j: _h(F.concat_ws(" ", F.slice(toks, j, k))),
+    )
+    empty = F.array().cast("array<string>" if hash_fn == "md5" else "array<bigint>")
+    return F.when(n >= k, grams).otherwise(empty)
+
+
+def dedup_spans_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_count: int = 2,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Corpus-global duplicate-SPAN removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr): any k-token window whose exact content occurs >=
+    `min_count` times across the whole corpus (within-doc repeats count)
+    marks its k tokens as duplicated; every covered token is removed from
+    every document and the remainder is reassembled in token order.
+
+    This is the span-granular member of the dedup family: exact_dedup
+    removes whole identical docs, LSH removes near-identical docs,
+    dedup_lines_corpus removes corpus-frequent LINES — this removes
+    corpus-repeated token RUNS that cross line boundaries (licenses,
+    templated paragraphs, quoted tweets), which none of the above catch
+    when the surrounding document is unique.
+
+    Deviations from the paper, chosen for distributed determinism:
+    - fixed window size k (default 50, the paper's threshold) instead of
+      maximal repeated substrings from a suffix array: a suffix array is
+      a single-node O(n log n) structure; k-gram anchors are
+      embarrassingly parallel and catch every duplicated run >= k tokens
+      (a run of length m >= k is covered by its m-k+1 flagged windows).
+    - ALL occurrences of a flagged span are removed (the paper keeps
+      one): keeping a canonical occurrence needs a global total order
+      over occurrences; removal-everywhere matches dedup_lines_corpus
+      and the training-data goal (the span is boilerplate evidence).
+    - token-granular (space-split, empty tokens dropped): reassembly
+      normalizes runs of whitespace to single spaces.
+    - NULL text passes through with NULL outputs (no row drop).
+
+    Returns (id_col, n_tokens, n_tokens_kept, clean_text).
+
+    Scale shape (100 TB): detection shuffles (window_hash, id) pairs
+    only — never text.  Verdicts come back as a per-doc array of flagged
+    hashes through one id join (AQE broadcasts it when the global dup
+    set is small); the rewrite recomputes window hashes scan-side and
+    drops covered tokens with an order-preserving F.filter — no
+    posexplode/collect round trip.  Rewrite cost is O(n*k) hashing +
+    O(n*f) coverage checks per doc (f = flagged windows in that doc); a
+    pathological fully-duplicated doc makes f ~ n, which is why doc-level
+    dedup (exact + LSH) should run FIRST in a pipeline — this operator
+    then only sees spans inside otherwise-unique docs.  hash_fn="md5" is
+    the oracle-neutral lane; "xxhash64" is the production lane (8-byte
+    keys vs 32, same plan shape).
+    """
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64' (got {hash_fn!r})")
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (got {k})")
+
+    base = df.select(F.col(id_col), F.col(text_col))
+
+    # detection: every window occurrence (not distinct — within-doc
+    # repeats are duplication evidence, per the paper)
+    occurrences = (
+        base.select(F.col(id_col), tokens_col(text_col).alias("__ts"))
+        .select(F.col(id_col), span_hashes(F.col("__ts"), k, hash_fn).alias("__wh"))
+        .select(F.col(id_col), F.explode("__wh").alias("__h"))
+    )
+    dup_spans = (
+        occurrences.groupBy("__h")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= min_count)
+        .select("__h")
+    )
+    doc_dups = (
+        occurrences.join(dup_spans, "__h")
+        .groupBy(id_col)
+        .agg(F.collect_set("__h").alias("__dk"))
+    )
+
+    # rewrite: recompute hashes scan-side (cheaper than shuffling the
+    # window-hash array, which is larger than the text itself)
+    joined = (
+        base.join(doc_dups, id_col, "left")
+        .withColumn("__ts", tokens_col(text_col))
+        .withColumn("__wh", span_hashes(F.col("__ts"), k, hash_fn))
+    )
+    flagged = joined.withColumn(
+        "__fj",
+        F.when(
+            F.col("__dk").isNotNull() & (F.size("__wh") > 0),
+            F.filter(
+                F.sequence(F.lit(1), F.size("__wh")),
+                lambda j: F.array_contains(F.col("__dk"), F.element_at("__wh", j)),
+            ),
+        ).otherwise(F.array().cast("array<int>")),
+    )
+    # token at 1-based position p is covered by flagged window start j
+    # iff j <= p < j + k
+    kept = F.filter(
+        F.col("__ts"),
+        lambda t, i: ~F.exists(
+            F.col("__fj"),
+            lambda j: (j <= i + 1) & (i + 1 < j + F.lit(k)),
+        ),
+    )
+    not_null = F.col(text_col).isNotNull()
+    return flagged.select(
+        F.col(id_col),
+        F.when(not_null, F.size("__ts").cast("long")).alias("n_tokens"),
+        F.when(not_null, F.size(kept).cast("long")).alias("n_tokens_kept"),
+        F.when(not_null, F.concat_ws(" ", kept)).alias("clean_text"),
     )
 
 

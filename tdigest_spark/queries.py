@@ -2006,6 +2006,67 @@ FROM f ORDER BY doc_id
 """
 
 
+SPAN_K = 6  # duplicate-span window; natural 6-gram dups exist in the corpus
+SPAN_MIN_COUNT = 3
+
+
+def q_span_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al-style duplicate-SPAN removal: every SPAN_K-token window
+    occurring >= SPAN_MIN_COUNT times corpus-wide (within-doc repeats
+    count) marks its tokens for removal everywhere; docs reassemble in
+    token order.  Runs on the raw documents text — the synthetic corpus
+    contains naturally repeated 6-grams, so the operator provably fires.
+    Detection shuffles (md5(window), id) pairs only; the rewrite is an
+    order-preserving indexed F.filter over the token array."""
+    from .operators.dedup import dedup_spans_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_spans_corpus(
+        docs, k=SPAN_K, min_count=SPAN_MIN_COUNT
+    ).orderBy("doc_id")
+
+
+_SQL_SPAN_DEDUP_CORPUS = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk != '') AS ts
+  FROM documents
+),
+w0 AS (
+  SELECT doc_id, ts,
+         CASE WHEN len(ts) >= {SPAN_K}
+              THEN list_transform(range(1, len(ts) - {SPAN_K} + 2),
+                     j -> md5(array_to_string(ts[j:j+{SPAN_K}-1], ' ')))
+              ELSE [] END AS whs
+  FROM t
+),
+occ AS (SELECT doc_id, unnest(whs) AS wh FROM w0),
+d AS (SELECT wh FROM occ GROUP BY wh HAVING count(*) >= {SPAN_MIN_COUNT}),
+dd AS (SELECT doc_id, list(DISTINCT occ.wh) AS dk
+       FROM occ JOIN d USING (wh) GROUP BY doc_id),
+g AS (
+  SELECT w0.doc_id, ts,
+         list_filter(range(1, len(whs) + 1),
+                     j -> list_contains(COALESCE(dk, []), whs[j])) AS fj
+  FROM w0 LEFT JOIN dd USING (doc_id)
+),
+h AS (
+  SELECT doc_id, ts,
+         list_transform(
+           list_filter(range(1, len(ts) + 1),
+             p -> len(list_filter(fj, j -> j <= p AND p < j + {SPAN_K})) = 0),
+           p -> ts[p]) AS kept
+  FROM g
+)
+SELECT doc_id,
+       CAST(len(ts) AS BIGINT) AS n_tokens,
+       CAST(len(kept) AS BIGINT) AS n_tokens_kept,
+       CASE WHEN kept IS NULL THEN NULL
+            WHEN len(kept) = 0 THEN ''
+            ELSE array_to_string(kept, ' ') END AS clean_text
+FROM h ORDER BY doc_id
+"""
+
+
 CLASSIFIER_BUCKETS = 512
 
 
@@ -2905,6 +2966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_freq_udtf": q_token_freq_udtf,
         "dedup_exact": q_dedup_exact,
         "line_dedup_corpus": q_line_dedup_corpus,
+        "span_dedup_corpus": q_span_dedup_corpus,
         "quality_classifier": q_quality_classifier,
         "lm_nll_bits": q_lm_nll_bits,
         "decontaminate_docs": q_decontaminate_docs,
@@ -2973,6 +3035,7 @@ def oracle_sql() -> dict[str, str]:
         "token_freq_udtf": _SQL_TOKEN_FREQ_UDTF,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "line_dedup_corpus": _SQL_LINE_DEDUP_CORPUS,
+        "span_dedup_corpus": _SQL_SPAN_DEDUP_CORPUS,
         "quality_classifier": _SQL_QUALITY_CLASSIFIER,
         "lm_nll_bits": _SQL_LM_NLL_BITS,
         "decontaminate_docs": _sql_decontaminate_docs(),

@@ -546,6 +546,100 @@ def test_dedup_lines_corpus_blank_exempt_and_null_text(spark):
     assert len(out) == 3
 
 
+def test_dedup_spans_corpus_cross_doc_removal(spark):
+    rows = [
+        (0, "a b c d e f unique tail zero"),
+        (1, "prefix one a b c d e f and more"),
+        (2, "totally distinct words nothing shared here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.dedup_spans_corpus(df, k=6, min_count=2).collect()}
+    # the shared 6-token span is removed from BOTH docs
+    assert out[0]["clean_text"] == "unique tail zero"
+    assert out[1]["clean_text"] == "prefix one and more"
+    assert (out[0]["n_tokens"], out[0]["n_tokens_kept"]) == (9, 3)
+    # untouched doc reassembles verbatim (single-space token join)
+    assert out[2]["clean_text"] == rows[2][1]
+    assert out[2]["n_tokens_kept"] == out[2]["n_tokens"]
+
+
+def test_dedup_spans_corpus_within_doc_repeats_count(spark):
+    # same 6-token run twice in ONE doc: occurrences (not distinct docs)
+    # reach min_count=2, both occurrences removed (paper semantics)
+    rows = [
+        (0, "solo repeated x y z q r s middle x y z q r s end"),
+        (1, "other document with its own words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.dedup_spans_corpus(df, k=6, min_count=2).collect()}
+    assert out[0]["clean_text"] == "solo repeated middle end"
+    # at min_count=3 the double occurrence is below threshold: kept
+    out3 = {
+        r["doc_id"]: r for r in D.dedup_spans_corpus(df, k=6, min_count=3).collect()
+    }
+    assert out3[0]["clean_text"] == rows[0][1]
+
+
+def test_dedup_spans_corpus_long_run_fully_covered(spark):
+    # a duplicated run LONGER than k is covered end-to-end by its
+    # overlapping k-windows (run of m tokens -> m-k+1 flagged windows)
+    shared = "one two three four five six seven eight"  # 8 tokens, k=5
+    rows = [(0, f"head {shared} tail"), (1, f"{shared} coda words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.dedup_spans_corpus(df, k=5, min_count=2).collect()}
+    assert out[0]["clean_text"] == "head tail"
+    assert out[1]["clean_text"] == "coda words"
+
+
+def test_dedup_spans_corpus_short_null_and_edges(spark):
+    rows = [
+        (0, "short doc"),  # < k tokens: no windows, kept whole
+        (1, None),  # NULL text: NULL outputs, row kept
+        (2, "x y z exactly five tok"),
+        (3, "x y z exactly five tok"),  # exact twin of 2, n == k
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.dedup_spans_corpus(df, k=6, min_count=2).collect()}
+    assert out[0]["clean_text"] == "short doc"
+    assert out[1]["n_tokens"] is None and out[1]["clean_text"] is None
+    # twins of exactly k tokens are one flagged window each: fully removed
+    assert out[2]["clean_text"] == "" and out[2]["n_tokens_kept"] == 0
+    assert out[3]["clean_text"] == ""
+    assert len(out) == 4
+
+
+def test_dedup_spans_corpus_whitespace_normalization(spark):
+    # token-granular contract: reassembly single-spaces; duplicated spans
+    # match across differing whitespace
+    rows = [(0, "a  b   c d e f tail0"), (1, "a b c d e f tail1")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.dedup_spans_corpus(df, k=6, min_count=2).collect()}
+    assert out[0]["clean_text"] == "tail0" and out[1]["clean_text"] == "tail1"
+
+
+def test_dedup_spans_corpus_xxhash_lane_same_verdicts(spark):
+    rows = [
+        (0, "a b c d e f unique tail zero"),
+        (1, "prefix one a b c d e f and more"),
+        (2, "totally distinct words nothing shared here at all"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    md5 = D.dedup_spans_corpus(df, k=6, min_count=2, hash_fn="md5")
+    xx = D.dedup_spans_corpus(df, k=6, min_count=2, hash_fn="xxhash64")
+    assert sorted(
+        map(tuple, md5.collect()), key=lambda t: t[0]
+    ) == sorted(map(tuple, xx.collect()), key=lambda t: t[0])
+
+
+def test_dedup_spans_corpus_validation(spark):
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        D.dedup_spans_corpus(df, k=1)
+    with pytest.raises(ValueError):
+        D.dedup_spans_corpus(df, hash_fn="sha1")
+
+
 def test_dedup_lines_corpus_xxhash_lane_same_verdicts(spark):
     rows = [
         (0, "common footer\nunique a"),

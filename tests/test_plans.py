@@ -380,6 +380,23 @@ def test_line_dedup_detection_shuffles_no_text(docs):
     assert "collect_list" not in plan
 
 
+def test_span_dedup_detection_shuffles_no_text(docs):
+    """Duplicate-span dedup: same shuffle audit as line dedup — the
+    detection branch exchanges only (window_hash, id) pairs, the rewrite
+    recomputes hashes scan-side, and no Exchange carries the text."""
+    from tdigest_spark.operators.dedup import dedup_spans_corpus
+
+    out = dedup_spans_corpus(docs, k=6, min_count=2)
+    plan = explain_str(out, "formatted")
+    n_exchanges = 0
+    for node in plan.split("\n\n"):
+        if node.strip().startswith("(") and "Exchange" in node.split("\n")[0]:
+            n_exchanges += 1
+            assert "text" not in node.lower(), node
+    assert n_exchanges >= 2
+    assert "collect_list" not in plan
+
+
 def test_mixture_sample_scan_stage_only(docs):
     """Mixture up-weighting is a literal copy-array explode + scalar
     predicate in the scan stage: no Exchange, no join, no Python."""
