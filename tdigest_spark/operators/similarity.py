@@ -138,6 +138,17 @@ def lsh_cosine_topk(
     )
 
 
+def _seq_norm(vec: list[float]) -> float:
+    """Sequential-fold L2 norm in Python floats (IEEE doubles, same
+    accumulation order as norm_col's JVM fold -> identical bits)."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,
@@ -145,12 +156,50 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid",
+    max_literal_cells: int = 4096,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid
-    (broadcast the centroid table; argmin via one window).  The assignment
+    by cosine (ties break toward the lower centroid id).  The assignment
     column then serves as the block key for search/near-dup (the inverted
     list).  Centroids typically come from a driver-side k-means over a
-    sample — any small (id, vec) table works."""
+    sample (`ivf_train`, optionally `ivf_refine`) — any small (id, vec)
+    table works.
+
+    Plan shape: when the quantizer fits in the plan
+    (n_cells <= `max_literal_cells`), the centroid table is collected
+    (it is KB–MB sized by construction) and the argmin is computed IN
+    THE SCAN STAGE as a `least()` over per-centroid (−cosine, cid)
+    structs — zero joins, zero Exchange: at 100 TB the corpus is
+    never shuffled just to learn its cell.  The previous formulation
+    (broadcast join + row_number window partitioned by id) exchanged
+    corpus × n_cells rows — n_cells-fold shuffle amplification.  Very
+    large quantizers (beyond `max_literal_cells`) fall back to that
+    join+window path, where the broadcast keeps the corpus scan-local
+    but the window still shuffles; quantizers that big should prefer a
+    NumPy matmul in mapInPandas (not engine-neutral, so not the oracle
+    lane).
+    """
+    cent_rows = None
+    if centroids.count() <= max_literal_cells:
+        cent_rows = centroids.select(
+            F.col(centroid_id).alias("cid"), F.col(centroid_vec).alias("cv")
+        ).collect()
+
+    if cent_rows:
+        v = F.col(vec_col)
+        # bind the row norm once in its own projection — inlined, each
+        # candidate struct would re-fold it (n_cells x dim per row)
+        tmp = emb.withColumn("__nv", norm_col(v))
+        candidates = []
+        for r in sorted(cent_rows, key=lambda r: r["cid"]):
+            cv = F.array(*[F.lit(float(x)) for x in r["cv"]])
+            sim = dot_col(v, cv) / (F.col("__nv") * F.lit(_seq_norm(list(r["cv"]))))
+            candidates.append(
+                F.struct((-sim).alias("ns"), F.lit(r["cid"]).alias("cid"))
+            )
+        best = F.least(*candidates) if len(candidates) > 1 else candidates[0]
+        return tmp.withColumn("ivf_cell", best.getField("cid")).drop("__nv")
+
     cents = centroids.select(
         F.col(centroid_id).alias("cid"), F.col(centroid_vec).alias("cv")
     ).withColumn("cn", norm_col(F.col("cv")))
@@ -340,4 +389,69 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding
+    space with a coarse quantizer, then within each cluster remove every
+    vector that has a semantic near-duplicate at cosine >= `threshold`.
+
+    This is the semantic member of the dedup family: exact/MinHash/
+    SimHash catch lexical duplication, `embedding_near_dup` catches
+    near-identical vectors inside a CALLER-provided block — SemDeDup
+    additionally derives the blocks from the geometry itself (k-means
+    cells), so paraphrases and cross-lingual re-posts that share no
+    tokens still deduplicate.
+
+    Keep rule (deterministic, engine-neutral): a vector is kept iff NO
+    same-cell vector with a SMALLER id has cosine >= threshold to it.
+    The paper keeps one arbitrary representative per epsilon-
+    neighborhood; pinning min-id makes the output a pure function of the
+    input, invariant to partitioning and re-runs.  Note this is EXISTS
+    semantics, not connected components: in a chain a~b~c with
+    cos(a,c) < threshold, b is removed (a is smaller) and c is removed
+    iff cos(b,c) >= threshold even though b itself was removed — chain
+    collapse to one representative needs `resolve_dup_clusters` over
+    `embedding_near_dup` pairs when that is wanted.
+
+    `centroids` is a small (centroid_id, centroid) table — typically
+    `ivf_train(emb, n_cells)` (distributed Lloyd refinement available
+    via `ivf_refine`).  Returns (id_col, ivf_cell, keep).
+
+    Scale shape (100 TB): assignment is a broadcast argmin in the scan
+    stage (no shuffle of the corpus); the only corpus shuffle is the
+    in-cell self-join, whose pair space is the sum of per-cell squares —
+    pick n_cells ~ corpus/10k so cells stay ~10k vectors (the paper uses
+    ~100k clusters for LAION-scale); a hot cell is visible in the cell
+    histogram BEFORE the join (groupBy(ivf_cell).count()), the same
+    pre-flight `_bounded_buckets` applies to LSH buckets.
+    """
+    assigned = ivf_assign(
+        emb.select(F.col(id_col), F.col(vec_col)), centroids, id_col, vec_col
+    )
+    from .dedup import embedding_near_dup
+
+    pairs = embedding_near_dup(
+        assigned, id_col, vec_col, block_col="ivf_cell", threshold=threshold
+    )
+    removed = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__rm", F.lit(True))
+    )
+    return (
+        assigned.join(removed, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("ivf_cell"),
+            F.col("__rm").isNull().alias("keep"),
+        )
     )

@@ -2693,6 +2693,61 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.9
 """
 
 
+SEMDEDUP_TH = 0.95
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over embeddings + 1.01-scaled twins (guaranteed in-cell
+    near-dups at cosine 1.0), coarse-quantized by the deterministic
+    centroids (vec_id % IVF_CENT_MOD == 1 — same trick as ivf_topk, so
+    assignment is oracle-expressible).  Output is float-free (id, cell,
+    keep); the cosine threshold compare is the only float op and shares
+    its sequential-fold formulation with the gated embedding_near_dup."""
+    from .operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    twins = emb.filter((F.col("vec_id") % EMB_SCALE_MOD) == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.01).alias("embedding"),
+    )
+    cents = emb.filter((F.col("vec_id") % IVF_CENT_MOD) == 1).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    return semantic_dedup(
+        emb.unionAll(twins), cents, threshold=SEMDEDUP_TH
+    ).orderBy("vec_id")
+
+
+_SQL_SEMANTIC_DEDUP = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.01)
+  FROM embeddings WHERE vec_id % {EMB_SCALE_MOD} = 0
+),
+cents AS (SELECT CAST(vec_id AS INTEGER) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id % {IVF_CENT_MOD} = 1),
+assigned AS (
+  SELECT vec_id, v, cid AS ivf_cell FROM (
+    SELECT base.vec_id, base.v, cents.cid,
+           row_number() OVER (PARTITION BY base.vec_id
+                              ORDER BY list_cosine_similarity(base.v, cents.cv) DESC,
+                                       cents.cid ASC) AS rk
+    FROM base CROSS JOIN cents
+  ) WHERE rk = 1
+)
+SELECT a.vec_id, a.ivf_cell,
+       NOT EXISTS (SELECT 1 FROM assigned b
+                   WHERE b.ivf_cell = a.ivf_cell AND b.vec_id < a.vec_id
+                     AND list_cosine_similarity(a.v, b.v) >= {SEMDEDUP_TH}) AS keep
+FROM assigned a ORDER BY vec_id
+"""
+
+
 # --------------------------------------------------------------------------
 # similarity search
 
@@ -2978,6 +3033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "bloom_membership": q_bloom_membership,
         "embedding_near_dup": q_embedding_near_dup,
+        "semantic_dedup": q_semantic_dedup,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -3047,6 +3103,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs": _sql_simhash_near_pairs(),
         "bloom_membership": _sql_bloom_membership(),
         "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
+        "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "ann_bruteforce_topk": _SQL_ANN_BRUTEFORCE,
         "ann_lsh_topk": _sql_ann_lsh(),
         "ivf_topk": _SQL_IVF_TOPK,

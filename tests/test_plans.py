@@ -380,6 +380,28 @@ def test_line_dedup_detection_shuffles_no_text(docs):
     assert "collect_list" not in plan
 
 
+def test_ivf_assign_literal_path_no_exchange(spark):
+    """Small quantizers are embedded as literal (−cos, cid) structs and
+    resolved with least() in the scan stage: assignment adds NO join and
+    NO Exchange (the old join+window path shuffled corpus × n_cells
+    rows).  semantic_dedup's only corpus shuffle is then the in-cell
+    self-join itself."""
+    from tdigest_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.filter(F.col("vec_id") % 97 == 1).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    out = ivf_assign(emb, cents)
+    plan = explain_str(out)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
 def test_span_dedup_detection_shuffles_no_text(docs):
     """Duplicate-span dedup: same shuffle audit as line dedup — the
     detection branch exchanges only (window_hash, id) pairs, the rewrite

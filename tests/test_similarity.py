@@ -187,3 +187,63 @@ def test_ivf_refine_improves_quantizer(spark):
     for tm in true_means:
         d = np.linalg.norm(C - tm, axis=1).min()
         assert d < 0.5, d
+
+
+# ---------------------------------------------------------------- SemDeDup
+
+
+def _sem_centroids(spark):
+    # two orthogonal cells
+    rows = [(0, [1.0] + [0.0] * (DIM - 1)), (1, [0.0, 1.0] + [0.0] * (DIM - 2))]
+    return spark.createDataFrame(rows, "centroid_id int, centroid array<double>")
+
+
+def test_semantic_dedup_removes_in_cell_near_dups(spark):
+    e1 = np.eye(DIM)[0]
+    e2 = np.eye(DIM)[1]
+    rows = [
+        (10, e1.tolist()),                         # kept (smallest in cell)
+        (11, (e1 * 2.0).tolist()),                 # cosine 1.0 to 10 -> removed
+        (12, e2.tolist()),                         # other cell, kept
+        (13, (e1 * 1.0 + e2 * 1.3).tolist()),      # cell 1, cos to 12 = .79 -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in S.semantic_dedup(df, _sem_centroids(spark)).collect()}
+    assert out[10]["keep"] and not out[11]["keep"]
+    assert out[12]["keep"] and out[13]["keep"]
+    assert out[10]["ivf_cell"] == 0 and out[13]["ivf_cell"] == 1
+    assert len(out) == 4
+
+
+def test_semantic_dedup_exists_not_component_semantics(spark):
+    # chain a~b~c inside one cell with cos(a,c) < threshold: b removed by
+    # a, c removed by b (EXISTS against ANY smaller id, kept or not)
+    a = np.eye(DIM)[0]
+    rot = np.eye(DIM)[2] * 0.35
+    b = a + rot
+    c = a + 2 * rot
+    cos = lambda x, y: float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y)))
+    th = 0.93
+    assert cos(a, b) >= th and cos(b, c) >= th and cos(a, c) < th
+    rows = [(1, a.tolist()), (2, b.tolist()), (3, c.tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in S.semantic_dedup(df, _sem_centroids(spark), threshold=th).collect()
+    }
+    assert out == {1: True, 2: False, 3: False}
+
+
+def test_semantic_dedup_partitioning_invariant(spark):
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(DIM).tolist()) for i in range(60)]
+    # plant twins so the dedup actually fires
+    rows += [(100 + i, (np.array(v) * 1.01).tolist()) for i, v in rows[:7]]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = sorted(map(tuple, S.semantic_dedup(df, _sem_centroids(spark)).collect()))
+    rep = sorted(
+        map(tuple, S.semantic_dedup(df.repartition(13), _sem_centroids(spark)).collect())
+    )
+    assert base == rep
+    removed = {t[0] for t in base if not t[2]}
+    assert {100 + i for i, _ in rows[:7]} <= removed
