@@ -41,7 +41,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .text import tokens_col
 
@@ -254,3 +254,194 @@ def bigram_nll_bits(
             ),
         )
     )
+
+
+# ------------------------------------------------------------------- DSIR
+
+
+def _gram_bucket(toks: Column | str, n_buckets: int) -> Column:
+    """array<long> of hashed-bigram feature buckets, one per adjacent
+    token pair (DSIR's hashed n-gram features).  `toks` must be a bound
+    column (see _bigrams)."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: _hex_prefix_long(
+                F.md5(
+                    F.concat(
+                        F.lit("g:"),
+                        F.element_at(toks, i),
+                        F.lit(" "),
+                        F.element_at(toks, i + 1),
+                    )
+                )
+            )
+            % n_buckets,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def dsir_logratio(
+    df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    alpha: float = 1.0,
+    delimiter: str = " ",
+    term_decimals: int = 6,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by its log-likelihood ratio under bag-of-hashed-bigram
+    unigram models of the TARGET distribution (the high-quality corpus
+    you want more of) vs the RAW distribution (the crawl you select
+    from):
+
+        log_w(doc) = sum over bigrams g of
+                     [log2 p_target(b(g)) - log2 p_raw(b(g))]
+
+    with add-alpha smoothing over `n_buckets` hashed features.  Positive
+    means target-like; `gumbel_topk` turns the weights into the paper's
+    sampled-without-replacement selection.
+
+    Returns (id_col, n_grams, llr_micro, llr_bits):
+    - llr_micro: the weight in integer MICRO-BITS (bigint).  Each
+      per-bucket log2 is quantized to `term_decimals` once, model-side
+      (n_buckets rows), so the per-doc accumulation is an INTEGER sum —
+      order-independent, partitioning-independent, and engine-exact
+      (bigram_nll_bits must fold doubles in document order to get the
+      same guarantee; here the finite feature space lets us do better).
+    - llr_bits = llr_micro / 1e6 (double, exact: micro counts are far
+      below 2^53); NULL for docs with < 2 tokens ("no evidence").
+    - NULL text survives with n_grams = 0 and NULL weight.
+
+    Scale shape (100 TB): both model passes are partial-aggregating
+    groupBys over (bucket) — the shuffle carries at most n_buckets
+    partial counts per task, never text.  The model is DENSE
+    (n_buckets rows, every bucket carries its smoothed term even with
+    zero evidence) and KB-sized, so scoring is explode -> broadcast
+    join -> per-doc integer re-agg; the only corpus-wide shuffle
+    carries (id, int64) partial sums.
+    """
+    spark = df.sparkSession
+
+    def _bucket_counts(frame: DataFrame, name: str) -> DataFrame:
+        toks = frame.select(tokens_col(text_col, delimiter).alias("__t"))
+        return (
+            toks.select(
+                F.explode(_gram_bucket("__t", n_buckets)).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias(name))
+        )
+
+    dense = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    model = (
+        dense.join(_bucket_counts(target_df, "ct"), "bucket", "left")
+        .join(_bucket_counts(df, "cr"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+    )
+    # totals via a 1-row broadcast (sums of the small model table)
+    totals = model.agg(
+        F.sum("ct").alias("tct"), F.sum("cr").alias("tcr")
+    )
+    scale = 10 ** term_decimals
+
+    def _log_micro(c: Column, total: Column) -> Column:
+        p = (c + F.lit(alpha)).cast("double") / (
+            total + F.lit(alpha) * F.lit(n_buckets)
+        ).cast("double")
+        # round(x * scale) -> integer-valued double -> exact cast; the
+        # alternative round(x, 6) * scale lands EPSILON off an integer
+        # and Spark's cast-to-long truncates where DuckDB's rounds
+        return F.round(F.log2(p) * scale)
+
+    lr = model.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            _log_micro(F.col("ct"), F.col("tct"))
+            - _log_micro(F.col("cr"), F.col("tcr"))
+        )
+        .cast("long")
+        .alias("llr_term"),
+    )
+
+    spine = df.select(F.col(id_col), tokens_col(text_col, delimiter).alias("__t"))
+    e = spine.select(
+        F.col(id_col), F.explode(_gram_bucket("__t", n_buckets)).alias("bucket")
+    ).join(F.broadcast(lr), "bucket")
+    scored = e.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum("llr_term").cast("long").alias("llr_micro"),
+    )
+    return (
+        spine.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.col("llr_micro"),
+            (F.col("llr_micro").cast("double") / F.lit(float(scale))).alias(
+                "llr_bits"
+            ),
+        )
+    )
+
+
+def gumbel_topk(
+    scored: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "llr_micro",
+    seed: str = "gumbel",
+    temperature: float = 1.0,
+    term_decimals: int = 6,
+) -> DataFrame:
+    """DSIR's resampling step: sample k rows WITHOUT replacement with
+    probability proportional to exp2(weight/temperature) via the Gumbel
+    top-k trick — key = weight/T + Gumbel noise, take the k largest.
+    (Base-2 throughout to pair with dsir_logratio's bits; a base change
+    is a temperature change.)
+
+    The noise is derived from md5(seed:id) — deterministic, engine-
+    neutral, and independent of the weights, so the selection is a pure
+    function of (data, seed, k): re-runs, repartitions, and the DuckDB
+    oracle all pick the identical sample.  u is uniform on a 2^20 grid
+    offset to the cell centers (never 0 or 1); the Gumbel term is
+    quantized to `term_decimals` like the weights.  NULL weights
+    (no-evidence docs) never win: they sort after every scored row.
+
+    Returns the selected rows: (id_col, weight_col, key_micro, rank).
+    Top-k is a TakeOrdered at the driver for small k; for huge k use a
+    quantile cutoff from a digest over key_micro instead.
+    """
+    u = (
+        (
+            _hex_prefix_long(
+                F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+            )
+            % F.lit(1 << 20)
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 20))
+    scale = 10 ** term_decimals
+    gumbel_micro = F.round(-F.log2(-F.log2(u)) * scale).cast("long")
+    key = (
+        F.round(F.col(weight_col).cast("double") / F.lit(temperature)).cast(
+            "long"
+        )
+        + gumbel_micro
+    )
+    ranked = scored.select(
+        F.col(id_col), F.col(weight_col), key.alias("key_micro")
+    ).orderBy(F.desc_nulls_last("key_micro"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc_nulls_last("key_micro"), F.asc(id_col))
+    return ranked.withColumn("rank", F.row_number().over(w).cast("int"))

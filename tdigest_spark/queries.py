@@ -2006,6 +2006,104 @@ FROM f ORDER BY doc_id
 """
 
 
+DSIR_BUCKETS = 2048
+DSIR_K = 50
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed-bigram unigram
+    models of the lang='en' slice (target) vs the whole corpus (raw);
+    per-doc weight = integer micro-bit sum of per-bucket log2 ratios.
+    Quantization happens once model-side (DSIR_BUCKETS rows), so the
+    per-doc aggregation is an order-independent integer sum."""
+    from .operators.scoring import dsir_logratio
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return dsir_logratio(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=DSIR_BUCKETS
+    ).orderBy("doc_id")
+
+
+_DSIR_MODEL_CTE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), tk -> tk != '') AS ts
+  FROM documents
+),
+g AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(ts) >= 2
+              THEN list_transform(range(1, len(ts)),
+                i -> ('0x' || substr(md5('g:' || ts[i] || ' ' || ts[i+1]), 1, 8))
+                     ::BIGINT % {DSIR_BUCKETS})
+              ELSE [] END AS bs
+  FROM t
+),
+occ AS (SELECT doc_id, lang, unnest(bs) AS bucket FROM g),
+ctt AS (SELECT bucket, count(*) AS ct FROM occ WHERE lang = 'en' GROUP BY bucket),
+crr AS (SELECT bucket, count(*) AS cr FROM occ GROUP BY bucket),
+dense AS (SELECT unnest(range(0, {DSIR_BUCKETS})) AS bucket),
+model AS (SELECT dense.bucket, COALESCE(ct, 0) AS ct, COALESCE(cr, 0) AS cr
+          FROM dense LEFT JOIN ctt USING (bucket) LEFT JOIN crr USING (bucket)),
+tot AS (SELECT sum(ct) AS tct, sum(cr) AS tcr FROM model),
+lr AS (
+  SELECT bucket,
+         CAST(round(log2((ct + 1.0) / (tct + 1.0 * {DSIR_BUCKETS})) * 1e6) AS BIGINT)
+       - CAST(round(log2((cr + 1.0) / (tcr + 1.0 * {DSIR_BUCKETS})) * 1e6) AS BIGINT)
+         AS llr_term
+  FROM model, tot
+),
+sc AS (SELECT occ.doc_id, count(*) AS n_grams,
+              CAST(sum(llr_term) AS BIGINT) AS llr_micro
+       FROM occ JOIN lr USING (bucket) GROUP BY occ.doc_id)
+"""
+
+_SQL_DSIR_WEIGHTS = (
+    _DSIR_MODEL_CTE
+    + """
+SELECT t.doc_id,
+       CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+       llr_micro,
+       CAST(llr_micro AS DOUBLE) / 1e6 AS llr_bits
+FROM t LEFT JOIN sc USING (doc_id) ORDER BY doc_id
+"""
+)
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's resampling step: Gumbel top-k over the importance weights
+    with deterministic md5-derived noise — the selection is a pure
+    function of (corpus, seed, k), identical across engines, re-runs,
+    and partitionings."""
+    from .operators.scoring import dsir_logratio, gumbel_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = dsir_logratio(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=DSIR_BUCKETS
+    )
+    return gumbel_topk(scored, DSIR_K).orderBy("rank")
+
+
+_SQL_DSIR_SELECT = (
+    _DSIR_MODEL_CTE
+    + f""",
+keyed AS (
+  SELECT doc_id, llr_micro,
+         llr_micro
+         + CAST(round(-log2(-log2(
+             ((('0x' || substr(md5('gumbel:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::BIGINT % 1048576) + 0.5) / 1048576.0)) * 1e6) AS BIGINT)
+         AS key_micro
+  FROM sc
+)
+SELECT doc_id, llr_micro, key_micro,
+       CAST(row_number() OVER (ORDER BY key_micro DESC, doc_id ASC) AS INTEGER)
+         AS rank
+FROM keyed ORDER BY key_micro DESC, doc_id ASC LIMIT {DSIR_K}
+"""
+)
+
+
 SPAN_K = 6  # duplicate-span window; natural 6-gram dups exist in the corpus
 SPAN_MIN_COUNT = 3
 
@@ -3022,6 +3120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "line_dedup_corpus": q_line_dedup_corpus,
         "span_dedup_corpus": q_span_dedup_corpus,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
         "quality_classifier": q_quality_classifier,
         "lm_nll_bits": q_lm_nll_bits,
         "decontaminate_docs": q_decontaminate_docs,
@@ -3092,6 +3192,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _SQL_DEDUP_EXACT,
         "line_dedup_corpus": _SQL_LINE_DEDUP_CORPUS,
         "span_dedup_corpus": _SQL_SPAN_DEDUP_CORPUS,
+        "dsir_weights": _SQL_DSIR_WEIGHTS,
+        "dsir_select": _SQL_DSIR_SELECT,
         "quality_classifier": _SQL_QUALITY_CLASSIFIER,
         "lm_nll_bits": _SQL_LM_NLL_BITS,
         "decontaminate_docs": _sql_decontaminate_docs(),

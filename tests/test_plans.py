@@ -380,6 +380,20 @@ def test_line_dedup_detection_shuffles_no_text(docs):
     assert "collect_list" not in plan
 
 
+def test_dsir_scoring_broadcasts_model_no_text_shuffle(docs):
+    """DSIR scoring: the dense bucket model is explicitly broadcast and
+    every Exchange carries hashes/ids/partial counts — the text column
+    never shuffles (gram->bucket hashing happens in the scan stage)."""
+    from tdigest_spark.operators.scoring import dsir_logratio
+
+    out = dsir_logratio(docs, docs.filter(F.col("lang") == "en"), n_buckets=512)
+    plan = explain_str(out, "formatted")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    for node in plan.split("\n\n"):
+        if node.strip().startswith("(") and node.split("\n")[0].count("Exchange"):
+            assert "text" not in node.lower(), node
+
+
 def test_ivf_assign_literal_path_no_exchange(spark):
     """Small quantizers are embedded as literal (−cos, cid) structs and
     resolved with least() in the scan stage: assignment adds NO join and

@@ -138,3 +138,126 @@ class TestBigramLM:
         lm = S.train_bigram_lm(df.filter(F.col("doc_id") < 50))
         out = {r["doc_id"]: r for r in S.bigram_nll_bits(df, lm).collect()}
         assert out[99]["avg_nll_bits"] > out[0]["avg_nll_bits"]
+
+
+# ------------------------------------------------------------------- DSIR
+
+
+def _py_gram_bucket(a: str, b: str, n_buckets: int) -> int:
+    return int(_md5hex(f"g:{a} {b}")[:8], 16) % n_buckets
+
+
+def _py_dsir_micro(
+    text: str, target: list[str], raw: list[str], n_buckets: int, alpha=1.0
+):
+    """Plain-Python replica of dsir_logratio's integer micro-bit weight."""
+    def buckets(t):
+        toks = [x for x in t.split(" ") if x]
+        return [
+            _py_gram_bucket(toks[i], toks[i + 1], n_buckets)
+            for i in range(len(toks) - 1)
+        ]
+
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    for t in target:
+        for b in buckets(t):
+            ct[b] = ct.get(b, 0) + 1
+    for t in raw:
+        for b in buckets(t):
+            cr[b] = cr.get(b, 0) + 1
+    tct, tcr = sum(ct.values()), sum(cr.values())
+
+    def micro(c, total):
+        p = (c + alpha) / (total + alpha * n_buckets)
+        # round-half-up like Spark/DuckDB ROUND (banker's would differ)
+        x = math.log2(p) * 1e6
+        return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+    bs = buckets(text)
+    if not bs:
+        return 0, None
+    return len(bs), sum(
+        micro(ct.get(b, 0), tct) - micro(cr.get(b, 0), tcr) for b in bs
+    )
+
+
+STYLE_A = [
+    "the quick brown fox jumps over the lazy dog again",
+    "a quick brown fox and a lazy dog walk home",
+]
+STYLE_B = [
+    "zzz qqq xxx vvv kkk jjj www uuu yyy ttt",
+    "kkk jjj zzz qqq www xxx uuu vvv ttt sss",
+]
+
+
+@pytest.fixture(scope="module")
+def dsir_frames(spark):
+    raw = [(i, (STYLE_A + STYLE_B)[i % 4]) for i in range(24)]
+    raw += [(100, None), (101, "one")]
+    rawdf = spark.createDataFrame(raw, "doc_id long, text string")
+    tgt = spark.createDataFrame(
+        list(enumerate(STYLE_A)), "doc_id long, text string"
+    )
+    return rawdf, tgt, raw
+
+
+def test_dsir_logratio_matches_python_model(dsir_frames):
+    rawdf, tgt, raw = dsir_frames
+    out = {r["doc_id"]: r for r in S.dsir_logratio(rawdf, tgt, n_buckets=512).collect()}
+    raw_texts = [t for _, t in raw if t is not None]
+    for did, text in raw[:8]:
+        n, micro = _py_dsir_micro(text, STYLE_A, raw_texts, 512)
+        assert out[did]["n_grams"] == n
+        assert out[did]["llr_micro"] == micro, did
+        assert out[did]["llr_bits"] == micro / 1e6
+    # target-style docs outscore off-style docs
+    a = [out[i]["llr_bits"] for i in range(24) if i % 4 in (0, 1)]
+    b = [out[i]["llr_bits"] for i in range(24) if i % 4 in (2, 3)]
+    assert min(a) > max(b)
+
+
+def test_dsir_logratio_null_short_and_invariance(dsir_frames):
+    rawdf, tgt, _ = dsir_frames
+    out = {r["doc_id"]: r for r in S.dsir_logratio(rawdf, tgt, n_buckets=512).collect()}
+    assert out[100]["n_grams"] == 0 and out[100]["llr_micro"] is None
+    assert out[101]["n_grams"] == 0 and out[101]["llr_micro"] is None
+    rep = {
+        r["doc_id"]: r
+        for r in S.dsir_logratio(rawdf.repartition(7), tgt, n_buckets=512).collect()
+    }
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in rep.items()
+    }
+
+
+def test_gumbel_topk_deterministic_and_weighted(dsir_frames):
+    rawdf, tgt, _ = dsir_frames
+    scored = S.dsir_logratio(rawdf, tgt, n_buckets=512)
+    sel = S.gumbel_topk(scored, 8)
+    picked = [r["doc_id"] for r in sel.collect()]
+    assert len(picked) == 8 and len(set(picked)) == 8
+    # deterministic across re-runs and repartitions
+    again = [r["doc_id"] for r in S.gumbel_topk(scored.repartition(5), 8).collect()]
+    assert sorted(picked) == sorted(again)
+    # no-evidence docs (NULL weight) never selected
+    assert 100 not in picked and 101 not in picked
+    # weights dominate noise here: every pick is target-style
+    assert all(p % 4 in (0, 1) for p in picked)
+    # a different seed reorders the in-style ranking deterministically
+    other = [r["doc_id"] for r in S.gumbel_topk(scored, 8, seed="s2").collect()]
+    assert all(p % 4 in (0, 1) for p in other)
+
+
+def test_gumbel_topk_rank_and_key_schema(dsir_frames):
+    rawdf, tgt, _ = dsir_frames
+    scored = S.dsir_logratio(rawdf, tgt, n_buckets=512)
+    rows = S.gumbel_topk(scored, 5).collect()
+    assert [r["rank"] for r in sorted(rows, key=lambda r: -r["key_micro"])] == [
+        1,
+        2,
+        3,
+        4,
+        5,
+    ]
