@@ -291,6 +291,54 @@ def main() -> None:
 
     bench("line_dedup_corpus", line_dedup)
 
+    # 5g. corpus-global duplicate-SPAN removal (ExactSubstr k-gram
+    #     windows) on the production xxhash64 lane; the agg forces the
+    #     full token rewrite without collecting 5k texts.
+    def span_dedup():
+        from tdigest_spark.operators.dedup import dedup_spans_corpus
+
+        dedup_spans_corpus(
+            docs.select("doc_id", "text"),
+            k=Q.SPAN_K,
+            min_count=Q.SPAN_MIN_COUNT,
+            hash_fn="xxhash64",
+        ).agg(F.sum("n_tokens_kept"), F.sum(F.length("clean_text"))).collect()
+
+    bench("span_dedup_corpus", span_dedup)
+
+    # 5h. SemDeDup over embeddings + planted twins: scan-stage literal
+    #     argmin assignment, in-cell cosine self-join, min-id keep.
+    def sem_dedup():
+        from tdigest_spark.operators.similarity import semantic_dedup
+
+        twins = emb.filter((F.col("vec_id") % 5) == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 1.01).alias("embedding"),
+        )
+        cents = emb.filter((F.col("vec_id") % 97) == 1).select(
+            F.col("vec_id").cast("int").alias("centroid_id"),
+            F.col("embedding").alias("centroid"),
+        )
+        semantic_dedup(
+            emb.select("vec_id", "embedding").unionAll(twins), cents
+        ).groupBy("keep").count().collect()
+
+    bench("semantic_dedup", sem_dedup)
+
+    # 5i. DSIR: hashed-bigram importance weights (en slice as target) +
+    #     Gumbel top-k selection — model fit + score + resample.
+    def dsir():
+        from tdigest_spark.operators.scoring import dsir_logratio, gumbel_topk
+
+        scored = dsir_logratio(
+            docs.select("doc_id", "lang", "text"),
+            docs.filter(F.col("lang") == "en").select("doc_id", "text"),
+            n_buckets=Q.DSIR_BUCKETS,
+        )
+        gumbel_topk(scored, Q.DSIR_K).count()
+
+    bench("dsir_select", dsir)
+
     # 5f. model-based scoring: bigram-LM NLL (train on the en slice +
     #     score all docs — two count groupBys + explode/join/re-agg) and
     #     the shuffle-free hashed-feature classifier.

@@ -890,14 +890,23 @@ def dedup_spans_corpus(
     if k < 2:
         raise ValueError(f"k must be >= 2 (got {k})")
 
-    base = df.select(F.col(id_col), F.col(text_col))
+    # window hashing is the heavy narrow transform (O(n*k) per doc) on
+    # BOTH sides — rescue scan parallelism when the file is one split
+    base = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
 
     # detection: every window occurrence (not distinct — within-doc
     # repeats are duplication evidence, per the paper)
+    # explode_outer, NOT explode: plain explode lets Catalyst infer
+    # `size(__wh) > 0 AND __wh IS NOT NULL` and push that filter below
+    # the repartition — re-running the whole O(n*k) window hashing
+    # inside the unsplit scan task (measured 2x the operator's cost on
+    # a one-row-group file); the outer variant infers nothing and the
+    # NULL rows are dropped on the exploded column for pennies
     occurrences = (
         base.select(F.col(id_col), tokens_col(text_col).alias("__ts"))
         .select(F.col(id_col), span_hashes(F.col("__ts"), k, hash_fn).alias("__wh"))
-        .select(F.col(id_col), F.explode("__wh").alias("__h"))
+        .select(F.col(id_col), F.explode_outer("__wh").alias("__h"))
+        .filter(F.col("__h").isNotNull())
     )
     dup_spans = (
         occurrences.groupBy("__h")
@@ -913,10 +922,22 @@ def dedup_spans_corpus(
 
     # rewrite: recompute hashes scan-side (cheaper than shuffling the
     # window-hash array, which is larger than the text itself)
+    empty_wh = F.array().cast(
+        "array<string>" if hash_fn == "md5" else "array<bigint>"
+    )
     joined = (
         base.join(doc_dups, id_col, "left")
         .withColumn("__ts", tokens_col(text_col))
-        .withColumn("__wh", span_hashes(F.col("__ts"), k, hash_fn))
+        # re-hash ONLY docs that received a dup verdict (a small
+        # fraction of the corpus); clean docs keep every token without
+        # touching the O(n*k) window machinery again
+        .withColumn(
+            "__wh",
+            F.when(
+                F.col("__dk").isNotNull(),
+                span_hashes(F.col("__ts"), k, hash_fn),
+            ).otherwise(empty_wh),
+        )
     )
     flagged = joined.withColumn(
         "__fj",

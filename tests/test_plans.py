@@ -427,6 +427,11 @@ def test_span_dedup_detection_shuffles_no_text(docs):
     n_exchanges = 0
     for node in plan.split("\n\n"):
         if node.strip().startswith("(") and "Exchange" in node.split("\n")[0]:
+            # ensure_parallelism's round-robin rescue of a one-split
+            # local file may carry text; it is a no-op at scale (splits
+            # >> cores) — only KEYED exchanges are scale shuffles
+            if "REPARTITION_BY_NUM" in node:
+                continue
             n_exchanges += 1
             assert "text" not in node.lower(), node
     assert n_exchanges >= 2
