@@ -420,9 +420,26 @@ def gumbel_topk(
     (no-evidence docs) never win: they sort after every scored row.
 
     Returns the selected rows: (id_col, weight_col, key_micro, rank).
-    Top-k is a TakeOrdered at the driver for small k; for huge k use a
-    quantile cutoff from a digest over key_micro instead.
+    Top-k is a TakeOrdered at the driver for small k; for huge k use
+    `gumbel_sample_fraction` (digest-thresholded) instead.
     """
+    key = _gumbel_key(id_col, weight_col, seed, temperature, term_decimals)
+    ranked = scored.select(
+        F.col(id_col), F.col(weight_col), key.alias("key_micro")
+    ).orderBy(F.desc_nulls_last("key_micro"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc_nulls_last("key_micro"), F.asc(id_col))
+    return ranked.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def _gumbel_key(
+    id_col: str,
+    weight_col: str,
+    seed: str,
+    temperature: float,
+    term_decimals: int,
+) -> Column:
+    """key_micro = weight/T + Gumbel(md5(seed:id)) in integer micro-bits
+    (see gumbel_topk for the determinism/quantization rationale)."""
     u = (
         (
             _hex_prefix_long(
@@ -434,14 +451,59 @@ def gumbel_topk(
     ) / F.lit(float(1 << 20))
     scale = 10 ** term_decimals
     gumbel_micro = F.round(-F.log2(-F.log2(u)) * scale).cast("long")
-    key = (
+    return (
         F.round(F.col(weight_col).cast("double") / F.lit(temperature)).cast(
             "long"
         )
         + gumbel_micro
     )
-    ranked = scored.select(
-        F.col(id_col), F.col(weight_col), key.alias("key_micro")
-    ).orderBy(F.desc_nulls_last("key_micro"), F.asc(id_col)).limit(k)
-    w = Window.orderBy(F.desc_nulls_last("key_micro"), F.asc(id_col))
-    return ranked.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def gumbel_sample_fraction(
+    scored: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    weight_col: str = "llr_micro",
+    seed: str = "gumbel",
+    temperature: float = 1.0,
+    term_decimals: int = 6,
+    delta: float = 200.0,
+) -> DataFrame:
+    """The scale path for DSIR selection: when k is millions+ a global
+    TakeOrdered ships k rows to the driver; instead, keep every row
+    whose Gumbel key clears the t-digest estimate of the
+    (1 - fraction) quantile of the key distribution — the sketch
+    library feeding the pipeline decision (same pattern as
+    digest.quantile_filter, which this composes).
+
+    Plan shape: one map-side-combining digest build over key_micro
+    (raw rows never shuffle), a 1-row cutoff broadcast back onto the
+    scan, a scan-stage comparison.  The selected COUNT is approximate:
+    off by at most the digest's rank error (~O(1/delta) of the corpus;
+    exact at the extreme tails, which is where small fractions live).
+    Distribution-wise it is the identical Gumbel-top-k scheme —
+    thresholding the same keys `gumbel_topk` ranks.
+
+    No-evidence rows (NULL weight -> NULL key) never pass the cutoff
+    comparison, matching gumbel_topk.  Returns
+    (id_col, weight_col, key_micro).
+    """
+    if not 0.0 < fraction < 1.0:
+        raise ValueError(f"fraction must be in (0, 1) (got {fraction})")
+    from .digest import quantile_filter
+
+    keyed = scored.select(
+        F.col(id_col),
+        F.col(weight_col),
+        _gumbel_key(id_col, weight_col, seed, temperature, term_decimals)
+        .cast("double")
+        .alias("__key_d"),
+    )
+    kept = quantile_filter(
+        keyed, "__key_d", q=1.0 - fraction, delta=delta, keep="ge"
+    )
+    return kept.select(
+        F.col(id_col),
+        F.col(weight_col),
+        F.col("__key_d").cast("long").alias("key_micro"),
+    )

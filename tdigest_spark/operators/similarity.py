@@ -398,6 +398,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication"): cluster the embedding
@@ -426,21 +427,34 @@ def semantic_dedup(
     `ivf_train(emb, n_cells)` (distributed Lloyd refinement available
     via `ivf_refine`).  Returns (id_col, ivf_cell, keep).
 
-    Scale shape (100 TB): assignment is a broadcast argmin in the scan
-    stage (no shuffle of the corpus); the only corpus shuffle is the
-    in-cell self-join, whose pair space is the sum of per-cell squares —
-    pick n_cells ~ corpus/10k so cells stay ~10k vectors (the paper uses
-    ~100k clusters for LAION-scale); a hot cell is visible in the cell
-    histogram BEFORE the join (groupBy(ivf_cell).count()), the same
-    pre-flight `_bounded_buckets` applies to LSH buckets.
+    Scale shape (100 TB): small quantizers assign IN THE SCAN STAGE
+    (literal least() argmin, no shuffle of the corpus — see ivf_assign);
+    the only corpus shuffle is the in-cell self-join, whose pair space
+    is the sum of per-cell squares — pick n_cells ~ corpus/10k so cells
+    stay ~10k vectors (the paper uses ~100k clusters for LAION-scale).
+    `max_cell` guards the degenerate cell (zero/default embeddings all
+    landing together): cells larger than it are EXCLUDED from pairing —
+    counted per cell BEFORE any pair materializes, same philosophy as
+    the LSH `max_bucket` guard — and their rows come back keep=True
+    (a cell that big is a pathology to handle separately, not a
+    neighborhood to self-join).
     """
     assigned = ivf_assign(
         emb.select(F.col(id_col), F.col(vec_col)), centroids, id_col, vec_col
     )
     from .dedup import embedding_near_dup
 
+    pairable = assigned
+    if max_cell is not None:
+        ok_cells = (
+            assigned.groupBy("ivf_cell")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_cell)
+            .select("ivf_cell")
+        )
+        pairable = assigned.join(F.broadcast(ok_cells), "ivf_cell")
     pairs = embedding_near_dup(
-        assigned, id_col, vec_col, block_col="ivf_cell", threshold=threshold
+        pairable, id_col, vec_col, block_col="ivf_cell", threshold=threshold
     )
     removed = (
         pairs.select(F.col("id_b").alias(id_col))

@@ -261,3 +261,31 @@ def test_gumbel_topk_rank_and_key_schema(dsir_frames):
         4,
         5,
     ]
+
+
+def test_gumbel_sample_fraction_matches_topk_scheme(spark):
+    # 400 scored rows with distinct weights; the digest-thresholded
+    # fraction selection approximates |rows|*fraction and every selected
+    # key clears every rejected key (it thresholds the SAME keys
+    # gumbel_topk ranks)
+    rows = [(i, (i * 37) % 400 * 1000) for i in range(400)]
+    rows += [(1000, None)]  # no-evidence row: never selected
+    scored = spark.createDataFrame(rows, "doc_id long, llr_micro long")
+    sel = S.gumbel_sample_fraction(scored, 0.25, delta=200.0)
+    got = sel.collect()
+    ids = {r["doc_id"] for r in got}
+    assert 1000 not in ids
+    assert abs(len(got) - 100) <= 10  # rank error O(1/delta) of n=400
+    # consistency with the exact top-k ranking over the same keys
+    exact = S.gumbel_topk(scored, len(got)).collect()
+    assert ids == {r["doc_id"] for r in exact}
+    # deterministic across repartition
+    again = {
+        r["doc_id"]
+        for r in S.gumbel_sample_fraction(
+            scored.repartition(7), 0.25, delta=200.0
+        ).collect()
+    }
+    assert again == ids
+    with pytest.raises(ValueError):
+        S.gumbel_sample_fraction(scored, 1.5)

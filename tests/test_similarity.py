@@ -247,3 +247,27 @@ def test_semantic_dedup_partitioning_invariant(spark):
     assert base == rep
     removed = {t[0] for t in base if not t[2]}
     assert {100 + i for i, _ in rows[:7]} <= removed
+
+
+def test_semantic_dedup_max_cell_guard(spark):
+    # 6 identical vectors in cell 0 (a degenerate pile) + a twin pair in
+    # cell 1; max_cell=5 excludes the pile from pairing (all kept) while
+    # the small cell still dedups
+    e1 = np.eye(DIM)[0]
+    e2 = np.eye(DIM)[1]
+    rows = [(i, e1.tolist()) for i in range(6)]
+    rows += [(10, e2.tolist()), (11, (e2 * 3.0).tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in S.semantic_dedup(df, _sem_centroids(spark), max_cell=5).collect()
+    }
+    assert all(out[i] for i in range(6))  # pile excluded from pairing
+    assert out[10] and not out[11]        # small cell still dedups
+    assert len(out) == 8
+    # without the guard the pile collapses to its min id
+    out2 = {
+        r["vec_id"]: r["keep"]
+        for r in S.semantic_dedup(df, _sem_centroids(spark)).collect()
+    }
+    assert out2[0] and not any(out2[i] for i in range(1, 6))
