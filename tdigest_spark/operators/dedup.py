@@ -841,6 +841,8 @@ def dedup_spans_corpus(
     k: int = 50,
     min_count: int = 2,
     hash_fn: str = "md5",
+    broadcast_verdicts: bool = True,
+    cache_hashes: bool = True,
 ) -> DataFrame:
     """Corpus-global duplicate-SPAN removal (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better",
@@ -872,18 +874,40 @@ def dedup_spans_corpus(
 
     Returns (id_col, n_tokens, n_tokens_kept, clean_text).
 
-    Scale shape (100 TB): detection shuffles (window_hash, id) pairs
-    only — never text.  Verdicts come back as a per-doc array of flagged
-    hashes through one id join (AQE broadcasts it when the global dup
-    set is small); the rewrite recomputes window hashes scan-side and
-    drops covered tokens with an order-preserving F.filter — no
-    posexplode/collect round trip.  Rewrite cost is O(n*k) hashing +
-    O(n*f) coverage checks per doc (f = flagged windows in that doc); a
-    pathological fully-duplicated doc makes f ~ n, which is why doc-level
-    dedup (exact + LSH) should run FIRST in a pipeline — this operator
-    then only sees spans inside otherwise-unique docs.  hash_fn="md5" is
-    the oracle-neutral lane; "xxhash64" is the production lane (8-byte
-    keys vs 32, same plan shape).
+    Scale shape (100 TB).  Window hashes are mostly UNIQUE (duplication
+    is the exception), so the id must never ride the wide shuffle:
+    1. COUNT pass — explode window hashes ALONE and partial-agg count
+       them: the one corpus-wide shuffle carries bare 8-byte keys
+       (xxhash lane), nothing else.  Survivors (count >= min_count) are
+       the global dup set — tiny relative to the corpus.
+    2. FLAG pass — re-hash scan-side, posexplode (id, pos, hash), and
+       broadcast-join the dup set: the join filters in the scan stage,
+       so only actual dup occurrences (a small fraction) reach the
+       per-doc collect of flagged positions.
+    3. REWRITE — one id join of the corpus against the per-doc flagged
+       position arrays (inherent: verdicts must meet the text
+       somewhere; AQE broadcasts the verdict side when it fits), then
+       an order-preserving indexed F.filter drops covered tokens — no
+       window re-hash, no array_contains, no posexplode/collect of
+       text.
+    The count and flag passes share one hashed frame: with
+    `cache_hashes` (default) it is persisted between them —
+    O(tokens × 8 B) for the xxhash lane, ~20% of corpus bytes, far
+    smaller than the O(corpus·k) window STRINGS, which are never
+    materialized at rest.  `cache_hashes=False` trades a second O(n*k)
+    hashing pass for zero storage (callers release via
+    `release_cached()`).  Ids never ride the wide shuffle either way
+    (measured: a (hash, id) formulation wrote 31 GB of shuffle on a
+    4M-doc corpus and was disk-bound; this shape is compute-bound).
+    Costs are O(n*k) hashing + O(n*f) coverage checks
+    per doc (f = flagged windows in that doc); a pathological
+    fully-duplicated doc makes f ~ n, which is why doc-level dedup
+    (exact + LSH) should run FIRST in a pipeline — this operator then
+    only sees spans inside otherwise-unique docs.  hash_fn="md5" is the
+    oracle-neutral lane; "xxhash64" is the production lane (8-byte
+    keys vs 32, same plan shape).  `broadcast_verdicts=False` falls
+    back to a shuffle join for a pathological dup set too large to
+    broadcast.
     """
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64' (got {hash_fn!r})")
@@ -894,67 +918,58 @@ def dedup_spans_corpus(
     # BOTH sides — rescue scan parallelism when the file is one split
     base = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
 
-    # detection: every window occurrence (not distinct — within-doc
-    # repeats are duplication evidence, per the paper)
-    # explode_outer, NOT explode: plain explode lets Catalyst infer
+    hashed = (
+        base.select(F.col(id_col), tokens_col(text_col).alias("__ts"))
+        .select(
+            F.col(id_col), span_hashes(F.col("__ts"), k, hash_fn).alias("__wh")
+        )
+    )
+    if cache_hashes:
+        hashed = _track(hashed.persist())
+
+    # pass 1 — count window occurrences (not distinct: within-doc
+    # repeats are duplication evidence, per the paper).  explode_outer,
+    # NOT explode: plain explode lets Catalyst infer
     # `size(__wh) > 0 AND __wh IS NOT NULL` and push that filter below
     # the repartition — re-running the whole O(n*k) window hashing
     # inside the unsplit scan task (measured 2x the operator's cost on
     # a one-row-group file); the outer variant infers nothing and the
     # NULL rows are dropped on the exploded column for pennies
-    occurrences = (
-        base.select(F.col(id_col), tokens_col(text_col).alias("__ts"))
-        .select(F.col(id_col), span_hashes(F.col("__ts"), k, hash_fn).alias("__wh"))
-        .select(F.col(id_col), F.explode_outer("__wh").alias("__h"))
-        .filter(F.col("__h").isNotNull())
-    )
     dup_spans = (
-        occurrences.groupBy("__h")
+        hashed
+        .select(F.explode_outer("__wh").alias("__h"))
+        .filter(F.col("__h").isNotNull())
+        .groupBy("__h")
         .agg(F.count("*").alias("__n"))
         .filter(F.col("__n") >= min_count)
         .select("__h")
     )
-    doc_dups = (
-        occurrences.join(dup_spans, "__h")
+
+    # pass 2 — flagged window START POSITIONS per doc: the broadcast
+    # join runs in the scan stage, so only true dup occurrences survive
+    # into the (small) per-doc aggregate
+    dup_side = F.broadcast(dup_spans) if broadcast_verdicts else dup_spans
+    doc_flags = (
+        hashed
+        .select(F.col(id_col), F.posexplode_outer("__wh").alias("__p", "__h"))
+        .filter(F.col("__h").isNotNull())
+        .join(dup_side, "__h")
         .groupBy(id_col)
-        .agg(F.collect_set("__h").alias("__dk"))
+        .agg(F.collect_set(F.col("__p") + 1).alias("__fj"))
     )
 
-    # rewrite: recompute hashes scan-side (cheaper than shuffling the
-    # window-hash array, which is larger than the text itself)
-    empty_wh = F.array().cast(
-        "array<string>" if hash_fn == "md5" else "array<bigint>"
-    )
-    joined = (
-        base.join(doc_dups, id_col, "left")
-        .withColumn("__ts", tokens_col(text_col))
-        # re-hash ONLY docs that received a dup verdict (a small
-        # fraction of the corpus); clean docs keep every token without
-        # touching the O(n*k) window machinery again
-        .withColumn(
-            "__wh",
-            F.when(
-                F.col("__dk").isNotNull(),
-                span_hashes(F.col("__ts"), k, hash_fn),
-            ).otherwise(empty_wh),
-        )
-    )
-    flagged = joined.withColumn(
-        "__fj",
-        F.when(
-            F.col("__dk").isNotNull() & (F.size("__wh") > 0),
-            F.filter(
-                F.sequence(F.lit(1), F.size("__wh")),
-                lambda j: F.array_contains(F.col("__dk"), F.element_at("__wh", j)),
-            ),
-        ).otherwise(F.array().cast("array<int>")),
+    # rewrite — positions arrived precomputed; no window re-hash here
+    flagged = base.join(doc_flags, id_col, "left").withColumn(
+        "__ts", tokens_col(text_col)
     )
     # token at 1-based position p is covered by flagged window start j
-    # iff j <= p < j + k
+    # iff j <= p < j + k; docs without a verdict row have NULL __fj —
+    # coalesce to empty so exists() is false, never NULL
+    fj = F.coalesce(F.col("__fj"), F.array().cast("array<int>"))
     kept = F.filter(
         F.col("__ts"),
         lambda t, i: ~F.exists(
-            F.col("__fj"),
+            fj,
             lambda j: (j <= i + 1) & (i + 1 < j + F.lit(k)),
         ),
     )
