@@ -306,6 +306,23 @@ def main() -> None:
 
     bench("span_dedup_corpus", span_dedup)
 
+    # 5g'. same job on the O(n) NumPy Rabin-Karp lane — the production
+    #      path at corpus scale (345s vs JVM-lane timeout on 4M docs);
+    #      at bench SF the Python-worker round trip costs more than the
+    #      O(n*k) JVM work it saves, so expect parity or slightly worse
+    #      here and the win only at scale.
+    def span_dedup_roll():
+        from tdigest_spark.operators.dedup import dedup_spans_corpus
+
+        dedup_spans_corpus(
+            docs.select("doc_id", "text"),
+            k=Q.SPAN_K,
+            min_count=Q.SPAN_MIN_COUNT,
+            hash_fn="rolling",
+        ).agg(F.sum("n_tokens_kept"), F.sum(F.length("clean_text"))).collect()
+
+    bench("span_dedup_corpus_roll", span_dedup_roll)
+
     # 5h. SemDeDup over embeddings + planted twins: scan-stage literal
     #     argmin assignment, in-cell cosine self-join, min-id keep.
     def sem_dedup():

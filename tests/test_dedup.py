@@ -632,6 +632,54 @@ def test_dedup_spans_corpus_xxhash_lane_same_verdicts(spark):
     ) == sorted(map(tuple, xx.collect()), key=lambda t: t[0])
 
 
+def test_dedup_spans_corpus_rolling_lane_same_verdicts(spark):
+    # the O(n) NumPy Rabin-Karp production lane must produce identical
+    # kept text to the JVM lane: overlapping dups (interval merge),
+    # within-doc repeats, a doc shorter than k, NULL text, multi-space
+    # tokenization alignment (Python split must mirror tokens_col)
+    rows = [
+        (0, "a b c d e f g h unique tail zero"),
+        (1, "pre a b c d e f g h post and c d e f g h i j k end"),
+        (2, "c d e f g h i j k other words entirely here now"),
+        (3, "short doc"),
+        (4, None),
+        (5, "spaced  a b   c d e f g h  tail"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    xx = D.dedup_spans_corpus(df, k=6, min_count=2, hash_fn="xxhash64")
+    roll = D.dedup_spans_corpus(df, k=6, min_count=2, hash_fn="rolling")
+    xs = sorted(map(tuple, xx.collect()))
+    rs = sorted(map(tuple, roll.collect()))
+    assert xs == rs
+    # sanity: something was actually removed (shared 6-gram runs)
+    assert any(r[1] is not None and r[2] < r[1] for r in xs)
+
+
+def test_rolling_span_hashes_no_false_window_collisions(spark):
+    # 2k distinct 4-token windows over a 16-word alphabet: every window
+    # hash must be distinct (polynomial+fmix64 lane, non-adversarial)
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(16)]
+    rows = [(i, " ".join(rng.choice(words) for _ in range(40))) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hashed = D.rolling_hashed_frame(df, "text", "doc_id", 4)
+    from collections import defaultdict
+
+    by_hash = defaultdict(set)
+    texts = dict(rows)
+    win = {
+        (i, j): " ".join(texts[i].split()[j : j + 4])
+        for i in range(60)
+        for j in range(37)
+    }
+    for r in hashed.select("doc_id", "__wh").collect():
+        for j, h in enumerate(r["__wh"]):
+            by_hash[h].add(win[(r["doc_id"], j)])
+    assert all(len(v) == 1 for v in by_hash.values())
+
+
 def test_dedup_spans_corpus_validation(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
