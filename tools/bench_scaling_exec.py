@@ -85,6 +85,25 @@ def worker(
                 F.sum(F.col("contaminated").cast("long")).alias("c"),
             ).collect()
             return int(r[0]["n"])
+    elif jobname == "spanroll":
+        # span dedup stage 1: the O(n) NumPy Rabin-Karp window-hash
+        # build (mapInPandas — one JVM + one Python worker per
+        # executor, the real cluster shape local[n] cannot reproduce).
+        # Embarrassingly parallel per slice; the aggregate consumes
+        # window counts + a hash value so nothing prunes (mapInPandas
+        # runs fully regardless).  "rows" = window hashes produced.
+        from tdigest_spark.operators.dedup import rolling_hashed_frame
+
+        def job() -> int:
+            df = spark.read.parquet(*files).select(
+                F.col("url").alias("doc_id"), "text"
+            )
+            hashed = rolling_hashed_frame(df, "text", "doc_id", 50)
+            r = hashed.select(
+                F.sum(F.size("__wh")).alias("n"),
+                F.max(F.try_element_at("__wh", F.lit(1))).alias("h"),
+            ).collect()
+            return int(r[0]["n"])
     elif jobname == "minhash":
         # LSH dedup stage 1: the md5-lane MinHash signature build (the
         # pipeline-dominant stage in the 4M-doc curation run).  The
@@ -196,11 +215,12 @@ def main() -> None:
     ap.add_argument("--levels", default="4,16")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument(
-        "--job", default="digest", choices=("digest", "minhash", "decon"),
+        "--job", default="digest", choices=("digest", "minhash", "decon", "spanroll"),
         help="digest: grouped t-digest partial build over the _lens table; "
         "minhash: LSH dedup stage-1 signature build over the text corpus; "
         "decon: eval-set n-gram decontamination flags over the text corpus "
-        "(benchmark parquet from $DECON_BENCH, default /tmp/decon_bench_4m)",
+        "(benchmark parquet from $DECON_BENCH, default /tmp/decon_bench_4m); "
+        "spanroll: span-dedup stage-1 rolling window-hash build",
     )
     ap.add_argument(
         "--files-cap", type=int, default=0,
@@ -218,7 +238,7 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    if args.job in ("minhash", "decon"):
+    if args.job in ("minhash", "decon", "spanroll"):
         files = glob.glob(os.path.join(CORPUS, "*", "*.parquet"))
         if not files:
             raise SystemExit(f"no corpus at {CORPUS}; run bench_scaling.py once")
