@@ -63,6 +63,13 @@ def main() -> None:
                     help="if > 0, RefinedWeb-style cross-corpus line dedup "
                          "before doc-level dedup: lines in >= N distinct "
                          "docs are removed everywhere (xxhash64 lane)")
+    ap.add_argument("--span-dedup-k", type=int, default=0,
+                    help="if > 0, ExactSubstr-style duplicate-SPAN removal "
+                         "AFTER doc-level dedup (the operator's required "
+                         "order: doc dedup first keeps the flagged fraction "
+                         "small): any k-token window occurring >= 2 times "
+                         "corpus-wide is removed everywhere (O(n) rolling "
+                         "lane); 50 is the paper threshold")
     ap.add_argument("--score", action="store_true",
                     help="append model-based quality columns to the output: "
                          "bigram-LM avg_nll_bits/oov_bigrams (LM trained on "
@@ -208,6 +215,42 @@ def main() -> None:
     _mark("cluster_resolve")
     uniq.unpersist()
     pairs.unpersist()
+
+    # 3.4 (optional) corpus-global duplicate-SPAN removal, AFTER doc-level
+    #     dedup (required order: with whole-doc dups already collapsed the
+    #     flagged fraction stays small and the rewrite is cheap).  Rolling
+    #     lane: O(n) NumPy Rabin-Karp window hashing; ids never ride the
+    #     corpus-wide shuffle (bare 8-byte hash count pass).  Docs whose
+    #     every token was boilerplate are dropped; n_tokens is refreshed
+    #     so the profile stage sees post-rewrite counts.
+    if args.span_dedup_k > 0:
+        from tdigest_spark.operators.dedup import dedup_spans_corpus
+
+        sd = dedup_spans_corpus(
+            curated, "text", "doc_id",
+            k=args.span_dedup_k, min_count=2, hash_fn="rolling",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        report["n_span_tokens_removed"] = sd.agg(
+            F.sum(F.col("n_tokens") - F.col("n_tokens_kept"))
+        ).collect()[0][0]
+        despanned = (
+            curated.drop("text", "n_tokens")
+            .join(
+                sd.filter(F.col("n_tokens_kept") > 0).select(
+                    "doc_id",
+                    F.col("clean_text").alias("text"),
+                    F.col("n_tokens_kept").alias("n_tokens"),
+                ),
+                "doc_id",
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        report["n_after_span_dedup"] = despanned.count()
+        curated.unpersist()
+        sd.unpersist()
+        release_cached()  # the operator's internal hashed-frame persist
+        curated = despanned
+        _mark("span_dedup")
 
     # 3.5 (optional) benchmark decontamination: drop curated docs whose
     #     text collides with the held-out eval set (broadcast n-gram join
