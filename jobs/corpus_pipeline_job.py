@@ -77,6 +77,10 @@ def main() -> None:
                          "classifier logit")
     ap.add_argument("--classifier-buckets", type=int, default=1 << 20)
     args = ap.parse_args()
+    if args.span_dedup_k == 1:
+        # fail BEFORE the Spark session: the operator rejects k < 2, and
+        # hitting that at stage 3.4 would discard an hour of upstream work
+        ap.error("--span-dedup-k must be 0 (off) or >= 2")
 
     spark = (
         SparkSession.builder.appName("tdigest-corpus-pipeline")

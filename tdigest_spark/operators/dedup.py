@@ -965,8 +965,9 @@ def dedup_spans_corpus(
     k: int = 50,
     min_count: int = 2,
     hash_fn: str = "md5",
-    broadcast_verdicts: bool = True,
+    broadcast_verdicts: bool | None = None,
     cache_hashes: bool = True,
+    max_broadcast_dups: int = 20_000_000,
 ) -> DataFrame:
     """Corpus-global duplicate-SPAN removal (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better",
@@ -1016,24 +1017,36 @@ def dedup_spans_corpus(
        text.
     The count and flag passes share one hashed frame: with
     `cache_hashes` (default) it is persisted between them —
-    O(tokens × 8 B) for the xxhash lane, ~20% of corpus bytes, far
-    smaller than the O(corpus·k) window STRINGS, which are never
-    materialized at rest.  `cache_hashes=False` trades a second O(n*k)
-    hashing pass for zero storage (callers release via
-    `release_cached()`).  Ids never ride the wide shuffle either way
-    (measured: a (hash, id) formulation wrote 31 GB of shuffle on a
-    4M-doc corpus and was disk-bound; this shape is compute-bound).
-    Costs are O(n*k) hashing + O(n*f) coverage checks
-    per doc (f = flagged windows in that doc); a pathological
-    fully-duplicated doc makes f ~ n, which is why doc-level dedup
-    (exact + LSH) should run FIRST in a pipeline — this operator then
-    only sees spans inside otherwise-unique docs.  hash_fn="md5" is the
-    oracle-neutral lane; "xxhash64" is the JVM 8-byte lane (same plan
-    shape); "rolling" is the production lane — an O(n) NumPy Rabin-Karp
-    pass (see rolling_hashed_frame) that removes the O(n*k) JVM string
-    work entirely and feeds the identical downstream plan.
-    `broadcast_verdicts=False` falls back to a shuffle join for a
-    pathological dup set too large to broadcast.
+    O(tokens × 8 B) for the xxhash/rolling lanes (~20% of corpus
+    bytes), but ~1 window STRING of 32 chars per token on the md5
+    lane, i.e. roughly CORPUS-sized blocks — budget for that or use an
+    8-byte lane when caching at scale.  Either lane is far smaller
+    than materializing window strings at rest.  `cache_hashes=False`
+    trades a second O(n*k) hashing pass for zero storage (callers
+    release via `release_cached()`).  Ids never ride the wide shuffle
+    either way (measured: a (hash, id) formulation wrote 31 GB of
+    shuffle on a 4M-doc corpus and was disk-bound; this shape is
+    compute-bound).  Costs are O(n*k) hashing + O(n + f·m) rewrite
+    per doc (f = flagged windows, m = merged coverage intervals); a
+    pathological fully-duplicated doc makes f ~ n, which is why
+    doc-level dedup (exact + LSH) should run FIRST in a pipeline —
+    this operator then only sees spans inside otherwise-unique docs.
+    hash_fn="md5" is the oracle-neutral lane; "xxhash64" is the JVM
+    8-byte lane (same plan shape); "rolling" is the production lane —
+    an O(n) NumPy Rabin-Karp pass (see rolling_hashed_frame) that
+    removes the O(n*k) JVM string work entirely and feeds the
+    identical downstream plan.
+
+    Broadcasting the dup set keeps the flag pass's big side
+    shuffle-free (the join filters in the scan stage), but a
+    boilerplate-dense corpus can grow the dup set past what a driver
+    can broadcast.  `broadcast_verdicts=None` (default) adapts: it
+    counts the survivors (one cheap job — the count reuses the pass-1
+    shuffle, and the cached hashed frame when `cache_hashes`) and
+    broadcasts only when the count <= `max_broadcast_dups`
+    (default 20M ≈ 640 MB of hash-relation); above that it falls back
+    to a shuffle join.  Pass True/False to force either plan and skip
+    the counting job.
     """
     if hash_fn not in ("md5", "xxhash64", "rolling"):
         raise ValueError(
@@ -1079,6 +1092,8 @@ def dedup_spans_corpus(
     # pass 2 — flagged window START POSITIONS per doc: the broadcast
     # join runs in the scan stage, so only true dup occurrences survive
     # into the (small) per-doc aggregate
+    if broadcast_verdicts is None:
+        broadcast_verdicts = dup_spans.count() <= max_broadcast_dups
     dup_side = F.broadcast(dup_spans) if broadcast_verdicts else dup_spans
     doc_flags = (
         hashed

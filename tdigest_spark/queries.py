@@ -2114,8 +2114,11 @@ def q_span_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     count) marks its tokens for removal everywhere; docs reassemble in
     token order.  Runs on the raw documents text — the synthetic corpus
     contains naturally repeated 6-grams, so the operator provably fires.
-    Detection shuffles (md5(window), id) pairs only; the rewrite is an
-    order-preserving indexed F.filter over the token array."""
+    Detection shuffles BARE md5(window) hashes (ids never ride the wide
+    shuffle); the flag pass joins the dup set scan-side into per-doc
+    flagged positions; the rewrite merges positions into disjoint
+    coverage intervals and reassembles kept tokens from the complement
+    gaps (order-preserving slice+flatten)."""
     from .operators.dedup import dedup_spans_corpus
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")

@@ -688,6 +688,28 @@ def test_dedup_spans_corpus_validation(spark):
         D.dedup_spans_corpus(df, hash_fn="sha1")
 
 
+def test_dedup_spans_corpus_nondefault_paths_same_output(spark):
+    # the at-scale fallbacks must not change results: forced shuffle
+    # join (broadcast_verdicts=False), uncached double-hash pass
+    # (cache_hashes=False), and the adaptive default forced into its
+    # shuffle branch via max_broadcast_dups=0
+    rows = [
+        (0, "a b c d e f g h unique tail zero"),
+        (1, "pre a b c d e f g h post"),
+        (2, "unrelated words only in this document here"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = sorted(map(tuple, D.dedup_spans_corpus(df, k=6).collect()))
+    for kw in (
+        {"broadcast_verdicts": False},
+        {"cache_hashes": False},
+        {"max_broadcast_dups": 0},
+    ):
+        got = sorted(map(tuple, D.dedup_spans_corpus(df, k=6, **kw).collect()))
+        assert got == base, kw
+
+
 def test_dedup_lines_corpus_xxhash_lane_same_verdicts(spark):
     rows = [
         (0, "common footer\nunique a"),
