@@ -418,8 +418,8 @@ def test_ivf_assign_literal_path_no_exchange(spark):
 
 def test_span_dedup_detection_shuffles_no_text(docs):
     """Duplicate-span dedup: same shuffle audit as line dedup — the
-    detection branch exchanges only (window_hash, id) pairs, the rewrite
-    recomputes hashes scan-side, and no Exchange carries the text."""
+    count pass exchanges bare window hashes, the flag pass exchanges
+    (id, position) aggregates, and no Exchange carries the text."""
     from tdigest_spark.operators.dedup import dedup_spans_corpus
 
     out = dedup_spans_corpus(docs, k=6, min_count=2)
