@@ -224,6 +224,23 @@ def main() -> None:
 
     bench("minhash_lsh_dedup_xx", dedup_xx)
 
+    # 5c'. same full pipeline on the O(n) NumPy rolling signature lane —
+    #      no shingle string is ever materialized (5.8x the xxhash lane's
+    #      signature throughput on 500k docs; see BENCH/BASELINE.md)
+    def dedup_roll():
+        from tdigest_spark.operators.dedup import ngram_jaccard_dedup
+        from tdigest_spark.queries import (
+            LSH_BANDS, LSH_MAX_BUCKET, MINHASH_K, SHINGLE_K, _docs_with_twins,
+        )
+
+        ngram_jaccard_dedup(
+            _docs_with_twins(docs), "text", "doc_id", threshold=0.5,
+            shingle_k=SHINGLE_K, n_hashes=MINHASH_K, bands=LSH_BANDS,
+            max_bucket=LSH_MAX_BUCKET, hash_fn="rolling",
+        ).collect()
+
+    bench("minhash_lsh_dedup_roll", dedup_roll)
+
     # 5e. INCREMENTAL dedup: the 10%-of-corpus twin increment deduped
     #     against the standing corpus's PRECOMPUTED signature index (built
     #     and persisted outside the timed region — on a real pipeline the

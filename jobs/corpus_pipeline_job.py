@@ -49,6 +49,12 @@ def main() -> None:
     ap.add_argument("--n-hashes", type=int, default=8,
                     help="MinHash lanes (also the --verify estimate "
                          "granularity: thresholds round to 1/n_hashes)")
+    ap.add_argument("--minhash-lane", choices=("md5", "xxhash64", "rolling"),
+                    default="md5",
+                    help="signature hash lane: md5 (oracle-neutral), "
+                         "xxhash64 (JVM longs), rolling (O(n) NumPy "
+                         "Rabin-Karp — ~6x the xxhash signature "
+                         "throughput; recommended at corpus scale)")
     ap.add_argument("--max-bucket", type=int, default=200,
                     help="LSH buckets above this are template clusters: "
                          "skipped pairwise, collapsed via exact dedup only")
@@ -186,12 +192,13 @@ def main() -> None:
         minhash_signatures,
     )
 
-    sigs = minhash_signatures(uniq, "text", "doc_id", n_hashes=args.n_hashes).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sigs = minhash_signatures(
+        uniq, "text", "doc_id", n_hashes=args.n_hashes,
+        hash_fn=args.minhash_lane,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(
         uniq, "text", "doc_id", n_hashes=args.n_hashes,
-        max_bucket=args.max_bucket, sigs=sigs,
+        max_bucket=args.max_bucket, sigs=sigs, hash_fn=args.minhash_lane,
     )
     if args.verify == "estimate":
         verified = estimated_jaccard_pairs(sigs, cands, "doc_id").filter(

@@ -157,16 +157,31 @@ def minhash_signatures(
     oracle queries; every downstream consumer (banding, estimated
     verify, candidate pairs) is signature-type-agnostic.
 
+    hash_fn="rolling" (PRODUCTION lane, O(n)): array<bigint> built by an
+    Arrow-batched NumPy pass that never materializes a shingle string —
+    see rolling_minhash_frame.  Both JVM lanes pay O(n*k) string bytes
+    per doc assembling shingles; at corpus scale that assembly is the
+    dominant compute of the whole LSH stage.
+
     Lane collisions for random docs are ~2·|shingles|/2³² per 32-bit
     lane (less for 64-bit) — negligible next to banding probabilities.
 
-    Plan shape (both lanes): explode distinct shingles, then ONE hash
+    Plan shape (JVM lanes): explode distinct shingles, then ONE hash
     aggregate with `n_hashes` min() columns.  The aggregate is partial
     (map-side combine), so the shuffle carries only (doc, n_hashes mins)
-    partials — bytes per doc, never the shingle stream.
+    partials — bytes per doc, never the shingle stream.  The rolling
+    lane has NO shuffle at all: signatures are finished per doc inside
+    the scan-stage Python worker.
     """
-    if hash_fn not in ("md5", "xxhash64"):
-        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64' (got {hash_fn!r})")
+    if hash_fn not in ("md5", "xxhash64", "rolling"):
+        raise ValueError(
+            f"hash_fn must be 'md5', 'xxhash64' or 'rolling' (got {hash_fn!r})"
+        )
+    if hash_fn == "rolling":
+        return rolling_minhash_frame(
+            ensure_parallelism(df.select(F.col(id_col), F.col(text_col))),
+            text_col, id_col, shingle_k, n_hashes,
+        )
     # tokens in their own projection: inlining the split into the shingle
     # lambda is O(tokens^2) per doc (see text.shingles_from_tokens)
     toks = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
@@ -841,6 +856,29 @@ _ROLL_BASE = 0x100000001B3
 _ROLL_INV = pow(_ROLL_BASE, -1, 1 << 64)
 
 
+def _splitmix64(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+# per-lane offsets for the rolling MinHash lanes (deterministic,
+# independent-looking 64-bit constants; lane j hashes fmix64(h + Z[j]))
+_MINHASH_Z = tuple(_splitmix64(j) for j in range(64))
+
+
+def _np_fmix64(h, np):
+    """murmur fmix64 avalanche over a uint64 array IN PLACE (callers
+    pass arrays they own); returns it for chaining."""
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(29)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(32)
+    return h
+
+
 def rolling_hashed_frame(
     base: DataFrame, text_col: str, id_col: str, k: int
 ) -> DataFrame:
@@ -939,13 +977,7 @@ def rolling_hashed_frame(
                 wp = np.arange(wtotal, dtype=np.int64) - np.repeat(wstarts, n_win)
                 g = wdoc_start + wp
                 h = (pref[g + k] - pref[g]) * bpow[wp + k - 1]
-                # murmur fmix64 avalanche
-                h ^= h >> np.uint64(33)
-                h *= np.uint64(0xFF51AFD7ED558CCD)
-                h ^= h >> np.uint64(29)
-                h *= np.uint64(0xC4CEB9FE1A85EC53)
-                h ^= h >> np.uint64(32)
-                h = h.view(np.int64)
+                h = _np_fmix64(h, np).view(np.int64)
                 bounds = np.cumsum(n_win)[:-1]
                 chunks = np.split(h, bounds)
             else:
@@ -954,6 +986,149 @@ def rolling_hashed_frame(
                 if t is not None:
                     out[i] = chunks[i].tolist()
             yield pd.DataFrame({id_col: ids, "__wh": out})
+
+    return base.mapInPandas(mapper, schema=out_schema)
+
+
+def rolling_minhash_frame(
+    base: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    n_hashes: int = 8,
+) -> DataFrame:
+    """(id, minhash_sig array<bigint>) — the O(n) NumPy production lane
+    for minhash_signatures (hash_fn="rolling").
+
+    The JVM lanes pay O(n*k) string bytes per doc building every
+    shingle STRING before hashing it (the dominant compute of both the
+    headline minhash query and the 4M-doc pipeline's LSH stage).  This
+    lane never materializes a shingle: tokens are hashed once (pandas
+    hash_array), shingle hashes come from the same segmented
+    prefix-sum polynomial as rolling_hashed_frame, and lane j's value
+    is min over shingles of fmix64(h + Z_j) (per-lane offsets from a
+    splitmix64 stream; the avalanche makes the lanes behave as
+    independent permutations).  min over a multiset == min over the
+    set, so within-doc duplicate shingles need no dedup pass.
+
+    Doc-coverage semantics mirror shingles_from_tokens exactly: docs
+    with >= k tokens get all n-k+1 shingles; 1..k-1 tokens -> ONE
+    whole-doc shingle; empty-after-split OR NULL text -> one shared
+    "empty" shingle (all such docs get identical signatures, exactly as
+    the JVM lanes' concat_ws-produced "" shingle — verified against the
+    xxhash lane).  Every downstream consumer (banding,
+    candidate pairs, estimated verify) is signature-type-agnostic, so
+    this lane composes with the whole LSH stack; only the DuckDB
+    oracle requires md5.
+    """
+    import numpy as np  # lazy: keep module import JVM-only
+
+    if not 1 <= n_hashes <= len(_MINHASH_Z):
+        raise ValueError(f"n_hashes must be in [1, {len(_MINHASH_Z)}]")
+    id_field = base.schema[id_col]
+    out_schema = (
+        f"`{id_col}` {id_field.dataType.simpleString()}, "
+        "minhash_sig array<bigint>"
+    )
+    k = shingle_k
+    base_u = np.uint64(_ROLL_BASE)
+    inv_u = np.uint64(_ROLL_INV)
+    zs = np.array(_MINHASH_Z[:n_hashes], dtype=np.uint64)
+
+    def mapper(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            texts = pdf[text_col]
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        # explicit object dtype: an empty plain list infers
+                        # float64, which Arrow can't cast to list<int64>
+                        "minhash_sig": pd.Series([], dtype=object),
+                    }
+                )
+                continue
+            ids = pdf[id_col].to_numpy()
+            # NULL text == empty text here: the JVM lanes' concat_ws
+            # ignores the NULL token array, so NULL-text docs get the
+            # shared "" shingle too (verified against the xxhash lane)
+            tok_lists = [
+                [w for w in t.split(" ") if w] if isinstance(t, str) else []
+                for t in texts
+            ]
+            lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+            total = int(lens.sum())
+
+            flat = np.empty(total, dtype=object)
+            pos = 0
+            for t in tok_lists:
+                if t:
+                    flat[pos : pos + len(t)] = t
+                    pos += len(t)
+            th = (
+                pd.util.hash_array(flat)
+                if total
+                else np.empty(0, dtype=np.uint64)
+            )
+
+            maxn = int(lens.max()) if len(lens) else 0
+            bpow = np.empty(maxn + 1, dtype=np.uint64)
+            ipow = np.empty(maxn + 1, dtype=np.uint64)
+            bpow[0] = ipow[0] = 1
+            if maxn:
+                np.multiply.accumulate(np.full(maxn, base_u), out=bpow[1:])
+                np.multiply.accumulate(np.full(maxn, inv_u), out=ipow[1:])
+
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            within = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+            pref = np.zeros(total + 1, dtype=np.uint64)
+            np.cumsum(th * ipow[within], out=pref[1:])
+
+            # segment layout: full k-windows for docs >= k tokens, ONE
+            # whole-doc "shingle" otherwise (incl. the empty doc)
+            n_win = np.where(lens >= k, lens - (k - 1), 1)
+            seg_starts = np.zeros(len(n_win), dtype=np.int64)
+            np.cumsum(n_win[:-1], out=seg_starts[1:])
+            seg_total = int(n_win.sum())
+            seg_h = np.zeros(seg_total, dtype=np.uint64)
+
+            full = lens >= k
+            nf = np.where(full, n_win, 0)
+            ftotal = int(nf.sum())
+            if ftotal:
+                wp = (
+                    np.arange(ftotal, dtype=np.int64)
+                    - np.repeat(
+                        np.concatenate(([0], np.cumsum(nf)[:-1])), nf
+                    )
+                )
+                g = np.repeat(starts, nf) + wp
+                dest = np.repeat(seg_starts, nf) + wp
+                seg_h[dest] = (pref[g + k] - pref[g]) * bpow[wp + k - 1]
+            short = ~full
+            if short.any():
+                s, l = starts[short], lens[short]
+                # whole-doc polynomial; the l == 0 doc keeps hash 0 (one
+                # shared "empty" shingle across all empty docs)
+                nz = l > 0
+                vals = np.zeros(len(l), dtype=np.uint64)
+                vals[nz] = (pref[s[nz] + l[nz]] - pref[s[nz]]) * bpow[l[nz] - 1]
+                seg_h[seg_starts[short]] = vals
+
+            sig = np.empty((len(lens), n_hashes), dtype=np.uint64)
+            for j in range(n_hashes):
+                # the min must run over the MIXED values (the mix is the
+                # lane's "permutation"); seg_h + zs[j] allocates the
+                # per-lane copy _np_fmix64 then mutates in place
+                hj = _np_fmix64(seg_h + zs[j], np)
+                sig[:, j] = np.minimum.reduceat(hj, seg_starts)
+            sig = sig.view(np.int64)
+            yield pd.DataFrame(
+                {id_col: ids, "minhash_sig": [row.tolist() for row in sig]}
+            )
 
     return base.mapInPandas(mapper, schema=out_schema)
 

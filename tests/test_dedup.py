@@ -680,6 +680,63 @@ def test_rolling_span_hashes_no_false_window_collisions(spark):
     assert all(len(v) == 1 for v in by_hash.values())
 
 
+def test_rolling_minhash_lane_semantics(spark):
+    # the O(n) NumPy signature lane must mirror the JVM lanes' doc
+    # coverage and MinHash statistics: exact dups agree on every lane,
+    # near-dups on most, distinct docs on none; short docs get a
+    # whole-doc shingle; empty/whitespace/NULL docs share one "" shingle
+    rows = [
+        (0, "a b c d e f g h i j"),
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i j extra tail words here"),
+        (3, "completely different content with no overlap at all present"),
+        (4, "sh"),
+        (5, ""),
+        (6, "   "),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    roll = {
+        r.doc_id: tuple(r.minhash_sig)
+        for r in D.minhash_signatures(df, hash_fn="rolling").collect()
+    }
+    xx = {
+        r.doc_id: tuple(r.minhash_sig)
+        for r in D.minhash_signatures(df, hash_fn="xxhash64").collect()
+    }
+    assert sorted(roll) == sorted(xx)  # identical doc coverage
+    assert roll[0] == roll[1] and roll[0] != roll[3]
+    assert roll[5] == roll[6] == roll[7]  # shared empty shingle
+    assert xx[5] == xx[6] == xx[7]  # ...mirroring the JVM lanes
+    agree_near = sum(a == b for a, b in zip(roll[0], roll[2]))
+    agree_far = sum(a == b for a, b in zip(roll[0], roll[3]))
+    assert agree_near >= 4 and agree_far <= 1
+    # partitioning invariance
+    roll2 = {
+        r.doc_id: tuple(r.minhash_sig)
+        for r in D.minhash_signatures(
+            df.repartition(7), hash_fn="rolling"
+        ).collect()
+    }
+    assert roll2 == roll
+
+
+def test_rolling_minhash_lane_feeds_lsh_stack(spark):
+    # signature-type-agnostic consumers: banding + candidate pairs +
+    # estimated verify all run on the rolling lane and find the planted
+    # dups without pairing distinct docs
+    rows = [(i, f"shared prefix tokens one two three four five six doc {i}")
+            for i in range(6)]
+    rows += [(10, "totally unrelated words appear only here nowhere else")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = D.minhash_signatures(df, hash_fn="rolling")
+    cands = D.lsh_candidate_pairs(df, sigs=sigs, hash_fn="rolling")
+    est = D.estimated_jaccard_pairs(sigs, cands, "doc_id")
+    pairs = {(r.id_a, r.id_b) for r in est.filter("jaccard_est >= 0.5").collect()}
+    assert all(a < 10 and b < 10 for a, b in pairs)
+    assert len(pairs) > 0
+
+
 def test_dedup_spans_corpus_validation(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
