@@ -65,6 +65,11 @@ def main() -> None:
                          "dropped (eval-set decontamination)")
     ap.add_argument("--decontam-ngram", type=int, default=8)
     ap.add_argument("--decontam-overlap", type=int, default=1)
+    ap.add_argument("--decontam-lane", choices=("strings", "rolling"),
+                    default="strings",
+                    help="gram hash lane for decontamination: strings "
+                         "(exact, oracle-neutral) or rolling (O(n) NumPy "
+                         "— recommended at corpus scale)")
     ap.add_argument("--line-dedup-min-docs", type=int, default=0,
                     help="if > 0, RefinedWeb-style cross-corpus line dedup "
                          "before doc-level dedup: lines in >= N distinct "
@@ -273,6 +278,7 @@ def main() -> None:
         flags = ngram_contamination(
             curated, bench, "text", "doc_id",
             n=args.decontam_ngram, min_overlap=args.decontam_overlap,
+            gram_lane=args.decontam_lane,
         ).persist(StorageLevel.MEMORY_AND_DISK)
         report["n_contaminated"] = flags.filter("contaminated").count()
         clean = decontaminate(curated, contamination=flags).persist(

@@ -567,6 +567,7 @@ def ngram_contamination(
     n: int = 8,
     min_overlap: int = 1,
     broadcast_benchmark: bool = True,
+    gram_lane: str = "strings",
 ) -> DataFrame:
     """Benchmark decontamination signal: per corpus document, the number
     of distinct word n-grams it shares with ANY document in `benchmark`
@@ -590,8 +591,50 @@ def ngram_contamination(
     strings; 64-bit collisions can over-count one gram per ~2^64, which
     is noise for a thresholded contamination flag but is why the exact
     string-keyed broadcast lane is the default (and the oracle lane).
+
+    gram_lane="rolling" (PRODUCTION lane): both sides' gram hashes come
+    from the O(n) NumPy rolling engine (rolling_gram_frame) — no gram
+    STRING is ever assembled, removing the O(tokens × n) string
+    slice+concat that dominated the 899 s decontamination stage of the
+    4M-doc run.  Join keys are 8-byte hashes (same collision class as
+    broadcast_benchmark=False); gram semantics (short-doc whole-text
+    gram, empty-gram exemption, per-doc distinctness) mirror the string
+    lane exactly.  broadcast_benchmark applies to either lane.
     """
+    if gram_lane not in ("strings", "rolling"):
+        raise ValueError(
+            f"gram_lane must be 'strings' or 'rolling' (got {gram_lane!r})"
+        )
     bench_text = bench_text_col or text_col
+    if gram_lane == "rolling":
+        corpus_grams = rolling_gram_frame(
+            ensure_parallelism(corpus.select(id_col, text_col)),
+            text_col, id_col, n,
+        ).select(id_col, F.explode("__gh").alias("__g"))
+        bench_grams = (
+            rolling_gram_frame(
+                benchmark.select(F.lit(0).alias("__bid"), F.col(bench_text)),
+                bench_text, "__bid", n,
+            )
+            .select(F.explode("__gh").alias("__g"))
+            .distinct()
+        )
+        hits = corpus_grams.join(
+            F.broadcast(bench_grams) if broadcast_benchmark else bench_grams,
+            "__g",
+        )
+        counts = hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_overlap"))
+        return (
+            corpus.select(id_col)
+            .join(counts, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+                (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_overlap).alias(
+                    "contaminated"
+                ),
+            )
+        )
     # NULL/empty/whitespace-only text degenerates to a single '' shingle
     # (shingles_from_tokens's short-doc fallback) — an empty string is not
     # an n-gram, and letting it through would mark every empty corpus doc
@@ -879,6 +922,81 @@ def _np_fmix64(h, np):
     return h
 
 
+def _rolling_core(np, pd, tok_lists, k, short_whole=False, include_empty=False):
+    """Shared NumPy Rabin-Karp engine for the rolling production lanes
+    (span windows, MinHash signatures, contamination grams).
+
+    Given per-doc token lists (never None — callers map NULL first),
+    hashes every token once (pandas hash_array) and derives every
+    k-window polynomial hash from ONE segmented prefix sum — O(total
+    tokens), no window string ever exists.  Returns
+    (counts, seg_h, seg_starts): per-doc window counts, the flat
+    UNMIXED uint64 window hashes in doc order, and each doc's start
+    offset into it.  Callers apply _np_fmix64 (or per-lane variants)
+    and their own per-doc reduction.
+
+    short_whole=False: docs with < k tokens produce 0 windows
+    (span_hashes semantics).  short_whole=True: such docs produce ONE
+    whole-doc window (shingles_from_tokens semantics), and
+    include_empty decides whether a 0-token doc still gets that one
+    window (hash 0, shared by all empty docs — the JVM lanes' ""
+    shingle) or none (contamination's empty-gram exemption).
+    """
+    lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    total = int(lens.sum())
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for t in tok_lists:
+        if t:
+            flat[pos : pos + len(t)] = t
+            pos += len(t)
+    th = pd.util.hash_array(flat) if total else np.empty(0, dtype=np.uint64)
+
+    maxn = int(lens.max()) if len(lens) else 0
+    bpow = np.empty(maxn + 1, dtype=np.uint64)
+    ipow = np.empty(maxn + 1, dtype=np.uint64)
+    bpow[0] = ipow[0] = 1
+    if maxn:
+        np.multiply.accumulate(np.full(maxn, np.uint64(_ROLL_BASE)), out=bpow[1:])
+        np.multiply.accumulate(np.full(maxn, np.uint64(_ROLL_INV)), out=ipow[1:])
+
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    pref = np.zeros(total + 1, dtype=np.uint64)
+    np.cumsum(th * ipow[within], out=pref[1:])
+
+    if short_whole:
+        counts = np.where(
+            lens >= k, lens - (k - 1), 1 if include_empty else (lens > 0)
+        ).astype(np.int64)
+    else:
+        counts = np.maximum(lens - (k - 1), 0)
+    seg_starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=seg_starts[1:])
+    seg_h = np.zeros(int(counts.sum()), dtype=np.uint64)
+
+    full = lens >= k
+    nf = np.where(full, counts, 0)
+    ftotal = int(nf.sum())
+    if ftotal:
+        wp = np.arange(ftotal, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(nf)[:-1])), nf
+        )
+        g = np.repeat(starts, nf) + wp
+        dest = np.repeat(seg_starts, nf) + wp
+        seg_h[dest] = (pref[g + k] - pref[g]) * bpow[wp + k - 1]
+    if short_whole:
+        short = (~full) & (counts > 0)
+        if short.any():
+            s, l = starts[short], lens[short]
+            nz = l > 0
+            vals = np.zeros(len(l), dtype=np.uint64)
+            vals[nz] = (pref[s[nz] + l[nz]] - pref[s[nz]]) * bpow[l[nz] - 1]
+            seg_h[seg_starts[short]] = vals
+    return counts, seg_h, seg_starts
+
+
 def rolling_hashed_frame(
     base: DataFrame, text_col: str, id_col: str, k: int
 ) -> DataFrame:
@@ -916,76 +1034,24 @@ def rolling_hashed_frame(
     out_schema = (
         f"`{id_col}` {id_field.dataType.simpleString()}, __wh array<bigint>"
     )
-    base_u = np.uint64(_ROLL_BASE)
-    inv_u = np.uint64(_ROLL_INV)
 
     def mapper(batches):
         import pandas as pd
 
         for pdf in batches:
-            ids = pdf[id_col]
             texts = pdf[text_col]
             tok_lists = [
-                [w for w in t.split(" ") if w] if isinstance(t, str) else None
+                [w for w in t.split(" ") if w] if isinstance(t, str) else []
                 for t in texts
             ]
-            lens = np.array(
-                [len(t) if t is not None else 0 for t in tok_lists], dtype=np.int64
-            )
-            total = int(lens.sum())
-            out = [None] * len(tok_lists)
-            if total == 0:
-                for i, t in enumerate(tok_lists):
-                    if t is not None:
-                        out[i] = []
-                yield pd.DataFrame({id_col: ids, "__wh": out})
-                continue
-
-            flat = np.empty(total, dtype=object)
-            pos = 0
-            for t in tok_lists:
-                if t:
-                    flat[pos : pos + len(t)] = t
-                    pos += len(t)
-            th = pd.util.hash_array(flat)  # uint64, fixed default key
-
-            maxn = int(lens.max())
-            # power tables up to the longest doc, built once per batch
-            bpow = np.empty(maxn + 1, dtype=np.uint64)
-            ipow = np.empty(maxn + 1, dtype=np.uint64)
-            bpow[0] = ipow[0] = 1
-            if maxn:
-                np.multiply.accumulate(
-                    np.full(maxn, base_u), out=bpow[1:]
-                )
-                np.multiply.accumulate(np.full(maxn, inv_u), out=ipow[1:])
-
-            starts = np.zeros(len(lens), dtype=np.int64)
-            np.cumsum(lens[:-1], out=starts[1:])
-            within = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
-
-            pref = np.zeros(total + 1, dtype=np.uint64)
-            np.cumsum(th * ipow[within], out=pref[1:])
-
-            n_win = np.maximum(lens - (k - 1), 0)
-            wtotal = int(n_win.sum())
-            if wtotal:
-                wstarts = np.zeros(len(n_win), dtype=np.int64)
-                np.cumsum(n_win[:-1], out=wstarts[1:])
-                # global flat index of each window's first token
-                wdoc_start = np.repeat(starts, n_win)
-                wp = np.arange(wtotal, dtype=np.int64) - np.repeat(wstarts, n_win)
-                g = wdoc_start + wp
-                h = (pref[g + k] - pref[g]) * bpow[wp + k - 1]
-                h = _np_fmix64(h, np).view(np.int64)
-                bounds = np.cumsum(n_win)[:-1]
-                chunks = np.split(h, bounds)
-            else:
-                chunks = [np.empty(0, dtype=np.int64)] * len(lens)
-            for i, t in enumerate(tok_lists):
-                if t is not None:
-                    out[i] = chunks[i].tolist()
-            yield pd.DataFrame({id_col: ids, "__wh": out})
+            counts, seg_h, _ = _rolling_core(np, pd, tok_lists, k)
+            h = _np_fmix64(seg_h, np).view(np.int64)
+            chunks = np.split(h, np.cumsum(counts)[:-1])
+            out = [
+                chunks[i].tolist() if isinstance(t, str) else None
+                for i, t in enumerate(texts)
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "__wh": out})
 
     return base.mapInPandas(mapper, schema=out_schema)
 
@@ -1031,8 +1097,6 @@ def rolling_minhash_frame(
         "minhash_sig array<bigint>"
     )
     k = shingle_k
-    base_u = np.uint64(_ROLL_BASE)
-    inv_u = np.uint64(_ROLL_INV)
     zs = np.array(_MINHASH_Z[:n_hashes], dtype=np.uint64)
 
     def mapper(batches):
@@ -1050,7 +1114,6 @@ def rolling_minhash_frame(
                     }
                 )
                 continue
-            ids = pdf[id_col].to_numpy()
             # NULL text == empty text here: the JVM lanes' concat_ws
             # ignores the NULL token array, so NULL-text docs get the
             # shared "" shingle too (verified against the xxhash lane)
@@ -1058,67 +1121,10 @@ def rolling_minhash_frame(
                 [w for w in t.split(" ") if w] if isinstance(t, str) else []
                 for t in texts
             ]
-            lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
-            total = int(lens.sum())
-
-            flat = np.empty(total, dtype=object)
-            pos = 0
-            for t in tok_lists:
-                if t:
-                    flat[pos : pos + len(t)] = t
-                    pos += len(t)
-            th = (
-                pd.util.hash_array(flat)
-                if total
-                else np.empty(0, dtype=np.uint64)
+            counts, seg_h, seg_starts = _rolling_core(
+                np, pd, tok_lists, k, short_whole=True, include_empty=True
             )
-
-            maxn = int(lens.max()) if len(lens) else 0
-            bpow = np.empty(maxn + 1, dtype=np.uint64)
-            ipow = np.empty(maxn + 1, dtype=np.uint64)
-            bpow[0] = ipow[0] = 1
-            if maxn:
-                np.multiply.accumulate(np.full(maxn, base_u), out=bpow[1:])
-                np.multiply.accumulate(np.full(maxn, inv_u), out=ipow[1:])
-
-            starts = np.zeros(len(lens), dtype=np.int64)
-            np.cumsum(lens[:-1], out=starts[1:])
-            within = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
-            pref = np.zeros(total + 1, dtype=np.uint64)
-            np.cumsum(th * ipow[within], out=pref[1:])
-
-            # segment layout: full k-windows for docs >= k tokens, ONE
-            # whole-doc "shingle" otherwise (incl. the empty doc)
-            n_win = np.where(lens >= k, lens - (k - 1), 1)
-            seg_starts = np.zeros(len(n_win), dtype=np.int64)
-            np.cumsum(n_win[:-1], out=seg_starts[1:])
-            seg_total = int(n_win.sum())
-            seg_h = np.zeros(seg_total, dtype=np.uint64)
-
-            full = lens >= k
-            nf = np.where(full, n_win, 0)
-            ftotal = int(nf.sum())
-            if ftotal:
-                wp = (
-                    np.arange(ftotal, dtype=np.int64)
-                    - np.repeat(
-                        np.concatenate(([0], np.cumsum(nf)[:-1])), nf
-                    )
-                )
-                g = np.repeat(starts, nf) + wp
-                dest = np.repeat(seg_starts, nf) + wp
-                seg_h[dest] = (pref[g + k] - pref[g]) * bpow[wp + k - 1]
-            short = ~full
-            if short.any():
-                s, l = starts[short], lens[short]
-                # whole-doc polynomial; the l == 0 doc keeps hash 0 (one
-                # shared "empty" shingle across all empty docs)
-                nz = l > 0
-                vals = np.zeros(len(l), dtype=np.uint64)
-                vals[nz] = (pref[s[nz] + l[nz]] - pref[s[nz]]) * bpow[l[nz] - 1]
-                seg_h[seg_starts[short]] = vals
-
-            sig = np.empty((len(lens), n_hashes), dtype=np.uint64)
+            sig = np.empty((len(counts), n_hashes), dtype=np.uint64)
             for j in range(n_hashes):
                 # the min must run over the MIXED values (the mix is the
                 # lane's "permutation"); seg_h + zs[j] allocates the
@@ -1127,7 +1133,64 @@ def rolling_minhash_frame(
                 sig[:, j] = np.minimum.reduceat(hj, seg_starts)
             sig = sig.view(np.int64)
             yield pd.DataFrame(
-                {id_col: ids, "minhash_sig": [row.tolist() for row in sig]}
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "minhash_sig": [row.tolist() for row in sig],
+                }
+            )
+
+    return base.mapInPandas(mapper, schema=out_schema)
+
+
+def rolling_gram_frame(
+    base: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, __gh array<bigint>) of the DISTINCT word n-gram hashes per
+    doc, via the shared O(n) rolling engine — the production gram lane
+    for ngram_contamination (gram_lane="rolling").
+
+    Gram semantics mirror the string lane exactly: docs with >= n
+    tokens contribute their n-grams; 1..n-1 tokens contribute the ONE
+    whole-doc gram (shingles_from_tokens's short-doc rule); empty/NULL
+    text contributes nothing (the string lane filters the "" gram —
+    contamination's empty-gram exemption).  Distinctness is resolved
+    per doc inside the worker (np.unique per segment), so the frame
+    needs no array_distinct or per-doc shuffle downstream.
+    """
+    import numpy as np  # lazy: keep module import JVM-only
+
+    id_field = base.schema[id_col]
+    out_schema = (
+        f"`{id_col}` {id_field.dataType.simpleString()}, __gh array<bigint>"
+    )
+
+    def mapper(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            texts = pdf[text_col]
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        "__gh": pd.Series([], dtype=object),
+                    }
+                )
+                continue
+            tok_lists = [
+                [w for w in t.split(" ") if w] if isinstance(t, str) else []
+                for t in texts
+            ]
+            counts, seg_h, _ = _rolling_core(
+                np, pd, tok_lists, n, short_whole=True, include_empty=False
+            )
+            h = _np_fmix64(seg_h, np).view(np.int64)
+            chunks = np.split(h, np.cumsum(counts)[:-1])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "__gh": [np.unique(c).tolist() for c in chunks],
+                }
             )
 
     return base.mapInPandas(mapper, schema=out_schema)

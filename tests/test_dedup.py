@@ -737,6 +737,44 @@ def test_rolling_minhash_lane_feeds_lsh_stack(spark):
     assert len(pairs) > 0
 
 
+def test_ngram_contamination_rolling_lane_parity(spark):
+    # the O(n) rolling gram lane must flag exactly what the string lane
+    # flags: full n-gram overlap, partial overlap, none, the short-doc
+    # whole-text gram, and the empty/NULL gram exemption
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta different end"),
+            (2, "nothing in common with the benchmark text at all here"),
+            (3, "tiny doc"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            ("alpha beta gamma delta epsilon zeta eta theta iota kappa x",),
+            ("tiny doc",),
+        ],
+        "text string",
+    )
+    s = {
+        r.doc_id: (r.n_overlap, r.contaminated)
+        for r in D.ngram_contamination(corpus, bench, n=8).collect()
+    }
+    for kw in ({}, {"broadcast_benchmark": False}):
+        r = {
+            x.doc_id: (x.n_overlap, x.contaminated)
+            for x in D.ngram_contamination(
+                corpus, bench, n=8, gram_lane="rolling", **kw
+            ).collect()
+        }
+        assert r == s, (kw, r, s)
+    with pytest.raises(ValueError):
+        D.ngram_contamination(corpus, bench, gram_lane="sha1")
+
+
 def test_dedup_spans_corpus_validation(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
