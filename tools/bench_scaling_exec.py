@@ -104,14 +104,17 @@ def worker(
                 F.max(F.try_element_at("__wh", F.lit(1))).alias("h"),
             ).collect()
             return int(r[0]["n"])
-    elif jobname == "minhash":
-        # LSH dedup stage 1: the md5-lane MinHash signature build (the
-        # pipeline-dominant stage in the 4M-doc curation run).  The
-        # consuming select hashes the whole signature array so no lane
-        # can be pruned away; output is one row per executor.
+    elif jobname in ("minhash", "minhashroll"):
+        # LSH dedup stage 1: the MinHash signature build (the
+        # pipeline-dominant stage in the 4M-doc curation run) — md5 JVM
+        # lane or the O(n) NumPy rolling lane.  The consuming select
+        # hashes the whole signature array so no lane can be pruned
+        # away; output is one row per executor.
+        lane = "rolling" if jobname == "minhashroll" else "md5"
+
         def job() -> int:
             df = spark.read.parquet(*files).select("url", "text")
-            sigs = minhash_signatures(df, "text", "url")
+            sigs = minhash_signatures(df, "text", "url", hash_fn=lane)
             r = sigs.select(
                 F.count("*").alias("n"),
                 F.max(F.xxhash64("minhash_sig")).alias("h"),
@@ -215,12 +218,13 @@ def main() -> None:
     ap.add_argument("--levels", default="4,16")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument(
-        "--job", default="digest", choices=("digest", "minhash", "decon", "spanroll"),
+        "--job", default="digest", choices=("digest", "minhash", "minhashroll", "decon", "spanroll"),
         help="digest: grouped t-digest partial build over the _lens table; "
         "minhash: LSH dedup stage-1 signature build over the text corpus; "
         "decon: eval-set n-gram decontamination flags over the text corpus "
         "(benchmark parquet from $DECON_BENCH, default /tmp/decon_bench_4m); "
-        "spanroll: span-dedup stage-1 rolling window-hash build",
+        "spanroll: span-dedup stage-1 rolling window-hash build; "
+        "minhashroll: signature build on the O(n) rolling lane",
     )
     ap.add_argument(
         "--files-cap", type=int, default=0,
@@ -238,7 +242,7 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    if args.job in ("minhash", "decon", "spanroll"):
+    if args.job in ("minhash", "minhashroll", "decon", "spanroll"):
         files = glob.glob(os.path.join(CORPUS, "*", "*.parquet"))
         if not files:
             raise SystemExit(f"no corpus at {CORPUS}; run bench_scaling.py once")
