@@ -1039,21 +1039,31 @@ def rolling_hashed_frame(
         import pandas as pd
 
         for pdf in batches:
-            texts = pdf[text_col]
-            tok_lists = [
-                [w for w in t.split(" ") if w] if isinstance(t, str) else []
-                for t in texts
-            ]
-            counts, seg_h, _ = _rolling_core(np, pd, tok_lists, k)
-            h = _np_fmix64(seg_h, np).view(np.int64)
-            chunks = np.split(h, np.cumsum(counts)[:-1])
-            out = [
-                chunks[i].tolist() if isinstance(t, str) else None
-                for i, t in enumerate(texts)
-            ]
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "__wh": out})
+            yield _span_batch(np, pd, pdf, text_col, id_col, k)
 
     return base.mapInPandas(mapper, schema=out_schema)
+
+
+def _span_batch(np, pd, pdf, text_col, id_col, k):
+    """One Arrow batch of rolling_hashed_frame (module-level so the
+    NULL/short/empty edge paths are unit-testable without Spark)."""
+    texts = pdf[text_col]
+    tok_lists = [
+        [w for w in t.split(" ") if w] if isinstance(t, str) else []
+        for t in texts
+    ]
+    counts, seg_h, _ = _rolling_core(np, pd, tok_lists, k)
+    h = _np_fmix64(seg_h, np).view(np.int64)
+    chunks = np.split(h, np.cumsum(counts)[:-1])
+    out = [
+        chunks[i].tolist() if isinstance(t, str) else None
+        for i, t in enumerate(texts)
+    ]
+    # explicit object dtype: an empty plain list infers float64, which
+    # Arrow can't cast to list<int64> (same guard as the minhash lane)
+    return pd.DataFrame(
+        {id_col: pdf[id_col].to_numpy(), "__wh": pd.Series(out, dtype=object)}
+    )
 
 
 def rolling_minhash_frame(
@@ -1103,43 +1113,49 @@ def rolling_minhash_frame(
         import pandas as pd
 
         for pdf in batches:
-            texts = pdf[text_col]
-            if not len(pdf):
-                yield pd.DataFrame(
-                    {
-                        id_col: pdf[id_col].to_numpy(),
-                        # explicit object dtype: an empty plain list infers
-                        # float64, which Arrow can't cast to list<int64>
-                        "minhash_sig": pd.Series([], dtype=object),
-                    }
-                )
-                continue
-            # NULL text == empty text here: the JVM lanes' concat_ws
-            # ignores the NULL token array, so NULL-text docs get the
-            # shared "" shingle too (verified against the xxhash lane)
-            tok_lists = [
-                [w for w in t.split(" ") if w] if isinstance(t, str) else []
-                for t in texts
-            ]
-            counts, seg_h, seg_starts = _rolling_core(
-                np, pd, tok_lists, k, short_whole=True, include_empty=True
-            )
-            sig = np.empty((len(counts), n_hashes), dtype=np.uint64)
-            for j in range(n_hashes):
-                # the min must run over the MIXED values (the mix is the
-                # lane's "permutation"); seg_h + zs[j] allocates the
-                # per-lane copy _np_fmix64 then mutates in place
-                hj = _np_fmix64(seg_h + zs[j], np)
-                sig[:, j] = np.minimum.reduceat(hj, seg_starts)
-            sig = sig.view(np.int64)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "minhash_sig": [row.tolist() for row in sig],
-                }
-            )
+            yield _minhash_batch(np, pd, pdf, text_col, id_col, k, zs)
 
     return base.mapInPandas(mapper, schema=out_schema)
+
+
+def _minhash_batch(np, pd, pdf, text_col, id_col, k, zs):
+    """One Arrow batch of rolling_minhash_frame (module-level so the
+    NULL/short/empty edge paths are unit-testable without Spark)."""
+    texts = pdf[text_col]
+    if not len(pdf):
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                # explicit object dtype: an empty plain list infers
+                # float64, which Arrow can't cast to list<int64>
+                "minhash_sig": pd.Series([], dtype=object),
+            }
+        )
+    # NULL text == empty text here: the JVM lanes' concat_ws
+    # ignores the NULL token array, so NULL-text docs get the
+    # shared "" shingle too (verified against the xxhash lane)
+    tok_lists = [
+        [w for w in t.split(" ") if w] if isinstance(t, str) else []
+        for t in texts
+    ]
+    counts, seg_h, seg_starts = _rolling_core(
+        np, pd, tok_lists, k, short_whole=True, include_empty=True
+    )
+    n_hashes = len(zs)
+    sig = np.empty((len(counts), n_hashes), dtype=np.uint64)
+    for j in range(n_hashes):
+        # the min must run over the MIXED values (the mix is the
+        # lane's "permutation"); seg_h + zs[j] allocates the
+        # per-lane copy _np_fmix64 then mutates in place
+        hj = _np_fmix64(seg_h + zs[j], np)
+        sig[:, j] = np.minimum.reduceat(hj, seg_starts)
+    sig = sig.view(np.int64)
+    return pd.DataFrame(
+        {
+            id_col: pdf[id_col].to_numpy(),
+            "minhash_sig": [row.tolist() for row in sig],
+        }
+    )
 
 
 def rolling_gram_frame(
@@ -1168,32 +1184,37 @@ def rolling_gram_frame(
         import pandas as pd
 
         for pdf in batches:
-            texts = pdf[text_col]
-            if not len(pdf):
-                yield pd.DataFrame(
-                    {
-                        id_col: pdf[id_col].to_numpy(),
-                        "__gh": pd.Series([], dtype=object),
-                    }
-                )
-                continue
-            tok_lists = [
-                [w for w in t.split(" ") if w] if isinstance(t, str) else []
-                for t in texts
-            ]
-            counts, seg_h, _ = _rolling_core(
-                np, pd, tok_lists, n, short_whole=True, include_empty=False
-            )
-            h = _np_fmix64(seg_h, np).view(np.int64)
-            chunks = np.split(h, np.cumsum(counts)[:-1])
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "__gh": [np.unique(c).tolist() for c in chunks],
-                }
-            )
+            yield _gram_batch(np, pd, pdf, text_col, id_col, n)
 
     return base.mapInPandas(mapper, schema=out_schema)
+
+
+def _gram_batch(np, pd, pdf, text_col, id_col, n):
+    """One Arrow batch of rolling_gram_frame (module-level so the
+    NULL/short/empty edge paths are unit-testable without Spark)."""
+    texts = pdf[text_col]
+    if not len(pdf):
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "__gh": pd.Series([], dtype=object),
+            }
+        )
+    tok_lists = [
+        [w for w in t.split(" ") if w] if isinstance(t, str) else []
+        for t in texts
+    ]
+    counts, seg_h, _ = _rolling_core(
+        np, pd, tok_lists, n, short_whole=True, include_empty=False
+    )
+    h = _np_fmix64(seg_h, np).view(np.int64)
+    chunks = np.split(h, np.cumsum(counts)[:-1])
+    return pd.DataFrame(
+        {
+            id_col: pdf[id_col].to_numpy(),
+            "__gh": [np.unique(c).tolist() for c in chunks],
+        }
+    )
 
 
 def dedup_spans_corpus(

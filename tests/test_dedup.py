@@ -815,3 +815,64 @@ def test_dedup_lines_corpus_xxhash_lane_same_verdicts(spark):
     md5 = D.dedup_lines_corpus(df, min_docs=2, hash_fn="md5")
     xx = D.dedup_lines_corpus(df, min_docs=2, hash_fn="xxhash64")
     assert sorted(map(tuple, md5.collect())) == sorted(map(tuple, xx.collect()))
+
+
+def test_rolling_batch_fns_empty_batch_arrow_castable():
+    # a zero-row Arrow batch through any rolling lane must yield a
+    # frame Arrow can cast to (id bigint, list<bigint>) — a bare empty
+    # python list infers float64 and the cast throws (the bug the
+    # minhash lane's guard fixed; the span lane shared it untested)
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "text": pd.Series([], dtype="object")}
+    )
+    zs = np.array(D._MINHASH_Z[:4], dtype=np.uint64)
+    for out, col in (
+        (D._span_batch(np, pd, empty, "text", "doc_id", 5), "__wh"),
+        (D._minhash_batch(np, pd, empty, "text", "doc_id", 3, zs),
+         "minhash_sig"),
+        (D._gram_batch(np, pd, empty, "text", "doc_id", 8), "__gh"),
+    ):
+        assert len(out) == 0
+        tbl = pa.Table.from_pandas(
+            out,
+            schema=pa.schema(
+                [("doc_id", pa.int64()), (col, pa.list_(pa.int64()))]
+            ),
+            preserve_index=False,
+        )
+        assert tbl.num_rows == 0
+
+
+def test_rolling_batch_fns_null_and_short_doc_semantics():
+    # NULL text: span lane -> NULL array; minhash -> shared "" shingle
+    # signature (same for empty-after-split); gram lane -> no grams.
+    # Short docs (< k tokens): span -> empty; minhash/gram -> ONE
+    # whole-doc window
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"doc_id": pd.Series([0, 1, 2, 3], dtype="int64"),
+         "text": ["a b c d e", None, "  ", "a b"]}
+    )
+    span = D._span_batch(np, pd, pdf, "text", "doc_id", 3)
+    assert len(span["__wh"][0]) == 3          # 5 tokens, k=3 -> 3 windows
+    assert span["__wh"][1] is None            # NULL text -> NULL array
+    assert span["__wh"][2] == []              # 0 tokens -> no windows
+    assert span["__wh"][3] == []              # 2 tokens < k -> no windows
+
+    zs = np.array(D._MINHASH_Z[:4], dtype=np.uint64)
+    mh = D._minhash_batch(np, pd, pdf, "text", "doc_id", 3, zs)
+    assert all(len(s) == 4 for s in mh["minhash_sig"])
+    assert mh["minhash_sig"][1] == mh["minhash_sig"][2]  # NULL == empty
+    assert mh["minhash_sig"][3] != mh["minhash_sig"][1]  # whole-doc shingle
+
+    gr = D._gram_batch(np, pd, pdf, "text", "doc_id", 3)
+    assert len(gr["__gh"][0]) == 3
+    assert gr["__gh"][1] == [] and gr["__gh"][2] == []   # empty exemption
+    assert len(gr["__gh"][3]) == 1                       # whole-doc gram
