@@ -132,3 +132,74 @@ def test_fast_compaction_bit_equals_stable(vals, delta, chunk):
         a.add(arr[lo : lo + chunk])
         b.add(arr[lo : lo + chunk])
     assert a.to_bytes() == b.to_bytes()
+
+
+# --------------------------------------------------- rolling-hash core
+
+
+def _naive_window_hashes(tok_lists, k, short_whole, include_empty):
+    """Definition-level reference for _rolling_core: hash each token with
+    pandas hash_array, then compute each k-window's polynomial hash
+    DIRECTLY as sum(th[j] * BASE^(k-1-(j-p))) mod 2^64 — no prefix sum,
+    no modular inverse."""
+    import numpy as np
+    import pandas as pd
+
+    from tdigest_spark.operators.dedup import _ROLL_BASE
+
+    M = 1 << 64
+    out = []
+    for toks in tok_lists:
+        th = (
+            pd.util.hash_array(np.array(toks, dtype=object)).tolist()
+            if toks
+            else []
+        )
+
+        def poly(vals):
+            h = 0
+            for v in vals:
+                h = (h * _ROLL_BASE + int(v)) % M
+            return h
+
+        n = len(toks)
+        if n >= k:
+            out.append([poly(th[p : p + k]) for p in range(n - k + 1)])
+        elif short_whole and (n > 0 or include_empty):
+            out.append([poly(th)])
+        else:
+            out.append([])
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from([f"t{i}" for i in range(9)]), max_size=12),
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=6),
+    st.booleans(),
+    st.booleans(),
+)
+def test_rolling_core_matches_naive_polynomial(
+    tok_lists, k, short_whole, include_empty
+):
+    # the prefix-sum + modular-inverse trick must equal the direct
+    # per-window polynomial for every doc-length/k combination,
+    # including empty docs, short docs, and len == k boundaries
+    import numpy as np
+    import pandas as pd
+
+    from tdigest_spark.operators.dedup import _rolling_core
+
+    counts, seg_h, seg_starts = _rolling_core(
+        np, pd, tok_lists, k, short_whole=short_whole,
+        include_empty=include_empty,
+    )
+    got = [
+        seg_h[s : s + c].tolist()
+        for s, c in zip(seg_starts.tolist(), counts.tolist())
+    ]
+    want = _naive_window_hashes(tok_lists, k, short_whole, include_empty)
+    assert got == want
