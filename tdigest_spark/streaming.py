@@ -29,6 +29,13 @@ Two composable pieces:
   face of sketches.hll_by.  Hashing stays JVM-side in the pre-state
   projection; state = the 2^p-byte register blob; update = one
   vectorized np.maximum.at; eviction identical to windowed_digest_by.
+
+- streaming_incremental_dedup: foreachBatch near-dedup of a crawl
+  stream against a standing MinHash signature index (the streaming
+  face of dedup.dedup_against_index) — each trigger drops docs with a
+  verified near-dup in the index or a smaller-id near-dup in the
+  batch, then appends survivors + their signatures; replay-idempotent
+  per-batch subdirectory writes.
 """
 
 from __future__ import annotations
@@ -327,6 +334,127 @@ def streaming_exact_dedup(
         out = out.withWatermark(event_time_col, watermark)
         return out.dropDuplicatesWithinWatermark(["content_hash"])
     return out.dropDuplicates(["content_hash"])
+
+
+def streaming_incremental_dedup(
+    sdf: DataFrame,
+    index_dir: str,
+    output_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n_hashes: int = 8,
+    shingle_k: int = 3,
+    bands: int = 4,
+    max_bucket: int = 1000,
+    hash_fn: str = "md5",
+):
+    """Streaming near-dedup of an unbounded crawl against a standing
+    MinHash signature index — the streaming face of
+    `dedup.dedup_against_index` (the monthly-increment shape, run
+    continuously: each micro-batch is an increment).
+
+    Per micro-batch (foreachBatch):
+      1. build the batch's MinHash signatures once;
+      2. drop batch docs with a verified near-duplicate (estimated
+         Jaccard >= threshold) in the index — which holds only the
+         ~100 B/doc signatures of everything previously emitted, never
+         text;
+      3. drop within-batch near-duplicates (keep-min-id EXISTS
+         semantics, the same deterministic rule as
+         `similarity.semantic_dedup`; chains collapse per that
+         docstring, not per connected components);
+      4. append the survivors' rows to `output_dir` and their
+         signatures (tagged with the batch id) to `index_dir`.
+
+    Exactly-once under restarts: both writes overwrite their own
+    ``batch=<id>__dir`` subdirectory, and the index read EXCLUDES the
+    current batch's own rows (`batch_id != current`), so a replayed
+    batch never dedups against its own half-written signatures.
+    Earlier batches win ties — the arrival-order contract of an
+    incremental pipeline.
+
+    Seed a pre-existing corpus by writing its `minhash_signatures`
+    frame (plus a `batch_id` long, e.g. -1) under
+    ``{index_dir}/batch=seed__dir`` before starting the stream.
+
+    100 TB shape: the batch side is trigger-sized; the index side
+    contributes one scan of its signature lanes per trigger, shuffled
+    on band keys (`lsh_incremental_pairs` — index-side template-bucket
+    guard caps fanout linear in the batch).  At very large standing
+    corpora, store the index bucketed/partitioned by band key so the
+    per-trigger probe prunes to the batch's buckets instead of
+    rescanning every signature.
+
+    Returns a DataStreamWriter — caller sets checkpointLocation and
+    starts it.
+    """
+    sig_type = "array<string>" if hash_fn == "md5" else "array<bigint>"
+    id_type = sdf.schema[id_col].dataType.simpleString()
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark import StorageLevel
+        from pyspark.errors import AnalysisException
+
+        from .operators.dedup import (
+            dedup_against_index,
+            estimated_jaccard_pairs,
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        spark = batch_df.sparkSession
+        sigs = minhash_signatures(
+            batch_df, text_col, id_col, n_hashes, shingle_k, hash_fn
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+        try:
+            index = spark.read.parquet(f"{index_dir}/*__dir")
+        except AnalysisException:  # first batch: no index yet
+            index = spark.createDataFrame(
+                [], f"`{id_col}` {id_type}, minhash_sig {sig_type}, batch_id long"
+            )
+        index = index.filter(F.col("batch_id") != F.lit(batch_id))
+
+        vs_index = dedup_against_index(
+            batch_df,
+            index.select(id_col, "minhash_sig"),
+            text_col,
+            id_col,
+            threshold=threshold,
+            n_hashes=n_hashes,
+            shingle_k=shingle_k,
+            bands=bands,
+            max_bucket=max_bucket,
+            hash_fn=hash_fn,
+            new_sigs=sigs,
+        )
+        cands = lsh_candidate_pairs(
+            batch_df, text_col, id_col, n_hashes, shingle_k, bands,
+            max_bucket, sigs=sigs, hash_fn=hash_fn,
+        )
+        removed = (
+            estimated_jaccard_pairs(sigs, cands, id_col)
+            .filter(F.col("jaccard_est") >= threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        kept = vs_index.join(removed, id_col, "left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+
+        tag = f"batch={batch_id:020d}__dir"
+        kept.write.mode("overwrite").parquet(f"{output_dir}/{tag}")
+        (
+            sigs.join(kept.select(id_col), id_col, "left_semi")
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/{tag}")
+        )
+        kept.unpersist()
+        sigs.unpersist()
+
+    return sdf.writeStream.foreachBatch(write_batch)
 
 
 def merge_stream_manifest(spark, manifest_dir: str) -> MergingDigest:

@@ -381,3 +381,54 @@ def test_windowed_hll_sliding_membership(spark, tmp_path):
     for r in rows:
         assert r["n_rows"] == 2
         assert abs(r["distinct_est"] - 2.0) < 0.1  # linear-counting regime
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    """Micro-batches dedup against the standing signature index AND
+    within themselves; the index accumulates only survivors'
+    signatures."""
+    src = str(tmp_path / "inc_src")
+    index_dir = str(tmp_path / "inc_index")
+    output_dir = str(tmp_path / "inc_out")
+
+    t_a = "alpha bravo charlie delta echo foxtrot golf hotel"
+    t_c = "india juliet kilo lima mike november oscar papa"
+    t_e = "quebec romeo sierra tango uniform victor whiskey xray"
+
+    def write_file(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    # batch 1: A unique, B an exact near-dup of A (larger id -> removed
+    # within batch), C unique
+    write_file([(1, t_a), (2, t_a), (3, t_c)])
+
+    sdf = spark.readStream.schema("doc_id long, text string").parquet(src)
+    writer = ST.streaming_incremental_dedup(
+        sdf, index_dir, output_dir, threshold=0.8
+    )
+    q = (
+        writer.option("checkpointLocation", str(tmp_path / "inc_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: D duplicates A (cross-batch, must be dropped against
+        # the index), E unique, F duplicates E within the batch
+        write_file([(10, t_a), (11, t_e), (12, t_e)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(f"{output_dir}/*__dir")
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 3, 11]
+
+    idx = spark.read.parquet(f"{index_dir}/*__dir")
+    idx_rows = idx.collect()
+    assert sorted(r["doc_id"] for r in idx_rows) == [1, 3, 11]
+    # index rows carry the batch id and md5-lane signatures
+    by_id = {r["doc_id"]: r for r in idx_rows}
+    assert by_id[1]["batch_id"] == 0 and by_id[11]["batch_id"] == 1
+    assert len(by_id[1]["minhash_sig"]) == 8
