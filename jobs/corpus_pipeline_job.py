@@ -19,6 +19,13 @@ Stages (each a library operator; all narrow or KB-shuffle):
 
 Deterministic end to end: rerunning over the same input produces the
 same curated set and byte-identical digests.
+
+Resumable: with `--resume-dir`, the post-quality and post-dedup
+boundary frames are checkpointed (data parquet first, params-stamped
+marker after), and a re-run with the same args resumes from the last
+completed boundary instead of re-scanning the corpus — the stage-level
+counterpart of `tdigest_spark.checkpoint`'s split-level digest resume.
+A marker whose recorded args differ from the re-run's aborts loudly.
 """
 
 from __future__ import annotations
@@ -87,6 +94,14 @@ def main() -> None:
                          "the curated en slice) and the hashed-feature "
                          "classifier logit")
     ap.add_argument("--classifier-buckets", type=int, default=1 << 20)
+    ap.add_argument("--resume-dir", default=None,
+                    help="optional stage-boundary checkpoint dir: the "
+                         "post-quality and post-dedup boundary frames are "
+                         "saved here and a re-run with the same args "
+                         "resumes from the last completed boundary "
+                         "instead of re-scanning the corpus (stage-level "
+                         "counterpart of tdigest_spark.checkpoint's "
+                         "split-level resume)")
     args = ap.parse_args()
     if args.span_dedup_k == 1:
         # fail BEFORE the Spark session: the operator rejects k < 2, and
@@ -125,148 +140,206 @@ def main() -> None:
         report[f"sec_{stage}"] = round(now - _last[0], 1)
         _last[0] = now
 
-    # 1-2. extract + quality gates
-    raw = spark.read.parquet(args.input)
-    docs = (
-        extract_text_column(raw)
-        .select(
-            "url",
-            "lang",
-            F.col("extracted_text").alias("text"),
-            F.xxhash64("url").alias("doc_id"),
-        )
+    # --- optional stage-boundary resume --------------------------------
+    # A killed long run resumes from the last completed EXPENSIVE
+    # boundary (post-quality, post-dedup) instead of re-scanning the
+    # corpus.  Data parquet is written BEFORE the marker, so a crash
+    # mid-checkpoint recomputes; a marker whose recorded args differ
+    # from this run's aborts (resuming under different upstream args
+    # would silently mix two configurations).  Marker existence goes
+    # through the Hadoop FileSystem API so HDFS/S3 resume dirs work.
+    def _hfs_exists(path: str) -> bool:
+        jp = spark._jvm.org.apache.hadoop.fs.Path(path)
+        return jp.getFileSystem(spark._jsc.hadoopConfiguration()).exists(jp)
+
+    def _stage_boundary(name: str, params: str, compute):
+        if not args.resume_dir:
+            return compute()
+        data = f"{args.resume_dir}/{name}"
+        marker = f"{data}__done"
+        if _hfs_exists(marker):
+            saved = spark.read.json(marker).collect()[0]["params"]
+            if saved != params:
+                raise SystemExit(
+                    f"--resume-dir stage {name!r} was checkpointed under "
+                    f"different args:\n  saved:    {saved}\n  this run: "
+                    f"{params}\nuse a fresh --resume-dir or matching args"
+                )
+            report.setdefault("resumed_stages", []).append(name)
+            out = spark.read.parquet(data)
+            _mark(f"{name}_resume_load")
+            return out
+        out = compute()
+        out.write.mode("overwrite").parquet(data)
+        spark.createDataFrame([(params,)], "params string").coalesce(
+            1
+        ).write.mode("overwrite").json(marker)
+        out.unpersist()  # downstream reads the checkpoint scan instead
+        report.setdefault("checkpointed_stages", []).append(name)
+        _mark(f"{name}_checkpoint_write")
+        return spark.read.parquet(data)
+
+    _q_params = (
+        f"input={args.input}|min_tokens={args.min_tokens}"
+        f"|min_stopword_ratio={args.min_stopword_ratio}"
+        f"|line_dedup_min_docs={args.line_dedup_min_docs}"
     )
-    scored = quality_score(docs)
-    kept = scored.filter(
-        (F.col("n_tokens") >= args.min_tokens)
-        & (F.col("stopword_ratio") >= args.min_stopword_ratio)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    report["n_input"] = raw.count()
-    report["n_quality"] = kept.count()
-    _mark("extract_quality")
+    _c_params = (
+        f"{_q_params}|jaccard={args.jaccard}|verify={args.verify}"
+        f"|n_hashes={args.n_hashes}|minhash_lane={args.minhash_lane}"
+        f"|max_bucket={args.max_bucket}|span_dedup_k={args.span_dedup_k}"
+    )
 
-    # 2.5 (optional) cross-corpus line dedup BEFORE doc-level dedup:
-    #     boilerplate lines inflate near-dup similarity, so RefinedWeb
-    #     removes them first.  Detection shuffles (hash, id) pairs; the
-    #     rewrite join is the one corpus-wide shuffle by doc_id (inherent
-    #     — per-line verdicts must meet the text somewhere).  Docs whose
-    #     every line was boilerplate are dropped.
-    if args.line_dedup_min_docs > 0:
-        from tdigest_spark.operators.dedup import dedup_lines_corpus
-
-        # persist the operator output so detection runs once: the stats
-        # aggregate and the rewrite join both read the cached frame
-        ld = dedup_lines_corpus(
-            kept, "text", "doc_id",
-            min_docs=args.line_dedup_min_docs, hash_fn="xxhash64",
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        report["n_lines_removed"] = ld.agg(
-            F.sum(F.col("n_lines") - F.col("n_lines_kept"))
-        ).collect()[0][0]
-        rewritten = (
-            kept.drop("text")
-            .join(
-                ld.filter(F.col("n_lines_kept") > 0).select(
-                    "doc_id", F.col("clean_text").alias("text")
-                ),
-                "doc_id",
+    def _build_quality():
+        # 1-2. extract + quality gates
+        raw = spark.read.parquet(args.input)
+        docs = (
+            extract_text_column(raw)
+            .select(
+                "url",
+                "lang",
+                F.col("extracted_text").alias("text"),
+                F.xxhash64("url").alias("doc_id"),
             )
-            .filter(F.length("text") > 0)
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        report["n_after_line_dedup"] = rewritten.count()
-        kept.unpersist()
-        ld.unpersist()
-        kept = rewritten
-        _mark("line_dedup")
-
-    # 3. dedup: exact first (cheap), then near-dup on the survivors
-    exact = exact_dedup(kept, ("text",), "doc_id")
-    exact_keep = exact.select(F.col("keep_id").alias("doc_id"))
-    uniq = kept.join(exact_keep, "doc_id", "left_semi").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    report["n_exact_unique"] = uniq.count()
-    _mark("exact_dedup")
-    kept.unpersist()  # uniq is materialized; drop the pre-dedup blocks
-
-    from tdigest_spark.operators.dedup import (
-        estimated_jaccard_pairs,
-        jaccard_pairs,
-        lsh_candidate_pairs,
-        minhash_signatures,
-    )
-
-    sigs = minhash_signatures(
-        uniq, "text", "doc_id", n_hashes=args.n_hashes,
-        hash_fn=args.minhash_lane,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    cands = lsh_candidate_pairs(
-        uniq, "text", "doc_id", n_hashes=args.n_hashes,
-        max_bucket=args.max_bucket, sigs=sigs, hash_fn=args.minhash_lane,
-    )
-    if args.verify == "estimate":
-        verified = estimated_jaccard_pairs(sigs, cands, "doc_id").filter(
-            F.col("jaccard_est") >= args.jaccard
-        )
-    else:
-        verified = jaccard_pairs(uniq, cands, "text", "doc_id").filter(
-            F.col("jaccard") >= args.jaccard
-        )
-    # verified pairs are tiny; materialize them so cluster resolution's
-    # iterations never re-run the verification join
-    pairs = verified.select("id_a", "id_b").persist(StorageLevel.MEMORY_AND_DISK)
-    report["n_near_dup_pairs"] = pairs.count()
-    _mark("lsh_verify")
-    # pairs is materialized — release the dedup operators' internal caches
-    # (signatures, shingle sets) so their disk blocks don't outlive stage 3
-    from tdigest_spark.operators.dedup import release_cached
-
-    release_cached()
-    sigs.unpersist()
-    curated = apply_dedup(uniq, pairs, "doc_id").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    report["n_curated"] = curated.count()
-    _mark("cluster_resolve")
-    uniq.unpersist()
-    pairs.unpersist()
-
-    # 3.4 (optional) corpus-global duplicate-SPAN removal, AFTER doc-level
-    #     dedup (required order: with whole-doc dups already collapsed the
-    #     flagged fraction stays small and the rewrite is cheap).  Rolling
-    #     lane: O(n) NumPy Rabin-Karp window hashing; ids never ride the
-    #     corpus-wide shuffle (bare 8-byte hash count pass).  Docs whose
-    #     every token was boilerplate are dropped; n_tokens is refreshed
-    #     so the profile stage sees post-rewrite counts.
-    if args.span_dedup_k > 0:
-        from tdigest_spark.operators.dedup import dedup_spans_corpus
-
-        sd = dedup_spans_corpus(
-            curated, "text", "doc_id",
-            k=args.span_dedup_k, min_count=2, hash_fn="rolling",
+        scored = quality_score(docs)
+        kept = scored.filter(
+            (F.col("n_tokens") >= args.min_tokens)
+            & (F.col("stopword_ratio") >= args.min_stopword_ratio)
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        report["n_span_tokens_removed"] = sd.agg(
-            F.sum(F.col("n_tokens") - F.col("n_tokens_kept"))
-        ).collect()[0][0]
-        despanned = (
-            curated.drop("text", "n_tokens")
-            .join(
-                sd.filter(F.col("n_tokens_kept") > 0).select(
+        report["n_input"] = raw.count()
+        report["n_quality"] = kept.count()
+        _mark("extract_quality")
+
+        # 2.5 (optional) cross-corpus line dedup BEFORE doc-level dedup:
+        #     boilerplate lines inflate near-dup similarity, so RefinedWeb
+        #     removes them first.  Detection shuffles (hash, id) pairs; the
+        #     rewrite join is the one corpus-wide shuffle by doc_id (inherent
+        #     — per-line verdicts must meet the text somewhere).  Docs whose
+        #     every line was boilerplate are dropped.
+        if args.line_dedup_min_docs > 0:
+            from tdigest_spark.operators.dedup import dedup_lines_corpus
+
+            # persist the operator output so detection runs once: the stats
+            # aggregate and the rewrite join both read the cached frame
+            ld = dedup_lines_corpus(
+                kept, "text", "doc_id",
+                min_docs=args.line_dedup_min_docs, hash_fn="xxhash64",
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            report["n_lines_removed"] = ld.agg(
+                F.sum(F.col("n_lines") - F.col("n_lines_kept"))
+            ).collect()[0][0]
+            rewritten = (
+                kept.drop("text")
+                .join(
+                    ld.filter(F.col("n_lines_kept") > 0).select(
+                        "doc_id", F.col("clean_text").alias("text")
+                    ),
                     "doc_id",
-                    F.col("clean_text").alias("text"),
-                    F.col("n_tokens_kept").alias("n_tokens"),
-                ),
-                "doc_id",
+                )
+                .filter(F.length("text") > 0)
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            report["n_after_line_dedup"] = rewritten.count()
+            kept.unpersist()
+            ld.unpersist()
+            kept = rewritten
+            _mark("line_dedup")
+        return kept
+
+    kept = _stage_boundary("quality", _q_params, _build_quality)
+
+    def _build_curated():
+        # 3. dedup: exact first (cheap), then near-dup on the survivors
+        exact = exact_dedup(kept, ("text",), "doc_id")
+        exact_keep = exact.select(F.col("keep_id").alias("doc_id"))
+        uniq = kept.join(exact_keep, "doc_id", "left_semi").persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        report["n_after_span_dedup"] = despanned.count()
-        curated.unpersist()
-        sd.unpersist()
-        release_cached()  # the operator's internal hashed-frame persist
-        curated = despanned
-        _mark("span_dedup")
+        report["n_exact_unique"] = uniq.count()
+        _mark("exact_dedup")
+        kept.unpersist()  # uniq is materialized; drop the pre-dedup blocks
+
+        from tdigest_spark.operators.dedup import (
+            estimated_jaccard_pairs,
+            jaccard_pairs,
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        sigs = minhash_signatures(
+            uniq, "text", "doc_id", n_hashes=args.n_hashes,
+            hash_fn=args.minhash_lane,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        cands = lsh_candidate_pairs(
+            uniq, "text", "doc_id", n_hashes=args.n_hashes,
+            max_bucket=args.max_bucket, sigs=sigs, hash_fn=args.minhash_lane,
+        )
+        if args.verify == "estimate":
+            verified = estimated_jaccard_pairs(sigs, cands, "doc_id").filter(
+                F.col("jaccard_est") >= args.jaccard
+            )
+        else:
+            verified = jaccard_pairs(uniq, cands, "text", "doc_id").filter(
+                F.col("jaccard") >= args.jaccard
+            )
+        # verified pairs are tiny; materialize them so cluster resolution's
+        # iterations never re-run the verification join
+        pairs = verified.select("id_a", "id_b").persist(StorageLevel.MEMORY_AND_DISK)
+        report["n_near_dup_pairs"] = pairs.count()
+        _mark("lsh_verify")
+        # pairs is materialized — release the dedup operators' internal caches
+        # (signatures, shingle sets) so their disk blocks don't outlive stage 3
+        from tdigest_spark.operators.dedup import release_cached
+
+        release_cached()
+        sigs.unpersist()
+        curated = apply_dedup(uniq, pairs, "doc_id").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        report["n_curated"] = curated.count()
+        _mark("cluster_resolve")
+        uniq.unpersist()
+        pairs.unpersist()
+
+        # 3.4 (optional) corpus-global duplicate-SPAN removal, AFTER doc-level
+        #     dedup (required order: with whole-doc dups already collapsed the
+        #     flagged fraction stays small and the rewrite is cheap).  Rolling
+        #     lane: O(n) NumPy Rabin-Karp window hashing; ids never ride the
+        #     corpus-wide shuffle (bare 8-byte hash count pass).  Docs whose
+        #     every token was boilerplate are dropped; n_tokens is refreshed
+        #     so the profile stage sees post-rewrite counts.
+        if args.span_dedup_k > 0:
+            from tdigest_spark.operators.dedup import dedup_spans_corpus
+
+            sd = dedup_spans_corpus(
+                curated, "text", "doc_id",
+                k=args.span_dedup_k, min_count=2, hash_fn="rolling",
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            report["n_span_tokens_removed"] = sd.agg(
+                F.sum(F.col("n_tokens") - F.col("n_tokens_kept"))
+            ).collect()[0][0]
+            despanned = (
+                curated.drop("text", "n_tokens")
+                .join(
+                    sd.filter(F.col("n_tokens_kept") > 0).select(
+                        "doc_id",
+                        F.col("clean_text").alias("text"),
+                        F.col("n_tokens_kept").alias("n_tokens"),
+                    ),
+                    "doc_id",
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            report["n_after_span_dedup"] = despanned.count()
+            curated.unpersist()
+            sd.unpersist()
+            release_cached()  # the operator's internal hashed-frame persist
+            curated = despanned
+            _mark("span_dedup")
+        return curated
+
+    curated = _stage_boundary("curated", _c_params, _build_curated)
 
     # 3.5 (optional) benchmark decontamination: drop curated docs whose
     #     text collides with the held-out eval set (broadcast n-gram join

@@ -60,3 +60,54 @@ def test_spark_submit_py_files_zip(spark, tmp_path):
     assert out["rows"] == 300
     assert out["splits_built"] >= 1
     assert out["quantiles"]["0.5"] > 0
+
+
+@pytest.mark.slow
+def test_corpus_pipeline_stage_resume(spark, tmp_path):
+    """--resume-dir: run 1 checkpoints the post-quality and post-dedup
+    boundaries; run 2 with the same args resumes BOTH (no upstream
+    recompute) and produces the identical curated output; a run with
+    different upstream args refuses to resume."""
+    from tdigest_spark.sources.webpages import write_webpages
+
+    inp = str(tmp_path / "wp")
+    write_webpages(spark, 200, inp)
+    resume = str(tmp_path / "resume")
+
+    def run(outdir, extra=()):
+        env = dict(os.environ)
+        env["SPARK_DRIVER_MEM"] = "2g"
+        proc = subprocess.run(
+            [
+                "python", os.path.join(REPO, "jobs", "corpus_pipeline_job.py"),
+                "--input", inp, "--output", str(tmp_path / outdir),
+                "--verify", "estimate", "--span-dedup-k", "6",
+                "--resume-dir", resume, *extra,
+            ],
+            capture_output=True, text=True, timeout=420, cwd=REPO, env=env,
+        )
+        return proc
+
+    p1 = run("out1")
+    assert p1.returncode == 0, p1.stderr[-3000:]
+    r1 = json.loads(p1.stdout.strip().splitlines()[-1])
+    assert r1["checkpointed_stages"] == ["quality", "curated"]
+    assert "resumed_stages" not in r1
+
+    p2 = run("out2")
+    assert p2.returncode == 0, p2.stderr[-3000:]
+    r2 = json.loads(p2.stdout.strip().splitlines()[-1])
+    assert r2["resumed_stages"] == ["quality", "curated"]
+    # skipped sections never ran: their counters are absent from run 2
+    assert "n_exact_unique" not in r2 and "n_near_dup_pairs" not in r2
+    # identical curated output either way
+    a = spark.read.parquet(str(tmp_path / "out1"))
+    b = spark.read.parquet(str(tmp_path / "out2"))
+    ids = lambda df: sorted(r["url"] for r in df.select("url").collect())
+    assert ids(a) == ids(b)
+    assert len(ids(a)) > 0
+
+    # changed upstream args must refuse the stale checkpoint
+    p3 = run("out3", extra=("--min-tokens", "25"))
+    assert p3.returncode != 0
+    assert "different args" in (p3.stderr + p3.stdout)
