@@ -406,6 +406,22 @@ def main() -> None:
 
     bench("ann_bruteforce_topk", ann)
 
+    # 7b. product-quantization ANN: numpy encode (production ksub=256
+    # shape scaled to the 64-dim table) + ADC search over the codes table
+    def pq_ann():
+        from tdigest_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        books = pq_train(emb, n_sub=4, ksub=16, iters=5, seed=3)
+        codes = pq_encode(emb, books, lane="numpy")
+        qs = emb.filter((F.col("vec_id") % 50) == 0)
+        pq_topk(codes, qs, books, k=5).collect()
+
+    bench("pq_adc_topk", pq_ann)
+
     # 8. relational baseline (pure Catalyst: scan+filter+agg)
     bench(
         "lineitem_pricing_summary",

@@ -9,6 +9,12 @@ Two paths:
                     candidates = bucket equi-join (shuffles only
                     (id, bucket) pairs), then exact re-rank within
                     candidates.  The scale path when queries are many.
+- ivf_*:            coarse k-means quantizer + nprobe inverted-list
+                    search (train / distributed refine / scan-stage
+                    literal assign / search).
+- pq_*:             product quantization (train / encode / ADC top-k) —
+                    the memory-scale path: vectors compress to n_sub
+                    code bytes and search reads only the codes table.
 
 Dot products use a sequential fold (operators.dedup.dot_col) so results
 are bit-reproducible across engines; hyperplanes are ±1 vectors derived
@@ -389,6 +395,257 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def l2sq_col(a, b):
+    """Sequential-fold squared-L2 distance of two array<double> columns.
+
+    Same accumulation shape as `dot_col`: zip, per-index squared
+    difference, left-to-right add fold — bit-identical to a scalar loop
+    and to DuckDB's `list_sum(list_transform(range(...), ...))`, so PQ
+    codes and ADC distances are engine-neutral (verified in the
+    `pq_adc_topk` oracle)."""
+    av = F.col(a) if isinstance(a, str) else a
+    bv = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(av, bv, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebooks_from_vectors(
+    vectors: Sequence[Sequence[float]], n_sub: int
+) -> list[list[list[float]]]:
+    """Split `ksub` full-dimension code vectors into per-subspace
+    codebooks: codebooks[s][j] = subvector s of vectors[j].  The
+    deterministic quantizer used by the oracle query (code vectors drawn
+    from the corpus itself); `pq_train` produces the same structure by
+    k-means."""
+    if not vectors:
+        raise ValueError("need at least one code vector")
+    dim = len(vectors[0])
+    if dim % n_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    dsub = dim // n_sub
+    return [
+        [[float(x) for x in v[s * dsub : (s + 1) * dsub]] for v in vectors]
+        for s in range(n_sub)
+    ]
+
+
+def pq_train(
+    emb: DataFrame,
+    n_sub: int = 4,
+    ksub: int = 256,
+    vec_col: str = "embedding",
+    iters: int = 10,
+    seed: int = 42,
+    max_sample_per_code: int = 100,
+    sample_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """Driver-side product-quantization training: an independent Lloyd's
+    k-means per subspace over ONE bounded sample (hard-capped at
+    ksub * max_sample_per_code rows regardless of corpus size, same
+    policy as `ivf_train`).  Returns codebooks[n_sub][ksub][dsub].
+
+    PQ is the 100 TB embedding-index scale path: a 64-dim float corpus
+    (256 B/vector) compresses to n_sub code bytes (4–8 B/vector), so the
+    search working set shrinks ~30–60x and the ADC scan reads ONLY the
+    code column — the vectors never leave the parquet files after
+    encoding."""
+    import numpy as np
+
+    cap = int(ksub * max_sample_per_code)
+    sample = emb.select(vec_col)
+    if sample_fraction is not None and sample_fraction < 1.0:
+        sample = sample.sample(fraction=sample_fraction, seed=seed)
+    X = np.array([r[0] for r in sample.limit(cap).collect()], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % n_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    dsub = dim // n_sub
+    rng = np.random.RandomState(seed)
+    books: list[list[list[float]]] = []
+    for s in range(n_sub):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        k = min(ksub, len(Xs))
+        cents = Xs[rng.choice(len(Xs), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                m = assign == c
+                if m.any():
+                    cents[c] = Xs[m].mean(axis=0)
+        books.append([[float(x) for x in c] for c in cents])
+    return books
+
+
+# codegen guard for the literal encode lane: n_sub*ksub struct candidates,
+# each folding dsub literal terms — beyond this, whole-stage codegen blows
+# up and the NumPy lane wins anyway
+PQ_MAX_LITERAL_TERMS = 8192
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+    lane: str = "literal",
+) -> DataFrame:
+    """Product-quantization encode: per subspace, the code is the argmin
+    squared-L2 sub-centroid (ties break toward the lower code id).
+    Returns the NARROW (id_col, out_col array<int>) codes table — the PQ
+    index artifact; at scale this is what gets persisted and scanned.
+
+    Lanes:
+    - "literal" (oracle-neutral): the codebook is embedded as literal
+      arrays and each subspace argmin is a `least()` over (dist, j)
+      structs computed IN THE SCAN STAGE — zero joins, zero Exchange,
+      zero Python; distances are sequential `l2sq_col` folds so codes
+      are bit-reproducible across engines.  Guarded by
+      PQ_MAX_LITERAL_TERMS (n_sub*ksub*dsub literal terms).
+    - "numpy" (production): one Arrow-batched mapInPandas pass; the
+      argmin is a (batch x ksub) matmul per subspace
+      (|x|^2 - 2 x.c + |c|^2), the right shape for ksub=256 production
+      codebooks where 16k literal folds would swamp codegen.  May
+      differ from the literal lane only on sub-ulp distance ties
+      (different accumulation order); argmin tie-break (first minimum =
+      lowest j) matches.
+    """
+    n_sub = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+
+    if lane == "literal":
+        if n_sub * ksub * dsub > PQ_MAX_LITERAL_TERMS:
+            raise ValueError(
+                f"literal lane would embed {n_sub * ksub * dsub} terms "
+                f"(> {PQ_MAX_LITERAL_TERMS}); use lane='numpy'"
+            )
+        # bind each subvector once in its own projection — inlined, every
+        # candidate struct would re-slice it (see CLAUDE.md lambda note)
+        tmp = emb.select(
+            F.col(id_col),
+            *[
+                F.slice(vec_col, s * dsub + 1, dsub).alias(f"__s{s}")
+                for s in range(n_sub)
+            ],
+        )
+        code_cols = []
+        for s in range(n_sub):
+            cands = [
+                F.struct(
+                    l2sq_col(
+                        F.col(f"__s{s}"),
+                        F.array(*[F.lit(float(x)) for x in codebooks[s][j]]),
+                    ).alias("d"),
+                    F.lit(j).alias("j"),
+                )
+                for j in range(ksub)
+            ]
+            best = F.least(*cands) if len(cands) > 1 else cands[0]
+            code_cols.append(best.getField("j"))
+        return tmp.select(F.col(id_col), F.array(*code_cols).alias(out_col))
+
+    if lane != "numpy":
+        raise ValueError(f"unknown lane {lane!r}")
+
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    C = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    cnorms = [(cs * cs).sum(axis=1) for cs in C]
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(X), n_sub), dtype=np.int32)
+            for s in range(n_sub):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                d2 = (Xs * Xs).sum(axis=1)[:, None] - 2.0 * (Xs @ C[s].T) + cnorms[s][None, :]
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, out_col: [c.tolist() for c in codes]}
+            )
+
+    id_type = dict(emb.dtypes)[id_col]
+    return emb.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} {id_type}, {out_col} array<int>"
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """PQ search by asymmetric distance computation (ADC, Jégou et al.
+    2011 "Product quantization for nearest neighbor search"): each query
+    precomputes ONE lookup table per subspace (squared-L2 from its
+    subvector to every sub-centroid, ksub doubles), and a corpus row's
+    approximate distance is then just n_sub table lookups summed —
+    element_at over the code array, no vector math per candidate.
+
+    Plan shape (100 TB): the corpus side is the NARROW codes table
+    (id + n_sub small ints — the embedding column never moves, never
+    even gets scanned); the query side with its LUTs is KB-sized and
+    broadcast; the only shuffle is the per-query top-k window over
+    (query_id, neighbor_id, adc) rows.  LUT folds are sequential
+    (`l2sq_col`) and the adc sum is a fixed left-to-right chain over
+    subspaces, so distances — and therefore ranks — are bit-reproducible
+    across engines.  Ties break by neighbor id; self-matches excluded.
+    Returns (query_id, neighbor_id, rank, adc).
+    """
+    n_sub = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        *[
+            F.slice(vec_col, s * dsub + 1, dsub).alias(f"__qs{s}")
+            for s in range(n_sub)
+        ],
+    )
+    luts = []
+    for s in range(n_sub):
+        entries = [
+            l2sq_col(
+                F.col(f"__qs{s}"),
+                F.array(*[F.lit(float(x)) for x in codebooks[s][j]]),
+            )
+            for j in range(ksub)
+        ]
+        luts.append(F.array(*entries).alias(f"__lut{s}"))
+    q = q.select("query_id", *luts)
+
+    joined = codes.join(F.broadcast(q)).filter(F.col(id_col) != F.col("query_id"))
+    adc = None
+    for s in range(n_sub):
+        term = F.element_at(
+            F.col(f"__lut{s}"), F.element_at(F.col(code_col), s + 1) + F.lit(1)
+        )
+        adc = term if adc is None else adc + term
+    scored = joined.withColumn("adc", adc)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "rank", "adc"
+        )
     )
 
 

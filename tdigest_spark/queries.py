@@ -84,6 +84,8 @@ ANN_QUERY_MOD = 50  # vec_id % 50 == 0 are ANN query points
 ANN_K = 5
 LSH_PLANES = 8
 EMB_DIM = 64
+PQ_NSUB = 4   # product-quantization subspaces (64 dims -> 4 x 16)
+PQ_KSUB = 8   # codes per subspace; codebook = embeddings vec_id < 8
 
 
 def _sorted_stopwords_sql() -> str:
@@ -2765,6 +2767,95 @@ FROM ranked WHERE rank <= {ANN_K}
 """
 
 
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN end-to-end with a deterministic codebook
+    (the embeddings of vec_id < PQ_KSUB serve as code vectors, split into
+    PQ_NSUB subspaces — same sidestep-the-trainer trick as ivf_topk, so
+    encode AND ADC search are both oracle-expressible; the k-means
+    trainer itself is covered by the pytest recall suite).  Encode runs
+    the literal scan-stage lane; distances are sequential squared-L2
+    folds, bit-identical to DuckDB's list_sum/list_transform form, so
+    codes, ADC distances, and therefore ranks all hash-match."""
+    from .operators.similarity import (
+        pq_codebooks_from_vectors,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cb_rows = (
+        emb.filter(F.col("vec_id") < PQ_KSUB).orderBy("vec_id").collect()
+    )
+    books = pq_codebooks_from_vectors([r["embedding"] for r in cb_rows], PQ_NSUB)
+    codes = pq_encode(emb, books, lane="literal")
+    queries_df = emb.filter((F.col("vec_id") % ANN_QUERY_MOD) == 0)
+    out = pq_topk(codes, queries_df, books, k=ANN_K)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("adc", 4).alias("adc")
+    )
+
+
+def _sql_pq_adc_topk() -> str:
+    dsub = EMB_DIM // PQ_NSUB
+
+    def fold(av: str, bv: str, s: int) -> str:
+        lo, hi = s * dsub + 1, (s + 1) * dsub + 1
+        return (
+            f"list_sum(list_transform(range({lo}, {hi}), "
+            f"i -> ({av}[i] - {bv}[i]) * ({av}[i] - {bv}[i])))"
+        )
+
+    dist_cols = ",\n         ".join(
+        f"{fold('e.v', 'cb.v', s)} AS d{s}" for s in range(PQ_NSUB)
+    )
+    enc_ctes = ",\n".join(
+        f"enc{s} AS (\n"
+        f"  SELECT vec_id, j AS c{s} FROM (\n"
+        f"    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id\n"
+        f"                       ORDER BY d{s} ASC, j ASC) AS rk FROM dists\n"
+        f"  ) WHERE rk = 1\n"
+        f")"
+        for s in range(PQ_NSUB)
+    )
+    enc_join = "enc0" + "".join(
+        f" JOIN enc{s} USING (vec_id)" for s in range(1, PQ_NSUB)
+    )
+    adc_terms = " + ".join(fold("q.qv", f"cb{s}.v", s) for s in range(PQ_NSUB))
+    cb_joins = "\n  ".join(
+        f"JOIN cb cb{s} ON cb{s}.j = x.c{s}" for s in range(PQ_NSUB)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cb AS (SELECT CAST(vec_id AS INT) AS j, v FROM e WHERE vec_id < {PQ_KSUB}),
+dists AS (
+  SELECT e.vec_id, cb.j,
+         {dist_cols}
+  FROM e CROSS JOIN cb
+),
+{enc_ctes},
+codes AS (SELECT * FROM {enc_join}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % {ANN_QUERY_MOD} = 0),
+scored AS (
+  SELECT q.query_id, x.vec_id AS neighbor_id,
+         {adc_terms} AS adc_raw
+  FROM q CROSS JOIN codes x
+  {cb_joins}
+  WHERE x.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_raw ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       round(adc_raw, 4) AS adc
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
@@ -3140,6 +3231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "pq_adc_topk": q_pq_adc_topk,
         "binary_meta": q_binary_meta,
         "ahash_near_pairs": q_ahash_near_pairs,
     }
@@ -3212,6 +3304,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce_topk": _SQL_ANN_BRUTEFORCE,
         "ann_lsh_topk": _sql_ann_lsh(),
         "ivf_topk": _SQL_IVF_TOPK,
+        "pq_adc_topk": _sql_pq_adc_topk(),
         "binary_meta": _SQL_BINARY_META,
         "ahash_near_pairs": _sql_ahash_near_pairs(),
     }

@@ -478,3 +478,50 @@ def test_freeze_to_budget_narrow_lane_and_semi_join(docs):
         if head.startswith("(") and "Exchange" in head:
             assert "text#" not in node, head
     assert "SortMergeJoin" not in plan
+
+
+def test_pq_encode_literal_lane_scan_stage_only(spark):
+    """PQ encode (literal lane): codebook embedded as literal arrays,
+    per-subspace argmin resolved with least() over (dist, j) structs —
+    a pure projection with NO Exchange, NO Join, NO Python stage; at
+    100 TB the encode pass is exactly one scan."""
+    from tdigest_spark.operators.similarity import (
+        pq_codebooks_from_vectors,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cb = [r["embedding"] for r in emb.filter(F.col("vec_id") < 4).collect()]
+    out = pq_encode(emb, pq_codebooks_from_vectors(cb, 4))
+    plan = explain_str(out)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_pq_topk_shuffles_codes_not_vectors(spark):
+    """PQ ADC search: the query side (with its distance LUTs) broadcasts;
+    every Exchange carries only (query_id, neighbor ids, codes, adc) —
+    the embedding column never rides a shuffle, and the corpus side of
+    the plan never even materializes vectors past the encode scan."""
+    from tdigest_spark.operators.similarity import (
+        pq_codebooks_from_vectors,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cb = [r["embedding"] for r in emb.filter(F.col("vec_id") < 4).collect()]
+    books = pq_codebooks_from_vectors(cb, 4)
+    codes = pq_encode(emb, books)
+    out = pq_topk(codes, emb.filter(F.col("vec_id") % 50 == 0), books, k=5)
+    plan = explain_str(out, "formatted")
+    assert "BroadcastExchange" in plan
+    for node in plan.split("\n\n"):
+        head = node.split("\n")[0]
+        if node.strip().startswith("(") and "Exchange" in head and "Broadcast" not in head:
+            assert "embedding" not in node, node

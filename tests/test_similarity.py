@@ -271,3 +271,134 @@ def test_semantic_dedup_max_cell_guard(spark):
         for r in S.semantic_dedup(df, _sem_centroids(spark)).collect()
     }
     assert out2[0] and not any(out2[i] for i in range(1, 6))
+
+
+# ---------------------------------------------------------------- PQ
+
+
+def _np_pq_encode(X, books):
+    """Reference PQ encode: direct squared-L2 argmin per subspace."""
+    n_sub = len(books)
+    dsub = len(books[0][0])
+    codes = np.empty((len(X), n_sub), dtype=int)
+    for s in range(n_sub):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        C = np.asarray(books[s])
+        d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d2.argmin(axis=1)
+    return codes
+
+
+def test_pq_codebooks_from_vectors_shape():
+    vecs = [[float(i * 10 + d) for d in range(8)] for i in range(3)]
+    books = S.pq_codebooks_from_vectors(vecs, 4)
+    assert len(books) == 4 and len(books[0]) == 3 and len(books[0][0]) == 2
+    assert books[1][2] == [22.0, 23.0]  # subspace 1 of vector 2
+    with pytest.raises(ValueError):
+        S.pq_codebooks_from_vectors(vecs, 3)  # 8 % 3 != 0
+
+
+def test_pq_encode_lanes_agree_and_match_numpy(emb):
+    df, rows = emb
+    X = np.array([v for _, v in rows])
+    books = S.pq_codebooks_from_vectors([v for _, v in rows[:4]], 4)
+    expect = {i: list(c) for (i, _), c in zip(rows, _np_pq_encode(X, books))}
+    lit = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in S.pq_encode(df, books, lane="literal").collect()
+    }
+    npy = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in S.pq_encode(df.repartition(7), books, lane="numpy").collect()
+    }
+    assert lit == expect
+    assert npy == expect
+
+
+def test_pq_encode_literal_guard():
+    books = [[[0.0] * 64 for _ in range(256)] for _ in range(4)]
+    with pytest.raises(ValueError, match="literal"):
+        S.pq_encode(None, books, lane="literal")
+    with pytest.raises(ValueError, match="lane"):
+        S.pq_encode(None, [[[0.0]]], lane="bogus")
+
+
+def test_pq_topk_matches_numpy_adc(emb):
+    df, rows = emb
+    X = np.array([v for _, v in rows])
+    ids = [i for i, _ in rows]
+    books = S.pq_codebooks_from_vectors([v for _, v in rows[:6]], 4)
+    codes = S.pq_encode(df, books, lane="literal")
+    queries = df.filter(F.col("vec_id").isin([0, 13, 55]))
+    out = S.pq_topk(codes, queries, books, k=4)
+    got: dict[int, list[tuple[int, float]]] = {}
+    for r in sorted(out.collect(), key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["adc"]))
+    np_codes = _np_pq_encode(X, books)
+    n_sub = len(books)
+    dsub = len(books[0][0])
+    for qid in (0, 13, 55):
+        q = X[ids.index(qid)]
+        luts = [
+            ((q[s * dsub : (s + 1) * dsub][None, :] - np.asarray(books[s])) ** 2).sum(
+                axis=1
+            )
+            for s in range(n_sub)
+        ]
+        adc = {
+            i: float(sum(luts[s][np_codes[k][s]] for s in range(n_sub)))
+            for k, i in enumerate(ids)
+            if i != qid
+        }
+        order = sorted(adc.items(), key=lambda t: (t[1], t[0]))[:4]
+        want = [(i, d) for i, d in order]
+        assert [n for n, _ in got[qid]] == [n for n, _ in want]
+        for (gn, gd), (wn, wd) in zip(got[qid], want):
+            assert gd == pytest.approx(wd, rel=1e-9)
+
+
+def test_pq_train_encode_topk_recall(spark):
+    # clustered, normalized vectors: PQ's squared-L2 ranking on the unit
+    # sphere is monotone in cosine, so ADC top-k should mostly agree
+    # with exact cosine top-k
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((6, DIM)) * 4
+    rows = []
+    for i in range(240):
+        v = centers[i % 6] + rng.standard_normal(DIM) * 0.3
+        v = v / np.linalg.norm(v)
+        rows.append((i, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = S.pq_train(df, n_sub=4, ksub=16, iters=8, seed=3)
+    assert len(books) == 4 and len(books[0]) == 16 and len(books[0][0]) == DIM // 4
+    codes = S.pq_encode(df, books, lane="numpy")
+    queries = df.filter(F.col("vec_id") < 5)
+    approx = S.pq_topk(codes, queries, books, k=10)
+    # quantization can't resolve fine WITHIN-cluster ranks (that's the
+    # point — 4 code bytes per vector), so the contract tested is
+    # neighborhood recovery: top-k neighbors come from the query's true
+    # cluster, like exact search's do
+    a: dict[int, list[int]] = {}
+    for r in approx.collect():
+        a.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    same_cluster = np.mean(
+        [np.mean([n % 6 == q % 6 for n in ns]) for q, ns in a.items()]
+    )
+    assert same_cluster >= 0.9, same_cluster
+    # and coarse agreement with exact top-k is well above chance (10/239)
+    exact = S.cosine_topk(df, queries, k=10)
+    e: dict[int, set[int]] = {}
+    for r in exact.collect():
+        e.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = np.mean([len(set(a[q]) & e[q]) / 10 for q in e])
+    assert recall >= 0.3, recall
+
+
+def test_pq_encode_partitioning_invariant(emb):
+    df, rows = emb
+    books = S.pq_codebooks_from_vectors([v for _, v in rows[:4]], 2)
+    one = sorted(map(tuple, S.pq_encode(df, books, lane="numpy").collect()))
+    many = sorted(
+        map(tuple, S.pq_encode(df.repartition(17), books, lane="numpy").collect())
+    )
+    assert [(i, list(c)) for i, c in one] == [(i, list(c)) for i, c in many]
