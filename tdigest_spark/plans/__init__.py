@@ -53,6 +53,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+        # keep saveAsTable artifacts (bucketed tables) out of the repo cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/tmp/tdigest_spark_warehouse"
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

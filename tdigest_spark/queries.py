@@ -3046,6 +3046,50 @@ SELECT source, 'en_only' AS op FROM (
 """
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (pre-shuffled) storage end-to-end: two projections of the
+    documents table are persisted bucketBy(doc_id) to external locations
+    under /tmp, read back THROUGH THE CATALOG (spark.table — a plain
+    parquet read would lose the layout), and equi-joined on the bucket
+    column — a join that plans with zero Exchange (asserted in
+    tests/test_bucketed.py; here the gate checks the values survive the
+    layout round-trip).  Integer sums keep the aggregate exact."""
+    import hashlib as _hl
+
+    from .sources.bucketed import write_bucketed
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/tdigest_bucketed_q_{tag}"
+    write_bucketed(
+        docs.select("doc_id", "lang"), "bkt_q_left", "doc_id", 4,
+        path=f"{base}/l",
+    )
+    write_bucketed(
+        docs.select("doc_id", "n_chars"), "bkt_q_right", "doc_id", 4,
+        path=f"{base}/r",
+    )
+    joined = spark.table("bkt_q_left").join(spark.table("bkt_q_right"), "doc_id")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SQL_BUCKETED_JOIN = """
+SELECT l.lang,
+       CAST(SUM(r.n_chars) AS BIGINT) AS sum_chars,
+       COUNT(*) AS n_docs
+FROM (SELECT doc_id, lang FROM documents) l
+JOIN (SELECT doc_id, n_chars FROM documents) r USING (doc_id)
+GROUP BY l.lang ORDER BY l.lang
+"""
+
+
 def q_token_freq_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF surface: LATERAL token_freq(text) over a doc sample."""
     from .operators.udtfs import register_udtfs
@@ -3210,6 +3254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunking": q_doc_chunking,
         "boilerplate_ngram_flags": q_boilerplate_ngram_flags,
         "source_set_ops": q_source_set_ops,
+        "bucketed_join": q_bucketed_join,
         "token_freq_udtf": q_token_freq_udtf,
         "dedup_exact": q_dedup_exact,
         "line_dedup_corpus": q_line_dedup_corpus,
@@ -3283,6 +3328,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunking": _sql_doc_chunking(),
         "boilerplate_ngram_flags": _sql_boilerplate_ngram_flags(),
         "source_set_ops": _SQL_SOURCE_SET_OPS,
+        "bucketed_join": _SQL_BUCKETED_JOIN,
         "token_freq_udtf": _SQL_TOKEN_FREQ_UDTF,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "line_dedup_corpus": _SQL_LINE_DEDUP_CORPUS,

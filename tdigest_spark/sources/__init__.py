@@ -1,9 +1,11 @@
-"""Sources: deterministic web-pages synthesis + testdata loaders."""
+"""Sources: deterministic web-pages synthesis, testdata loaders, and
+bucketed (pre-shuffled) table storage."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .bucketed import bucket_spec, write_bucketed
 from .webpages import (
     WEBPAGES_SCHEMA,
     extract_text,
@@ -37,4 +39,6 @@ __all__ = [
     "TESTDATA_TABLES",
     "load_table",
     "register_testdata_views",
+    "write_bucketed",
+    "bucket_spec",
 ]
