@@ -496,11 +496,14 @@ def pq_encode(
     vec_col: str = "embedding",
     out_col: str = "pq_code",
     lane: str = "literal",
+    extra_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Product-quantization encode: per subspace, the code is the argmin
     squared-L2 sub-centroid (ties break toward the lower code id).
-    Returns the NARROW (id_col, out_col array<int>) codes table — the PQ
-    index artifact; at scale this is what gets persisted and scanned.
+    Returns the NARROW (id_col, *extra_cols, out_col array<int>) codes
+    table — the PQ index artifact; at scale this is what gets persisted
+    and scanned.  `extra_cols` passes through additional small columns
+    (e.g. the IVF cell for an IVFPQ index) without widening the scan.
 
     Lanes:
     - "literal" (oracle-neutral): the codebook is embedded as literal
@@ -531,6 +534,7 @@ def pq_encode(
         # candidate struct would re-slice it (see CLAUDE.md lambda note)
         tmp = emb.select(
             F.col(id_col),
+            *[F.col(c) for c in extra_cols],
             *[
                 F.slice(vec_col, s * dsub + 1, dsub).alias(f"__s{s}")
                 for s in range(n_sub)
@@ -550,7 +554,11 @@ def pq_encode(
             ]
             best = F.least(*cands) if len(cands) > 1 else cands[0]
             code_cols.append(best.getField("j"))
-        return tmp.select(F.col(id_col), F.array(*code_cols).alias(out_col))
+        return tmp.select(
+            F.col(id_col),
+            *[F.col(c) for c in extra_cols],
+            F.array(*code_cols).alias(out_col),
+        )
 
     if lane != "numpy":
         raise ValueError(f"unknown lane {lane!r}")
@@ -572,13 +580,20 @@ def pq_encode(
                 Xs = X[:, s * dsub : (s + 1) * dsub]
                 d2 = (Xs * Xs).sum(axis=1)[:, None] - 2.0 * (Xs @ C[s].T) + cnorms[s][None, :]
                 codes[:, s] = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].values, out_col: [c.tolist() for c in codes]}
-            )
+            out = {id_col: pdf[id_col].values}
+            for c in extra_cols:
+                out[c] = pdf[c].values
+            out[out_col] = [c.tolist() for c in codes]
+            yield pd.DataFrame(out)
 
-    id_type = dict(emb.dtypes)[id_col]
-    return emb.select(id_col, vec_col).mapInPandas(
-        encode, schema=f"{id_col} {id_type}, {out_col} array<int>"
+    types = dict(emb.dtypes)
+    fields = ", ".join(
+        [f"{id_col} {types[id_col]}"]
+        + [f"{c} {types[c]}" for c in extra_cols]
+        + [f"{out_col} array<int>"]
+    )
+    return emb.select(id_col, *extra_cols, vec_col).mapInPandas(
+        encode, schema=fields
     )
 
 
@@ -646,6 +661,113 @@ def pq_topk(
         .select(
             "query_id", F.col(id_col).alias("neighbor_id"), "rank", "adc"
         )
+    )
+
+
+def ivf_pq_index(
+    emb: DataFrame,
+    centroids: DataFrame,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lane: str = "literal",
+) -> DataFrame:
+    """Build the IVFPQ index table (id, ivf_cell, pq_code): coarse-cell
+    assignment (scan-stage literal argmin for small quantizers, see
+    `ivf_assign`) composed with PQ encoding — with the literal lanes both
+    steps live in the same scan stage, so the WHOLE index build is one
+    pass over the corpus with zero Exchange (asserted in test_plans).
+    This is the classic billion-scale ANN layout (FAISS IVFPQ): the cell
+    prunes candidates, the code makes each candidate's distance a few
+    table lookups."""
+    assigned = ivf_assign(
+        emb.select(F.col(id_col), F.col(vec_col)), centroids, id_col, vec_col
+    )
+    return pq_encode(
+        assigned, codebooks, id_col, vec_col, lane=lane, extra_cols=["ivf_cell"]
+    )
+
+
+def ivf_pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """IVFPQ search: each query probes its `nprobe` nearest coarse cells
+    (cosine to the centroids, same metric as assignment) and ranks ONLY
+    the codes in those cells by ADC distance.  vs `pq_topk` the candidate
+    set shrinks ~nprobe/n_cells; vs `ivf_topk` each candidate costs n_sub
+    lookups instead of a full-dimension dot product and the corpus side
+    carries codes, not vectors.
+
+    Plan shape (100 TB): the index table `codes` (from `ivf_pq_index`)
+    is the only corpus-sized input — scanned once, cell-equi-joined
+    against the KB-sized broadcast probe set; the embedding column never
+    appears.  LUTs are per-PROBE-row (nprobe duplicates per query) —
+    redundant folds on a tiny frame, beats an extra join.  Deterministic
+    tie-breaks (cell by centroid id, rank by neighbor id) and sequential
+    folds keep results engine-exact.  Returns
+    (query_id, neighbor_id, rank, adc)."""
+    n_sub = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+
+    cents = centroids.select(
+        F.col("centroid_id").alias("cid"), F.col("centroid").alias("cv")
+    ).withColumn("cn", norm_col(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("qn", norm_col(F.col("qv")))
+    scored_cells = q.join(F.broadcast(cents)).withColumn(
+        "__sim", dot_col("qv", "cv") / (F.col("qn") * F.col("cn"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("cid"))
+    probes = (
+        scored_cells.withColumn("__rk", F.row_number().over(wc))
+        .filter(F.col("__rk") <= nprobe)
+        .select(
+            "query_id",
+            F.col("cid").alias(cell_col),
+            *[
+                F.slice("qv", s * dsub + 1, dsub).alias(f"__qs{s}")
+                for s in range(n_sub)
+            ],
+        )
+    )
+    luts = []
+    for s in range(n_sub):
+        entries = [
+            l2sq_col(
+                F.col(f"__qs{s}"),
+                F.array(*[F.lit(float(x)) for x in codebooks[s][j]]),
+            )
+            for j in range(ksub)
+        ]
+        luts.append(F.array(*entries).alias(f"__lut{s}"))
+    probes = probes.select("query_id", cell_col, *luts)
+
+    cand = codes.join(F.broadcast(probes), cell_col).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    adc = None
+    for s in range(n_sub):
+        term = F.element_at(
+            F.col(f"__lut{s}"), F.element_at(F.col(code_col), s + 1) + F.lit(1)
+        )
+        adc = term if adc is None else adc + term
+    scored = cand.withColumn("adc", adc)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "adc")
     )
 
 

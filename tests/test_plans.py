@@ -525,3 +525,27 @@ def test_pq_topk_shuffles_codes_not_vectors(spark):
         head = node.split("\n")[0]
         if node.strip().startswith("(") and "Exchange" in head and "Broadcast" not in head:
             assert "embedding" not in node, node
+
+
+def test_ivf_pq_index_build_is_one_scan(spark):
+    """IVFPQ index build (literal lanes): cell assignment AND code
+    quantization both live in the scan stage — the entire corpus-sized
+    index materializes in ONE pass with no Exchange, Join, or Python."""
+    from tdigest_spark.operators.similarity import (
+        ivf_pq_index,
+        pq_codebooks_from_vectors,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.filter(F.col("vec_id") % 97 == 1).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    cb = [r["embedding"] for r in emb.filter(F.col("vec_id") < 4).collect()]
+    out = ivf_pq_index(emb, cents, pq_codebooks_from_vectors(cb, 4))
+    plan = explain_str(out)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan

@@ -402,3 +402,37 @@ def test_pq_encode_partitioning_invariant(emb):
         map(tuple, S.pq_encode(df.repartition(17), books, lane="numpy").collect())
     )
     assert [(i, list(c)) for i, c in one] == [(i, list(c)) for i, c in many]
+
+
+def test_ivf_pq_index_and_topk(spark, emb):
+    df, rows = emb
+    cents = df.filter(F.col("vec_id") % 9 == 1).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    books = S.pq_codebooks_from_vectors([v for _, v in rows[:6]], 4)
+    codes = S.ivf_pq_index(df, cents, books)
+    assert set(codes.columns) == {"vec_id", "ivf_cell", "pq_code"}
+    queries = df.filter(F.col("vec_id").isin([0, 13, 55]))
+    n_cells = cents.count()
+    # probing EVERY cell makes IVFPQ == flat PQ exactly (same ADC algebra)
+    full = S.ivf_pq_topk(codes, queries, cents, books, k=4, nprobe=n_cells)
+    flat = S.pq_topk(
+        codes.select("vec_id", "pq_code"), queries, books, k=4
+    )
+    a = sorted(map(tuple, full.collect()))
+    b = sorted(map(tuple, flat.collect()))
+    assert a == b
+    # nprobe=1: every neighbor lies in its query's own nearest cell
+    one = S.ivf_pq_topk(codes, queries, cents, books, k=4, nprobe=1)
+    cell_of = {r["vec_id"]: r["ivf_cell"] for r in codes.collect()}
+    X = {i: np.asarray(v) for i, v in rows}
+    C = {r["centroid_id"]: np.asarray(r["centroid"]) for r in cents.collect()}
+    def best_cell(v):
+        sims = {
+            cid: float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c)))
+            for cid, c in C.items()
+        }
+        return max(sorted(sims), key=lambda cid: (sims[cid], -cid))
+    for r in one.collect():
+        assert cell_of[r["neighbor_id"]] == best_cell(X[r["query_id"]])
