@@ -664,6 +664,52 @@ def pq_topk(
     )
 
 
+def random_project(
+    emb: DataFrame,
+    out_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+    seed: int = 42,
+    dim: int | None = None,
+    scale: bool = True,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection with a deterministic ±1
+    matrix (Achlioptas 2003, "Database-friendly random projections":
+    sign matrices satisfy the JL guarantee with the same distortion
+    bounds as Gaussian ones).  Row i of the matrix is `hyperplanes`'
+    md5-derived ±1 vector, so the projection is a pure function of
+    (out_dim, dim, seed) — engine-neutral and literal-embeddable in
+    oracle SQL.
+
+    Each output coordinate is one sequential `dot_col` fold against a
+    literal ±1 array, computed IN THE SCAN STAGE: no Exchange, no
+    Python, out_dim x dim multiply-adds per row inside whole-stage
+    codegen.  With `scale` (default) entries are divided by
+    sqrt(out_dim) so squared distances are unbiased estimates of the
+    originals.  At 100 TB this is the cheap pre-step that turns a
+    768-dim float corpus into a 64-dim one before LSH/IVF/PQ indexing —
+    a 12x shuffle/state reduction for every downstream similarity op.
+
+    `dim` is required for the same reason as `lsh_cosine_topk`:
+    inferring it would run a scan job before the plan even builds.
+    Returns (id_col, out_col array<double>).
+    """
+    if dim is None:
+        raise ValueError(
+            "pass dim= explicitly (embedding width); inferring it would run "
+            "a scan job before planning"
+        )
+    planes = hyperplanes(out_dim, dim, seed)
+    v = F.col(vec_col)
+    denom = float(out_dim) ** 0.5 if scale else 1.0
+    coords = [
+        (dot_col(v, F.array(*[F.lit(float(x)) for x in p])) / F.lit(denom))
+        for p in planes
+    ]
+    return emb.select(F.col(id_col), F.array(*coords).alias(out_col))
+
+
 def ivf_pq_index(
     emb: DataFrame,
     centroids: DataFrame,

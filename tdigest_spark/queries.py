@@ -2967,6 +2967,52 @@ FROM ranked WHERE rank <= {ANN_K}
 """
 
 
+RP_OUT_DIM = 8
+
+
+def q_random_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64 -> 8 dims over the full embeddings table:
+    the deterministic md5-derived ±1 matrix is embedded as literals in
+    BOTH engines, coordinates are sequential dot folds (bit-identical to
+    DuckDB's list_sum form), elements rounded to 4 for the hash."""
+    from .operators.similarity import random_project
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = random_project(emb, RP_OUT_DIM, dim=EMB_DIM)
+    # + 0.0 collapses IEEE -0.0 to 0.0: Spark's round drops the sign of
+    # negative near-zeros, DuckDB's keeps it — both are valid, the hash
+    # is not amused
+    return out.select(
+        "vec_id",
+        F.transform("projected", lambda x: F.round(x, 4) + F.lit(0.0)).alias(
+            "projected"
+        ),
+    )
+
+
+def _sql_random_project() -> str:
+    from .operators.similarity import hyperplanes
+
+    planes = hyperplanes(RP_OUT_DIM, EMB_DIM, seed=42)
+    denom = repr(float(RP_OUT_DIM) ** 0.5)
+    coords = []
+    for p in planes:
+        arr = "[" + ", ".join(f"{float(x):.1f}" for x in p) + "]"
+        coords.append(
+            f"round(list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+            f"i -> v[i] * ({arr}::DOUBLE[])[i])) / {denom}, 4) + 0.0"
+        )
+    proj = "[" + ",\n        ".join(coords) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id,
+       {proj} AS projected
+FROM e
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
@@ -3389,6 +3435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "pq_adc_topk": q_pq_adc_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
+        "random_project": q_random_project,
         "binary_meta": q_binary_meta,
         "ahash_near_pairs": q_ahash_near_pairs,
     }
@@ -3464,6 +3511,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _SQL_IVF_TOPK,
         "pq_adc_topk": _sql_pq_adc_topk(),
         "ivf_pq_topk": _sql_ivf_pq_topk(),
+        "random_project": _sql_random_project(),
         "binary_meta": _SQL_BINARY_META,
         "ahash_near_pairs": _sql_ahash_near_pairs(),
     }

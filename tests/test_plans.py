@@ -549,3 +549,19 @@ def test_ivf_pq_index_build_is_one_scan(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "Python" not in plan
+
+
+def test_random_project_scan_stage_only(spark):
+    """JL projection: out_dim literal +-1 folds in the scan stage — no
+    Exchange, no Join, no Python; the pre-step that shrinks every
+    downstream similarity shuffle stays free of shuffles itself."""
+    from tdigest_spark.operators.similarity import random_project
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = random_project(emb, 8, dim=64)
+    plan = explain_str(out)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan

@@ -436,3 +436,40 @@ def test_ivf_pq_index_and_topk(spark, emb):
         return max(sorted(sims), key=lambda cid: (sims[cid], -cid))
     for r in one.collect():
         assert cell_of[r["neighbor_id"]] == best_cell(X[r["query_id"]])
+
+
+# ---------------------------------------------------------------- JL projection
+
+
+def test_random_project_matches_numpy(emb):
+    df, rows = emb
+    out = S.random_project(df, 6, dim=DIM, seed=7)
+    got = {r["vec_id"]: np.asarray(r["projected"]) for r in out.collect()}
+    P = np.asarray(S.hyperplanes(6, DIM, seed=7), dtype=float)
+    for i, v in rows:
+        want = P @ np.asarray(v) / np.sqrt(6)
+        assert np.allclose(got[i], want, rtol=1e-12), i
+    assert all(len(p) == 6 for p in got.values())
+
+
+def test_random_project_preserves_distances_loosely(emb):
+    # JL with a +-1 matrix: squared distances are unbiased; at
+    # out_dim=12 of 16 the relative error stays moderate on average
+    df, rows = emb
+    out = {r["vec_id"]: np.asarray(r["projected"])
+           for r in S.random_project(df, 12, dim=DIM, seed=3).collect()}
+    X = {i: np.asarray(v) for i, v in rows}
+    rng = np.random.default_rng(0)
+    errs = []
+    for _ in range(200):
+        a, b = rng.choice(80, size=2, replace=False)
+        d_true = ((X[a] - X[b]) ** 2).sum()
+        d_proj = ((out[a] - out[b]) ** 2).sum()
+        errs.append(abs(d_proj - d_true) / d_true)
+    assert np.mean(errs) < 0.5, np.mean(errs)
+
+
+def test_random_project_requires_dim(emb):
+    df, _ = emb
+    with pytest.raises(ValueError, match="dim"):
+        S.random_project(df, 4)
