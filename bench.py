@@ -406,8 +406,8 @@ def main() -> None:
 
     bench("ann_bruteforce_topk", ann)
 
-    # 7b. product-quantization ANN: numpy encode (production ksub=256
-    # shape scaled to the 64-dim table) + ADC search over the codes table
+    # 7b. product-quantization ANN: arrow encode (the zero-object-alloc
+    # production lane) + ADC search over the codes table
     def pq_ann():
         from tdigest_spark.operators.similarity import (
             pq_encode,
@@ -416,7 +416,7 @@ def main() -> None:
         )
 
         books = pq_train(emb, n_sub=4, ksub=16, iters=5, seed=3)
-        codes = pq_encode(emb, books, lane="numpy")
+        codes = pq_encode(emb, books, lane="arrow")
         qs = emb.filter((F.col("vec_id") % 50) == 0)
         pq_topk(codes, qs, books, k=5).collect()
 

@@ -473,3 +473,37 @@ def test_random_project_requires_dim(emb):
     df, _ = emb
     with pytest.raises(ValueError, match="dim"):
         S.random_project(df, 4)
+
+
+def test_pq_encode_arrow_lane_matches_numpy(emb):
+    df, rows = emb
+    books = S.pq_codebooks_from_vectors([v for _, v in rows[:5]], 4)
+    npy = sorted(
+        (r["vec_id"], tuple(r["pq_code"]))
+        for r in S.pq_encode(df, books, lane="numpy").collect()
+    )
+    arw = sorted(
+        (r["vec_id"], tuple(r["pq_code"]))
+        for r in S.pq_encode(df.repartition(5), books, lane="arrow").collect()
+    )
+    assert npy == arw
+    # extra_cols pass through the arrow lane too
+    df2 = df.withColumn("tag", F.col("vec_id") % 3)
+    out = S.pq_encode(df2, books, lane="arrow", extra_cols=["tag"]).collect()
+    assert all(r["tag"] == r["vec_id"] % 3 for r in out)
+
+
+def test_pq_encode_arrow_lane_rejects_nulls_and_ragged(spark):
+    books = [[[0.0, 0.0]], [[0.0, 0.0]]]  # dim 4
+    bad_null = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, None)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="non-null"):
+        S.pq_encode(bad_null, books, lane="arrow").collect()
+    bad_ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="uniform width"):
+        S.pq_encode(bad_ragged, books, lane="arrow").collect()

@@ -40,6 +40,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 LENS = "/tmp/tdigest_scaling_corpus4m_lens"
 CORPUS = "/tmp/tdigest_scaling_corpus4m"
+VECS = "/tmp/tdigest_scaling_vecs13m"
+VECS_FILES, VECS_ROWS_PER_FILE, VECS_DIM = 128, 100_000, 64
+
+
+def ensure_vec_corpus() -> None:
+    """Deterministic 12.8M x 64 float32 vector corpus in 128 files (one
+    RNG stream per file so regeneration is order-independent)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    if len(glob.glob(os.path.join(VECS, "*.parquet"))) == VECS_FILES:
+        return
+    os.makedirs(VECS, exist_ok=True)
+    for f in range(VECS_FILES):
+        rng = np.random.default_rng(1000 + f)
+        X = rng.standard_normal((VECS_ROWS_PER_FILE, VECS_DIM), dtype=np.float32)
+        ids = np.arange(VECS_ROWS_PER_FILE, dtype=np.int64) + f * VECS_ROWS_PER_FILE
+        t = pa.table({
+            "vec_id": pa.array(ids),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(X.reshape(-1)), VECS_DIM
+            ),
+        })
+        papq.write_table(t, os.path.join(VECS, f"part{f:03d}.parquet"))
 
 
 def worker(
@@ -104,6 +129,31 @@ def worker(
                 F.max(F.try_element_at("__wh", F.lit(1))).alias("h"),
             ).collect()
             return int(r[0]["n"])
+    elif jobname == "pqencode":
+        # PQ index encode (production arrow lane, ksub=256 x n_sub=8):
+        # the IVFPQ build pass over an embedding corpus.  Codebook is
+        # rebuilt identically per executor from a fixed seed (KB-sized;
+        # on a cluster it broadcasts once).  Embarrassingly parallel per
+        # slice; the consuming agg folds every code so nothing prunes.
+        import numpy as np
+
+        from tdigest_spark.operators.similarity import pq_encode
+
+        rng = np.random.default_rng(42)
+        books = [rng.standard_normal((256, 8)).tolist() for _ in range(8)]
+
+        def job() -> int:
+            df = spark.read.parquet(*files).select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+            )
+            codes = pq_encode(df, books, lane="arrow")
+            r = codes.agg(
+                F.count("*").alias("n"),
+                F.sum(F.aggregate(
+                    "pq_code", F.lit(0).cast("long"), lambda a, x: a + x
+                )).alias("h"),
+            ).collect()
+            return int(r[0]["n"])
     elif jobname in ("minhash", "minhashroll"):
         # LSH dedup stage 1: the MinHash signature build (the
         # pipeline-dominant stage in the 4M-doc curation run) — md5 JVM
@@ -161,6 +211,12 @@ def run_level(n: int, files: list[str], runs: int, jobname: str = "digest") -> d
     groups: list[list[str]] = [[] for _ in range(n)]
     for i, f in enumerate(sorted(files)):
         groups[i % n].append(f)
+    # a 1-core executor gets 1 BLAS thread: unpinned, OpenBLAS grabs its
+    # MAX_THREADS inside every worker and the low level borrows idle cores
+    # the high level doesn't have — inflating lo throughput and corrupting
+    # the ratio (this is executor semantics, not a benchmark trick)
+    env = dict(os.environ, OPENBLAS_NUM_THREADS="1", OMP_NUM_THREADS="1",
+               MKL_NUM_THREADS="1")
     procs = []
     for idx in range(n):
         procs.append(
@@ -169,6 +225,7 @@ def run_level(n: int, files: list[str], runs: int, jobname: str = "digest") -> d
                  str(idx), str(n), barrier_dir, str(runs), jobname]
                 + groups[idx],
                 stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+                env=env,
             )
         )
     # release the barrier once every executor reports ready; a worker
@@ -218,13 +275,16 @@ def main() -> None:
     ap.add_argument("--levels", default="4,16")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument(
-        "--job", default="digest", choices=("digest", "minhash", "minhashroll", "decon", "spanroll"),
+        "--job", default="digest",
+        choices=("digest", "minhash", "minhashroll", "decon", "spanroll", "pqencode"),
         help="digest: grouped t-digest partial build over the _lens table; "
         "minhash: LSH dedup stage-1 signature build over the text corpus; "
         "decon: eval-set n-gram decontamination flags over the text corpus "
         "(benchmark parquet from $DECON_BENCH, default /tmp/decon_bench_4m); "
         "spanroll: span-dedup stage-1 rolling window-hash build; "
-        "minhashroll: signature build on the O(n) rolling lane",
+        "minhashroll: signature build on the O(n) rolling lane; "
+        "pqencode: PQ index encode (arrow lane, ksub=256) over the "
+        "self-bootstrapping 12.8M-vector corpus",
     )
     ap.add_argument(
         "--files-cap", type=int, default=0,
@@ -242,7 +302,10 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    if args.job in ("minhash", "minhashroll", "decon", "spanroll"):
+    if args.job == "pqencode":
+        ensure_vec_corpus()
+        files = glob.glob(os.path.join(VECS, "*.parquet"))
+    elif args.job in ("minhash", "minhashroll", "decon", "spanroll"):
         files = glob.glob(os.path.join(CORPUS, "*", "*.parquet"))
         if not files:
             raise SystemExit(f"no corpus at {CORPUS}; run bench_scaling.py once")
