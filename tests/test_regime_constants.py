@@ -122,3 +122,38 @@ def test_singleton_regime_holds_on_actual_lang_groups(sf_dir):
         f"non-singleton centroid over {len(vals)} rows at DOCS_DELTA="
         f"{Q.DOCS_DELTA} ({sf_dir})"
     )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_ann_constants_match_embeddings_table(sf_dir):
+    """The ANN oracles pin structural constants to the embeddings table:
+    EMB_DIM must equal the actual vector width (the JL matrix, LSH
+    hyperplanes, and PQ subspace slicing are all literal in that width),
+    the PQ codebook needs vec_id 0..PQ_KSUB-1 present, EMB_DIM divisible
+    by PQ_NSUB, and the deterministic centroid/query selectors must be
+    non-empty."""
+    con = duckdb.connect()
+    emb = f"'{sf_dir}/embeddings.parquet'"
+    dim = _one(con, f"SELECT min(len(embedding)) FROM {emb}")
+    dim_max = _one(con, f"SELECT max(len(embedding)) FROM {emb}")
+    assert dim == dim_max == Q.EMB_DIM, (
+        f"EMB_DIM={Q.EMB_DIM} vs actual width [{dim}, {dim_max}] at {sf_dir}"
+    )
+    assert Q.EMB_DIM % Q.PQ_NSUB == 0
+    cb_ids = _one(
+        con,
+        f"SELECT count(DISTINCT vec_id) FROM {emb} WHERE vec_id < {Q.PQ_KSUB}",
+    )
+    assert cb_ids == Q.PQ_KSUB, (
+        f"PQ codebook needs vec_id 0..{Q.PQ_KSUB - 1}; found {cb_ids}"
+    )
+    n_cents = _one(
+        con, f"SELECT count(*) FROM {emb} WHERE vec_id % {Q.IVF_CENT_MOD} = 1"
+    )
+    n_queries = _one(
+        con, f"SELECT count(*) FROM {emb} WHERE vec_id % {Q.ANN_QUERY_MOD} = 0"
+    )
+    assert n_cents >= Q.IVF_NPROBE, n_cents
+    assert n_queries >= 1, n_queries
+    nulls = _one(con, f"SELECT count(*) FROM {emb} WHERE embedding IS NULL")
+    assert nulls == 0, f"{nulls} NULL embeddings at {sf_dir}"
