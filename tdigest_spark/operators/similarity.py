@@ -108,10 +108,18 @@ def lsh_cosine_topk(
     n_planes: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    n_probes: int = 1,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: exact re-rank restricted to corpus
-    vectors in the query's hyperplane bucket.  Recall < 1 by construction;
-    multiplying probes (bit-flip neighbors) is the standard extension.
+    vectors in the query's hyperplane bucket(s).  Recall < 1 by
+    construction; `n_probes` > 1 enables multi-probe LSH (Lv et al.
+    2007): the QUERY side additionally probes the buckets at Hamming
+    distance 1 from its own (each single hyperplane flipped), trading
+    nprobe x candidate volume for recall WITHOUT duplicating the corpus
+    index — only the tiny broadcast query side fans out, the corpus
+    still carries one bucket key per vector.  n_probes caps at
+    n_planes + 1 (own bucket + every 1-bit flip); probe order is
+    deterministic (own bucket, then flips in plane order).
 
     `dim` is required: inferring it would cost a first() job over the
     corpus before the plan even builds (a full scan stage at 100 TB)."""
@@ -119,6 +127,10 @@ def lsh_cosine_topk(
         raise ValueError(
             "pass dim= explicitly (embedding width); inferring it would run "
             "a scan job before planning"
+        )
+    if not 1 <= n_probes <= n_planes + 1:
+        raise ValueError(
+            f"n_probes must be in [1, n_planes + 1 = {n_planes + 1}]"
         )
     planes = hyperplanes(n_planes, dim, seed)
     c = emb.select(
@@ -131,6 +143,24 @@ def lsh_cosine_topk(
         F.col(vec_col).alias("qv"),
         lsh_bucket_col(vec_col, planes).alias("bucket"),
     ).withColumn("qn", norm_col(F.col("qv")))
+    if n_probes > 1:
+        own = F.col("bucket")
+        probe_exprs = [own]
+        for i in range(n_probes - 1):
+            flipped = F.when(
+                F.substring(own, i + 1, 1) == "1", F.lit("0")
+            ).otherwise(F.lit("1"))
+            probe_exprs.append(
+                F.concat(F.substring(own, 1, i), flipped,
+                         F.substring(own, i + 2, n_planes - i - 1))
+            )
+        q = (
+            q.withColumn("bucket", F.explode(F.array(*probe_exprs)))
+        )
+    # no dedup needed: probe buckets are pairwise-distinct strings and a
+    # corpus vector lives in exactly one bucket, so (query, neighbor)
+    # pairs are unique by construction — a dropDuplicates here would add
+    # a whole shuffle for nothing
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -812,6 +842,35 @@ def random_project(
     return emb.select(F.col(id_col), F.array(*coords).alias(out_col))
 
 
+def ivf_residual_frame(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its coarse cell and replace the vector with
+    its RESIDUAL (x − centroid) — all JVM: scan-stage cell assignment
+    plus a broadcast centroid join and a zip_with subtraction, no
+    Exchange of the corpus.  Residuals are what FAISS-style IVFPQ
+    actually quantizes: they concentrate near the origin, so the same
+    code budget spends its resolution where the in-cell geometry lives
+    instead of re-encoding the cell mean every row.  Returns the input
+    columns with `vec_col` replaced and `ivf_cell` appended — feed it to
+    `pq_train` (residual codebooks) and `pq_encode`."""
+    assigned = ivf_assign(
+        emb.select(F.col(id_col), F.col(vec_col)), centroids, id_col, vec_col
+    )
+    cents = centroids.select(
+        F.col("centroid_id").alias("ivf_cell"), F.col("centroid").alias("__cv")
+    )
+    return (
+        assigned.join(F.broadcast(cents), "ivf_cell")
+        .withColumn(vec_col, F.zip_with(vec_col, "__cv", lambda x, c: x - c))
+        .drop("__cv")
+        .select(F.col(id_col), F.col("ivf_cell"), F.col(vec_col))
+    )
+
+
 def ivf_pq_index(
     emb: DataFrame,
     centroids: DataFrame,
@@ -819,6 +878,7 @@ def ivf_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     lane: str = "literal",
+    residual: bool = False,
 ) -> DataFrame:
     """Build the IVFPQ index table (id, ivf_cell, pq_code): coarse-cell
     assignment (scan-stage literal argmin for small quantizers, see
@@ -827,10 +887,19 @@ def ivf_pq_index(
     pass over the corpus with zero Exchange (asserted in test_plans).
     This is the classic billion-scale ANN layout (FAISS IVFPQ): the cell
     prunes candidates, the code makes each candidate's distance a few
-    table lookups."""
-    assigned = ivf_assign(
-        emb.select(F.col(id_col), F.col(vec_col)), centroids, id_col, vec_col
-    )
+    table lookups.
+
+    `residual=True` quantizes x − centroid(cell) instead of x (the FAISS
+    default; see `ivf_residual_frame`) — pass codebooks TRAINED ON
+    RESIDUALS (`pq_train(ivf_residual_frame(...))`) and search with
+    `ivf_pq_topk(..., residual=True)`.  The residual join is a broadcast
+    of the KB-sized centroid table, still zero corpus Exchange."""
+    if residual:
+        assigned = ivf_residual_frame(emb, centroids, id_col, vec_col)
+    else:
+        assigned = ivf_assign(
+            emb.select(F.col(id_col), F.col(vec_col)), centroids, id_col, vec_col
+        )
     return pq_encode(
         assigned, codebooks, id_col, vec_col, lane=lane, extra_cols=["ivf_cell"]
     )
@@ -847,6 +916,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     code_col: str = "pq_code",
     cell_col: str = "ivf_cell",
+    residual: bool = False,
 ) -> DataFrame:
     """IVFPQ search: each query probes its `nprobe` nearest coarse cells
     (cosine to the centroids, same metric as assignment) and ranks ONLY
@@ -862,7 +932,13 @@ def ivf_pq_topk(
     redundant folds on a tiny frame, beats an extra join.  Deterministic
     tie-breaks (cell by centroid id, rank by neighbor id) and sequential
     folds keep results engine-exact.  Returns
-    (query_id, neighbor_id, rank, adc)."""
+    (query_id, neighbor_id, rank, adc).
+
+    `residual=True` matches an index built with residual quantization:
+    each probe's LUT is computed from (q − centroid of THAT cell), so
+    the ADC distance approximates |q − (centroid + decoded residual)|²
+    per cell — the FAISS IVFPQ search rule.  The per-probe LUT structure
+    already pays for this: residual only changes what gets sliced."""
     n_sub = len(codebooks)
     ksub = len(codebooks[0])
     dsub = len(codebooks[0][0])
@@ -877,14 +953,19 @@ def ivf_pq_topk(
         "__sim", dot_col("qv", "cv") / (F.col("qn") * F.col("cn"))
     )
     wc = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("cid"))
+    lut_src = (
+        F.zip_with("qv", "cv", lambda x, c: x - c) if residual else F.col("qv")
+    )
     probes = (
         scored_cells.withColumn("__rk", F.row_number().over(wc))
         .filter(F.col("__rk") <= nprobe)
+        # bind the (possibly residual) LUT source once — sliced n_sub times
+        .withColumn("__lsrc", lut_src)
         .select(
             "query_id",
             F.col("cid").alias(cell_col),
             *[
-                F.slice("qv", s * dsub + 1, dsub).alias(f"__qs{s}")
+                F.slice("__lsrc", s * dsub + 1, dsub).alias(f"__qs{s}")
                 for s in range(n_sub)
             ],
         )

@@ -565,3 +565,31 @@ def test_random_project_scan_stage_only(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "Python" not in plan
+
+
+def test_ivf_pq_residual_build_no_corpus_shuffle(spark):
+    """Residual IVFPQ index build: the centroid subtraction is a
+    BROADCAST join + zip_with — the corpus itself still never
+    exchanges (the only Exchange allowed is the broadcast)."""
+    from tdigest_spark.operators.similarity import (
+        ivf_pq_index,
+        pq_codebooks_from_vectors,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.filter(F.col("vec_id") % 97 == 1).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    cb = [r["embedding"] for r in emb.filter(F.col("vec_id") < 4).collect()]
+    out = ivf_pq_index(
+        emb, cents, pq_codebooks_from_vectors(cb, 4), residual=True
+    )
+    plan = explain_str(out, "formatted")
+    assert "BroadcastHashJoin" in plan
+    for node in plan.split("\n\n"):
+        head = node.split("\n")[0]
+        if node.strip().startswith("(") and "Exchange" in head:
+            assert "Broadcast" in head, node

@@ -507,3 +507,134 @@ def test_pq_encode_arrow_lane_rejects_nulls_and_ragged(spark):
     )
     with pytest.raises(Exception, match="uniform width"):
         S.pq_encode(bad_ragged, books, lane="arrow").collect()
+
+
+def test_lsh_multiprobe_recall_monotone(emb):
+    """Multi-probe LSH: candidate sets grow monotonically with n_probes
+    (own bucket ⊆ +1-bit flips ⊆ ...), so results converge toward exact
+    top-k; at n_probes = n_planes+1 with few planes the probed space is
+    most of the corpus."""
+    df, rows = emb
+    queries = df.filter(F.col("vec_id").isin([0, 7, 33]))
+
+    def hits(n_probes):
+        out = S.lsh_cosine_topk(
+            df, queries, k=5, n_planes=4, seed=42, dim=DIM, n_probes=n_probes
+        )
+        got: dict[int, set[int]] = {}
+        for r in out.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return got
+
+    exact = {q: set(_np_topk(rows, q, 5)) for q in (0, 7, 33)}
+    r1 = hits(1)
+    r5 = hits(5)
+    rec1 = sum(len(r1.get(q, set()) & exact[q]) for q in exact)
+    rec5 = sum(len(r5.get(q, set()) & exact[q]) for q in exact)
+    assert rec5 >= rec1
+    # every returned pair is unique (no dup candidates from probing)
+    out5 = S.lsh_cosine_topk(
+        df, queries, k=100, n_planes=4, seed=42, dim=DIM, n_probes=5
+    ).collect()
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in out5]
+    assert len(pairs) == len(set(pairs))
+    with pytest.raises(ValueError, match="n_probes"):
+        S.lsh_cosine_topk(df, queries, k=5, n_planes=4, dim=DIM, n_probes=6)
+
+
+def test_ivf_pq_residual_matches_numpy(spark):
+    """Residual IVFPQ vs a NumPy reference of the full rule: assign by
+    cosine, quantize x - centroid, ADC-rank with per-cell query
+    residual LUTs."""
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((3, DIM)) * 4
+    rows = [
+        (i, (centers[i % 3] + rng.standard_normal(DIM) * 0.4).tolist())
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents_rows = [(c, centers[c].tolist()) for c in range(3)]
+    cents = spark.createDataFrame(
+        cents_rows, "centroid_id int, centroid array<double>"
+    )
+    res = S.ivf_residual_frame(df, cents)
+    books = S.pq_train(res, n_sub=4, ksub=8, iters=6, seed=2)
+    codes = S.ivf_pq_index(df, cents, books, lane="numpy", residual=True)
+    queries = df.filter(F.col("vec_id").isin([0, 11]))
+    out = S.ivf_pq_topk(
+        codes, queries, cents, books, k=4, nprobe=3, residual=True
+    )
+
+    # NumPy reference
+    X = {i: np.asarray(v) for i, v in rows}
+    C = np.vstack([c for _, c in cents_rows])
+
+    def cell_of(v):
+        cos = (C @ v) / (np.linalg.norm(C, axis=1) * np.linalg.norm(v))
+        return int(np.lexsort((np.arange(3), -cos))[0])
+
+    cells = {i: cell_of(v) for i, v in X.items()}
+    R = {i: X[i] - C[cells[i]] for i in X}
+    np_codes = {
+        i: _np_pq_encode(R[i][None, :], books)[0] for i in X
+    }
+    dsub = DIM // 4
+    got: dict[int, list[tuple[int, float]]] = {}
+    for r in sorted(out.collect(), key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["adc"]))
+    for qid in (0, 11):
+        q = X[qid]
+        adc = {}
+        for i in X:
+            if i == qid:
+                continue
+            qr = q - C[cells[i]]  # nprobe=3 probes every cell
+            d = 0.0
+            for s in range(4):
+                cb = np.asarray(books[s][np_codes[i][s]])
+                d += ((qr[s * dsub : (s + 1) * dsub] - cb) ** 2).sum()
+            adc[i] = d
+        want = sorted(adc.items(), key=lambda t: (t[1], t[0]))[:4]
+        assert [n for n, _ in got[qid]] == [n for n, _ in want], qid
+        for (gn, gd), (wn, wd) in zip(got[qid], want):
+            assert gd == pytest.approx(wd, rel=1e-9)
+
+
+def test_ivf_pq_residual_tightens_quantization(spark):
+    """Residual quantization reconstructs vectors strictly better than
+    raw quantization at equal code budget on clustered data (the reason
+    FAISS quantizes residuals)."""
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((4, DIM)) * 6
+    rows = [
+        (i, (centers[i % 4] + rng.standard_normal(DIM) * 0.5).tolist())
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(c, centers[c].tolist()) for c in range(4)],
+        "centroid_id int, centroid array<double>",
+    )
+    X = np.vstack([v for _, v in rows])
+
+    def mse(codes_df, books, use_residual):
+        cells = {r["vec_id"]: r["ivf_cell"] for r in codes_df.collect()}
+        codes = {r["vec_id"]: list(r["pq_code"]) for r in codes_df.collect()}
+        dsub = DIM // len(books)
+        tot = 0.0
+        for i, v in rows:
+            rec = np.concatenate(
+                [np.asarray(books[s][codes[i][s]]) for s in range(len(books))]
+            )
+            if use_residual:
+                rec = rec + centers[cells[i]]
+            tot += ((np.asarray(v) - rec) ** 2).sum()
+        return tot / len(rows)
+
+    raw_books = S.pq_train(df, n_sub=4, ksub=8, iters=6, seed=2)
+    raw_codes = S.ivf_pq_index(df, cents, raw_books, lane="numpy")
+    res_books = S.pq_train(
+        S.ivf_residual_frame(df, cents), n_sub=4, ksub=8, iters=6, seed=2
+    )
+    res_codes = S.ivf_pq_index(df, cents, res_books, lane="numpy", residual=True)
+    assert mse(res_codes, res_books, True) < mse(raw_codes, raw_books, False)
