@@ -36,6 +36,13 @@ Two composable pieces:
   verified near-dup in the index or a smaller-id near-dup in the
   batch, then appends survivors + their signatures; replay-idempotent
   per-batch subdirectory writes.
+
+- streaming_semantic_dedup: the embedding-space sibling — each trigger
+  coarse-quantizes the batch (scan-stage ivf_assign), drops vectors
+  with an in-cell cosine near-dup in the standing index or a
+  smaller-id in-cell near-dup within the batch (SemDeDup keep rule),
+  then appends survivors + their cells to the index; same
+  replay-idempotent batch-subdirectory contract.
 """
 
 from __future__ import annotations
@@ -453,6 +460,142 @@ def streaming_incremental_dedup(
         )
         kept.unpersist()
         sigs.unpersist()
+
+    return sdf.writeStream.foreachBatch(write_batch)
+
+
+def streaming_semantic_dedup(
+    sdf: DataFrame,
+    centroids: DataFrame,
+    index_dir: str,
+    output_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_cell: int | None = None,
+):
+    """Streaming SemDeDup of an unbounded embedding stream against a
+    standing cell-partitioned vector index — the semantic sibling of
+    `streaming_incremental_dedup` (paraphrases and re-posts that share
+    no tokens still dedup).
+
+    Per micro-batch (foreachBatch):
+      1. coarse-quantize the batch with the FIXED `centroids` quantizer
+         (scan-stage literal argmin — `similarity.ivf_assign`; the
+         quantizer must stay frozen for the life of the index, since
+         cells are the join keys);
+      2. drop batch vectors with an IN-CELL cosine near-dup
+         (>= `threshold`) in the index — the probe is a cell equi-join,
+         so each trigger touches only the index cells the batch lands
+         in, not the whole history;
+      3. drop within-batch smaller-id in-cell near-dups (the SemDeDup
+         keep-min rule; EXISTS semantics — chains collapse per the
+         `semantic_dedup` docstring);
+      4. append survivors' rows to `output_dir` and their
+         (id, cell, vector) to `index_dir`, tagged with the batch id.
+
+    Exactly-once under restarts: identical contract to
+    `streaming_incremental_dedup` — both writes overwrite their own
+    ``batch=<id>__dir`` subdirectory and the index read excludes the
+    current batch id, so a replayed trigger never self-dedups.  Earlier
+    batches win ties (arrival order).
+
+    `max_cell` guards degenerate piles exactly like `semantic_dedup`:
+    batch cells larger than it are excluded from BOTH the index probe
+    and within-batch pairing (their rows pass through) — counted before
+    any pair materializes.
+
+    100 TB shape: unlike the MinHash index (~100 B/doc), this index
+    carries the vectors themselves (they are what the verify needs) —
+    partition the index directory by ivf_cell at real scale so the
+    per-trigger probe prunes to the batch's cells at the FILE level
+    too.  Seed a pre-existing corpus by writing its assigned frame
+    (id, ivf_cell, vector, batch_id=-1) under
+    ``{index_dir}/batch=seed__dir``.
+
+    Returns a DataStreamWriter — caller sets checkpointLocation and
+    starts it."""
+    cent_rows = [
+        (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
+        for r in centroids.collect()
+    ]
+    id_type = sdf.schema[id_col].dataType.simpleString()
+    vec_type = sdf.schema[vec_col].dataType.simpleString()
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark import StorageLevel
+        from pyspark.errors import AnalysisException
+
+        from .operators.dedup import dot_col, embedding_near_dup, norm_col
+        from .operators.similarity import ivf_assign
+
+        spark = batch_df.sparkSession
+        cents = spark.createDataFrame(
+            cent_rows, "centroid_id int, centroid array<double>"
+        )
+        assigned = ivf_assign(
+            batch_df.select(id_col, vec_col), cents, id_col, vec_col
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+        pairable = assigned
+        if max_cell is not None:
+            ok_cells = (
+                assigned.groupBy("ivf_cell")
+                .agg(F.count("*").alias("__n"))
+                .filter(F.col("__n") <= max_cell)
+                .select("ivf_cell")
+            )
+            pairable = assigned.join(F.broadcast(ok_cells), "ivf_cell")
+
+        try:
+            index = spark.read.parquet(f"{index_dir}/*__dir")
+        except AnalysisException:  # first batch: no index yet
+            index = spark.createDataFrame(
+                [],
+                f"`{id_col}` {id_type}, ivf_cell int, "
+                f"`{vec_col}` {vec_type}, batch_id long",
+            )
+        index = index.filter(F.col("batch_id") != F.lit(batch_id))
+
+        idx = index.select(
+            F.col("ivf_cell"), F.col(vec_col).alias("__iv")
+        ).withColumn("__in", norm_col(F.col("__iv")))
+        probe = pairable.withColumn("__bn", norm_col(F.col(vec_col)))
+        vs_index = (
+            probe.join(idx, "ivf_cell")
+            .filter(
+                dot_col(vec_col, "__iv") / (F.col("__bn") * F.col("__in"))
+                >= threshold
+            )
+            .select(id_col)
+            .distinct()
+        )
+
+        within = (
+            embedding_near_dup(
+                pairable, id_col, vec_col,
+                block_col="ivf_cell", threshold=threshold,
+            )
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+
+        kept = (
+            assigned.join(vs_index, id_col, "left_anti")
+            .join(within, id_col, "left_anti")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+        tag = f"batch={batch_id:020d}__dir"
+        kept.write.mode("overwrite").parquet(f"{output_dir}/{tag}")
+        (
+            kept.select(id_col, "ivf_cell", vec_col)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/{tag}")
+        )
+        kept.unpersist()
+        assigned.unpersist()
 
     return sdf.writeStream.foreachBatch(write_batch)
 

@@ -432,3 +432,67 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     by_id = {r["doc_id"]: r for r in idx_rows}
     assert by_id[1]["batch_id"] == 0 and by_id[11]["batch_id"] == 1
     assert len(by_id[1]["minhash_sig"]) == 8
+
+
+def test_streaming_semantic_dedup(spark, tmp_path):
+    """Embedding micro-batches dedup in-cell against the standing vector
+    index AND within themselves (SemDeDup keep-min rule); the index
+    accumulates only survivors' (id, cell, vector)."""
+    import numpy as np
+
+    src = str(tmp_path / "sem_src")
+    index_dir = str(tmp_path / "sem_index")
+    output_dir = str(tmp_path / "sem_out")
+
+    dim = 8
+    e = np.eye(dim)
+    cents = spark.createDataFrame(
+        [(0, e[0].tolist()), (1, e[1].tolist())],
+        "centroid_id int, centroid array<double>",
+    )
+
+    def write_file(rows):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: A in cell 0; B a scaled copy of A (cosine 1, larger id ->
+    # removed within batch); C orthogonal-ish in cell 1
+    va = (e[0] + 0.05 * e[2]).tolist()
+    vc = (e[1] + 0.05 * e[3]).tolist()
+    write_file([(1, va), (2, (np.asarray(va) * 3).tolist()), (3, vc)])
+
+    sdf = spark.readStream.schema("vec_id long, embedding array<double>").parquet(src)
+    writer = ST.streaming_semantic_dedup(
+        sdf, cents, index_dir, output_dir, threshold=0.95
+    )
+    q = writer.option("checkpointLocation", str(tmp_path / "sem_ckpt")).start()
+    try:
+        q.processAllAvailable()
+        # batch 2: D duplicates A (cross-batch, dropped against the
+        # index); E a new direction in cell 0 far from A (kept); F a
+        # scaled copy of E (within-batch, dropped)
+        ve = (e[0] + 0.9 * e[4]).tolist()
+        write_file([
+            (10, (np.asarray(va) * 0.5).tolist()),
+            (11, ve),
+            (12, (np.asarray(ve) * 2).tolist()),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(f"{output_dir}/*__dir")
+    kept = sorted(r["vec_id"] for r in out.collect())
+    assert kept == [1, 3, 11]
+
+    idx = spark.read.parquet(f"{index_dir}/*__dir")
+    rows = {r["vec_id"]: r for r in idx.collect()}
+    assert sorted(rows) == [1, 3, 11]
+    assert rows[1]["ivf_cell"] == 0 and rows[3]["ivf_cell"] == 1
+    assert rows[1]["batch_id"] == 0 and rows[11]["batch_id"] == 1
+    # sanity: E really is far from A in cosine (kept for the right reason)
+    cos = float(
+        np.dot(va, ve) / (np.linalg.norm(va) * np.linalg.norm(ve))
+    )
+    assert cos < 0.95
