@@ -2967,6 +2967,134 @@ FROM ranked WHERE rank <= {ANN_K}
 """
 
 
+def q_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFPQ (the FAISS-default quantization rule) end-to-end:
+    same deterministic centroids and codebook-row ids as ivf_pq_topk,
+    but the codebook is built from the RESIDUALS of vec_id < PQ_KSUB,
+    corpus codes quantize x − centroid(cell), and each probe's ADC LUT
+    uses q − centroid(probe cell).  Every float op is a composition of
+    the already-gated subtraction/fold algebra, so the whole rule
+    hash-matches."""
+    from .operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_topk,
+        ivf_residual_frame,
+        pq_codebooks_from_vectors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.filter((F.col("vec_id") % IVF_CENT_MOD) == 1).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    res = ivf_residual_frame(emb, cents)
+    cb_rows = res.filter(F.col("vec_id") < PQ_KSUB).orderBy("vec_id").collect()
+    books = pq_codebooks_from_vectors([r["embedding"] for r in cb_rows], PQ_NSUB)
+    codes = ivf_pq_index(emb, cents, books, residual=True)
+    queries_df = emb.filter((F.col("vec_id") % ANN_QUERY_MOD) == 0)
+    out = ivf_pq_topk(
+        codes, queries_df, cents, books, k=ANN_K, nprobe=IVF_NPROBE,
+        residual=True,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("adc", 4).alias("adc")
+    )
+
+
+def _sql_ivf_pq_residual_topk() -> str:
+    dsub = EMB_DIM // PQ_NSUB
+
+    def fold(av: str, cv: str, bv: str, s: int) -> str:
+        # ((a[i] - centroid[i]) - code[i])^2 summed over subspace s
+        lo, hi = s * dsub + 1, (s + 1) * dsub + 1
+        return (
+            f"list_sum(list_transform(range({lo}, {hi}), "
+            f"i -> (({av}[i] - {cv}[i]) - {bv}[i]) * "
+            f"(({av}[i] - {cv}[i]) - {bv}[i])))"
+        )
+
+    dist_cols = ",\n         ".join(
+        f"{fold('a.v', 'ac.cv', 'cb.v', s)} AS d{s}" for s in range(PQ_NSUB)
+    )
+    enc_ctes = ",\n".join(
+        f"enc{s} AS (\n"
+        f"  SELECT vec_id, j AS c{s} FROM (\n"
+        f"    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id\n"
+        f"                       ORDER BY d{s} ASC, j ASC) AS rk FROM dists\n"
+        f"  ) WHERE rk = 1\n"
+        f")"
+        for s in range(PQ_NSUB)
+    )
+    enc_join = "enc0" + "".join(
+        f" JOIN enc{s} USING (vec_id)" for s in range(1, PQ_NSUB)
+    )
+    adc_terms = " + ".join(
+        fold("p.qv", "pc.cv", f"cb{s}.v", s) for s in range(PQ_NSUB)
+    )
+    cb_joins = "\n  ".join(
+        f"JOIN cbres cb{s} ON cb{s}.j = x.c{s}" for s in range(PQ_NSUB)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e
+          WHERE vec_id % {IVF_CENT_MOD} = 1),
+assigned AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT e.vec_id, e.v, cents.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, cents.cv) DESC,
+                                       cents.cid ASC) AS rk
+    FROM e CROSS JOIN cents
+  ) WHERE rk = 1
+),
+cbres AS (
+  SELECT CAST(a.vec_id AS INT) AS j,
+         list_transform(range(1, {EMB_DIM + 1}), i -> a.v[i] - c.cv[i]) AS v
+  FROM assigned a JOIN cents c ON c.cid = a.cell
+  WHERE a.vec_id < {PQ_KSUB}
+),
+dists AS (
+  SELECT a.vec_id, cb.j,
+         {dist_cols}
+  FROM assigned a JOIN cents ac ON ac.cid = a.cell
+  CROSS JOIN cbres cb
+),
+{enc_ctes},
+codes AS (SELECT * FROM (SELECT vec_id, cell FROM assigned)
+          JOIN ({enc_join}) USING (vec_id)),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % {ANN_QUERY_MOD} = 0),
+probes AS (
+  SELECT query_id, qv, cid AS cell FROM (
+    SELECT q.query_id, q.qv, cents.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(q.qv, cents.cv) DESC,
+                                       cents.cid ASC) AS rk
+    FROM q CROSS JOIN cents
+  ) WHERE rk <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, x.vec_id AS neighbor_id,
+         {adc_terms} AS adc_raw
+  FROM probes p
+  JOIN cents pc ON pc.cid = p.cell
+  JOIN codes x ON x.cell = p.cell
+  {cb_joins}
+  WHERE x.vec_id != p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_raw ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       round(adc_raw, 4) AS adc
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
 RP_OUT_DIM = 8
 
 
@@ -3435,6 +3563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "pq_adc_topk": q_pq_adc_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
+        "ivf_pq_residual_topk": q_ivf_pq_residual_topk,
         "random_project": q_random_project,
         "binary_meta": q_binary_meta,
         "ahash_near_pairs": q_ahash_near_pairs,
@@ -3511,6 +3640,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _SQL_IVF_TOPK,
         "pq_adc_topk": _sql_pq_adc_topk(),
         "ivf_pq_topk": _sql_ivf_pq_topk(),
+        "ivf_pq_residual_topk": _sql_ivf_pq_residual_topk(),
         "random_project": _sql_random_project(),
         "binary_meta": _SQL_BINARY_META,
         "ahash_near_pairs": _sql_ahash_near_pairs(),
