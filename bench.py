@@ -43,7 +43,12 @@ def main() -> None:
     from tdigest_spark import queries as Q
     from tdigest_spark.sources import load_table
 
-    spark = get_spark(app_name="tdigest_spark-bench")
+    spark = get_spark(
+        app_name="tdigest_spark-bench",
+        # keep every stage in the status store so per-query shuffle-byte
+        # deltas (shuffle_totals) never lose stages between snapshots
+        extra_conf={"spark.ui.retainedStages": "100000"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + the Python worker pool (one trivial pandas-UDF stage
@@ -82,8 +87,10 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     from tdigest_spark.operators.dedup import release_cached
+    from tdigest_spark.plans import shuffle_totals
 
     timings_first: dict[str, float] = {}
+    shuffle_mb: dict[str, float] = {}
 
     def bench(name: str, fn, n_trials: int = 2) -> None:
         # Two trials per query, min reported.  fn() rebuilds the whole
@@ -95,12 +102,17 @@ def main() -> None:
         # is still emitted as cold_sec.
         trials: list[float] = []
         for trial in range(n_trials):
+            sw0, _ = shuffle_totals(spark)
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
             if trial == 0:
                 timings_first[name] = round(dt, 3)
             trials.append(dt)
+            # measured shuffle volume of one run (write side; read ==
+            # write in local mode) — the quantitative plan audit
+            sw1, _ = shuffle_totals(spark)
+            shuffle_mb[name] = round((sw1 - sw0) / 1e6, 3)
             # stage boundary: drop operator-internal persisted
             # intermediates.  Leaked cache blocks are NOT free on later
             # queries — measured 2x slowdown on the queries following the
@@ -462,6 +474,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "shuffle_mb": shuffle_mb,
         "cold_sec": round(sum(timings_first.values()), 3),
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "rows": {"lineitem": n_li, "documents": n_docs},

@@ -66,6 +66,28 @@ def get_spark(
     return b.getOrCreate()
 
 
+def shuffle_totals(spark: SparkSession) -> tuple[int, int]:
+    """Cumulative (shuffle_write_bytes, shuffle_read_bytes) across every
+    stage the app-status store still retains.  Diff two snapshots around
+    a query to MEASURE its shuffle volume — the quantitative check on
+    the plan-audit promises (a 'no corpus shuffle' claim should show up
+    here as KBs, not GBs).  Long sessions should raise
+    spark.ui.retainedStages so old stages don't age out between the two
+    snapshots."""
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()  # type: ignore[attr-defined]
+    jvm = sc._jvm  # type: ignore[attr-defined]
+    empty = jvm.java.util.Collections.emptyList()
+    dbl0 = sc._gateway.new_array(jvm.double, 0)  # type: ignore[attr-defined]
+    stages = store.stageList(empty, False, False, dbl0, empty)
+    w = r = 0
+    for i in range(stages.size()):
+        s = stages.apply(i)
+        w += s.shuffleWriteBytes()
+        r += s.shuffleReadBytes()
+    return int(w), int(r)
+
+
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     """Return the physical plan as a string (df.explain prints to stdout)."""
     return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]

@@ -593,3 +593,18 @@ def test_ivf_pq_residual_build_no_corpus_shuffle(spark):
         head = node.split("\n")[0]
         if node.strip().startswith("(") and "Exchange" in head:
             assert "Broadcast" in head, node
+
+
+def test_shuffle_totals_measures_exchange_volume(spark, docs):
+    """shuffle_totals: a groupBy moves bytes, a pure projection moves
+    none — the measured counterpart of every string-level plan audit
+    in this file."""
+    from tdigest_spark.plans import shuffle_totals
+
+    w0, _ = shuffle_totals(spark)
+    docs.groupBy("lang").count().collect()
+    w1, _ = shuffle_totals(spark)
+    assert w1 > w0
+    docs.select((F.col("n_chars") + 1).alias("x")).limit(5).collect()
+    w2, _ = shuffle_totals(spark)
+    assert w2 == w1  # narrow projection + CollectLimit: zero shuffle
