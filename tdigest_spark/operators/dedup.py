@@ -1709,3 +1709,51 @@ def apply_dedup(
     clusters = resolve_dup_clusters(pairs, id_col)
     drop = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
     return df.join(drop, id_col, "left_anti")
+
+
+def crawl_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    content_col: str = "text",
+    status_col: str = "status",
+) -> DataFrame:
+    """Snapshot diff between two crawls of the same keyspace: per key,
+    `status` is one of 'new' (only in `new`), 'gone' (only in `old`),
+    'changed' (both, different content), 'same' (both, identical
+    content).  The monthly-crawl bookkeeping primitive — feed 'new' +
+    'changed' keys into the incremental-dedup/index path and retire
+    'gone' ones.
+
+    Scale shape: each side reduces IN THE SCAN STAGE to one
+    (key, md5(content)) row per key (duplicate keys within a snapshot
+    collapse to their MIN content hash — deterministic, order-free), so
+    the full-outer join ships 16-byte hashes, never content.  NULL
+    content hashes to a reserved marker, distinct from every real md5,
+    so NULL vs NULL compares 'same' and NULL vs text 'changed'.
+    Returns (key_col, status_col).
+    """
+    marker = F.lit("#null#")  # not a hex digest -> collides with nothing
+
+    def side(df: DataFrame, out: str) -> DataFrame:
+        h = F.when(
+            F.col(content_col).isNull(), marker
+        ).otherwise(F.md5(F.col(content_col).cast("string")))
+        return (
+            df.select(F.col(key_col).alias("__k"), h.alias("__h"))
+            .groupBy("__k")
+            .agg(F.min("__h").alias(out))
+        )
+
+    o = side(old, "__ho")
+    n = side(new, "__hn")
+    joined = o.join(n, "__k", "full_outer")
+    status = (
+        F.when(F.col("__ho").isNull(), F.lit("new"))
+        .when(F.col("__hn").isNull(), F.lit("gone"))
+        .when(F.col("__ho") == F.col("__hn"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        F.col("__k").alias(key_col), status.alias(status_col)
+    )

@@ -3095,6 +3095,61 @@ FROM ranked WHERE rank <= {ANN_K}
 """
 
 
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl snapshot diff: documents vs a deterministically mutated
+    re-crawl (every 7th doc gone, every 5th-mod-1 changed, every 11th
+    re-added under a new id) — per-key status new/gone/changed/same.
+    Content compare is md5-in-engine; only the status crosses engines."""
+    from .operators.dedup import crawl_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = (
+        docs.filter((F.col("doc_id") % 7) != 0)
+        .withColumn(
+            "text",
+            F.when(
+                (F.col("doc_id") % 5) == 1,
+                F.concat(F.col("text"), F.lit(" v2")),
+            ).otherwise(F.col("text")),
+        )
+        .unionAll(
+            docs.filter((F.col("doc_id") % 11) == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                "text", "lang", "source", "n_chars",
+            )
+        )
+    )
+    return crawl_diff(docs, new, key_col="doc_id").orderBy("doc_id")
+
+
+_SQL_CRAWL_DIFF = """
+WITH newc AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 1 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 != 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0
+),
+o AS (
+  SELECT doc_id AS k,
+         min(CASE WHEN text IS NULL THEN '#null#' ELSE md5(text) END) AS ho
+  FROM documents GROUP BY doc_id
+),
+n AS (
+  SELECT doc_id AS k,
+         min(CASE WHEN text IS NULL THEN '#null#' ELSE md5(text) END) AS hn
+  FROM newc GROUP BY doc_id
+)
+SELECT COALESCE(o.k, n.k) AS doc_id,
+       CASE WHEN o.ho IS NULL THEN 'new'
+            WHEN n.hn IS NULL THEN 'gone'
+            WHEN o.ho = n.hn THEN 'same'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.k = n.k
+ORDER BY doc_id
+"""
+
+
 RP_OUT_DIM = 8
 
 
@@ -3565,6 +3620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_topk": q_ivf_pq_topk,
         "ivf_pq_residual_topk": q_ivf_pq_residual_topk,
         "random_project": q_random_project,
+        "crawl_diff": q_crawl_diff,
         "binary_meta": q_binary_meta,
         "ahash_near_pairs": q_ahash_near_pairs,
     }
@@ -3642,6 +3698,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_topk": _sql_ivf_pq_topk(),
         "ivf_pq_residual_topk": _sql_ivf_pq_residual_topk(),
         "random_project": _sql_random_project(),
+        "crawl_diff": _SQL_CRAWL_DIFF,
         "binary_meta": _SQL_BINARY_META,
         "ahash_near_pairs": _sql_ahash_near_pairs(),
     }

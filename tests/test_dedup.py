@@ -876,3 +876,44 @@ def test_rolling_batch_fns_null_and_short_doc_semantics():
     assert len(gr["__gh"][0]) == 3
     assert gr["__gh"][1] == [] and gr["__gh"][2] == []   # empty exemption
     assert len(gr["__gh"][3]) == 1                       # whole-doc gram
+
+
+def test_crawl_diff_statuses(spark):
+    from tdigest_spark.operators.dedup import crawl_diff
+
+    old = spark.createDataFrame(
+        [("a", "one"), ("b", "two"), ("c", "three"), ("d", None),
+         ("e", "five"), ("e", "five-dup")],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [("a", "one"), ("b", "two CHANGED"), ("d", None), ("f", "new doc"),
+         ("e", "five-dup"), ("e", "five")],
+        "url string, text string",
+    )
+    got = {r["url"]: r["status"] for r in crawl_diff(old, new).collect()}
+    assert got == {
+        "a": "same",       # identical content
+        "b": "changed",    # content differs
+        "c": "gone",       # only in old
+        "d": "same",       # NULL vs NULL
+        "f": "new",        # only in new
+        "e": "same",       # dup keys collapse to min hash on both sides
+    }
+    # NULL vs text is 'changed', not 'same'
+    old2 = spark.createDataFrame([("x", None)], "url string, text string")
+    new2 = spark.createDataFrame([("x", "now real")], "url string, text string")
+    assert crawl_diff(old2, new2).collect()[0]["status"] == "changed"
+
+
+def test_crawl_diff_shuffles_hashes_not_text(spark):
+    from tdigest_spark.operators.dedup import crawl_diff
+    from tdigest_spark.plans import explain_str
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = crawl_diff(docs, docs, key_col="doc_id")
+    plan = explain_str(out, "formatted")
+    for node in plan.split("\n\n"):
+        head = node.split("\n")[0]
+        if node.strip().startswith("(") and "Exchange" in head:
+            assert "text" not in node, node
