@@ -343,6 +343,68 @@ def streaming_exact_dedup(
     return out.dropDuplicates(["content_hash"])
 
 
+def compact_stream_index(
+    spark,
+    index_dir: str,
+    keep_last: int = 0,
+) -> int:
+    """Compact a streaming index directory (``batch=<id>__dir``
+    subdirectories written by `streaming_incremental_dedup` /
+    `streaming_semantic_dedup`) into one consolidated subdirectory.
+
+    A long-running stream accumulates one directory (and >= one small
+    file) per trigger; after thousands of triggers the per-trigger index
+    READ is dominated by file listing and tiny-file opens, not data.
+    This rewrites everything except the newest `keep_last` batch dirs
+    into a single ``batch=<max_id>c__dir`` (same schema, batch_id
+    preserved per row), then removes the originals.
+
+    Crash-safe by write -> rename -> delete ordering: the consolidated
+    data is first written under a temp name the ``*__dir`` index glob
+    cannot see, then atomically renamed to a UNIQUE
+    ``batch=<max_id>c<generation>__dir`` (generation increments past any
+    prior compaction, so re-compacting never overwrites a directory it
+    is reading), and only then are the originals removed.  A crash
+    before the rename leaves the index untouched; a crash after it
+    leaves duplicate rows — harmless, because every consumer has EXISTS
+    semantics (a doc is dropped if ANY index near-dup exists), and the
+    next compaction sweeps the leftovers.  Run it from outside the
+    stream; batch dirs newer than the snapshot are untouched, so the
+    only requirement is not compacting a directory mid-write, which
+    `keep_last >= 1` guarantees under any trigger cadence.  Returns the
+    number of batch dirs compacted."""
+    import glob as _glob
+    import os
+    import re
+    import shutil
+
+    dirs = sorted(_glob.glob(f"{index_dir}/batch=*__dir"))
+    pat = re.compile(r"batch=(\d+)(?:c(\d+))?__dir$")
+    victims: list[tuple[int, int, str]] = []
+    for d in dirs:
+        m = pat.search(d)
+        if m is not None:
+            victims.append((int(m.group(1)), int(m.group(2) or 0), d))
+    victims.sort()
+    if keep_last:
+        victims = victims[:-keep_last] if keep_last < len(victims) else []
+    if len(victims) < 2:
+        return 0
+    max_id = max(i for i, _, _ in victims)
+    gen = 1 + max(g for _, g, _ in victims)
+    paths = [d for _, _, d in victims]
+    out = f"{index_dir}/batch={max_id:020d}c{gen}__dir"
+    tmp = f"{index_dir}/__compacting_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.read.parquet(*paths).coalesce(
+        max(1, len(paths) // 8)
+    ).write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, out)
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+    return len(paths)
+
+
 def streaming_incremental_dedup(
     sdf: DataFrame,
     index_dir: str,

@@ -496,3 +496,43 @@ def test_streaming_semantic_dedup(spark, tmp_path):
         np.dot(va, ve) / (np.linalg.norm(va) * np.linalg.norm(ve))
     )
     assert cos < 0.95
+
+
+def test_compact_stream_index(spark, tmp_path):
+    """Compaction consolidates batch dirs into one generation-suffixed
+    dir, preserves every row + batch_id, respects keep_last, and a
+    second pass (including the compacted dir) still works."""
+    idx = str(tmp_path / "cidx")
+    for b in range(4):
+        spark.createDataFrame(
+            [(b * 10 + i, b) for i in range(3)], "doc_id long, batch_id long"
+        ).write.mode("overwrite").parquet(f"{idx}/batch={b:020d}__dir")
+
+    before = sorted(
+        (r["doc_id"], r["batch_id"])
+        for r in spark.read.parquet(f"{idx}/*__dir").collect()
+    )
+    n = ST.compact_stream_index(spark, idx, keep_last=1)
+    assert n == 3  # batches 0..2 compacted, batch 3 kept aside
+    import glob
+    dirs = sorted(glob.glob(f"{idx}/batch=*__dir"))
+    assert len(dirs) == 2
+    assert any(d.endswith("c1__dir") for d in dirs)
+    after = sorted(
+        (r["doc_id"], r["batch_id"])
+        for r in spark.read.parquet(f"{idx}/*__dir").collect()
+    )
+    assert after == before
+
+    # second pass compacts the compacted dir + the straggler, bumps gen
+    n2 = ST.compact_stream_index(spark, idx)
+    assert n2 == 2
+    dirs2 = sorted(glob.glob(f"{idx}/batch=*__dir"))
+    assert len(dirs2) == 1 and dirs2[0].endswith("c2__dir")
+    final = sorted(
+        (r["doc_id"], r["batch_id"])
+        for r in spark.read.parquet(f"{idx}/*__dir").collect()
+    )
+    assert final == before
+    # nothing left to compact
+    assert ST.compact_stream_index(spark, idx) == 0
