@@ -428,12 +428,18 @@ def main() -> None:
     _mark("profile")
 
     # 5. write curated output (plus the model-score columns when enabled)
+    #    — observed write: the data-quality manifest (rows, null counts,
+    #    numeric ranges) is computed by the write job itself, no second
+    #    scan, and certifies write completeness for downstream stages
+    from tdigest_spark.sources.manifest import write_observed
+
     out_cols = ["url", "lang", "text"]
     if args.score:
         out_cols += ["avg_nll_bits", "oov_bigrams", "logit"]
-    curated.select(*out_cols).write.mode("overwrite").partitionBy(
-        "lang"
-    ).parquet(args.output)
+    manifest = write_observed(
+        curated.select(*out_cols), args.output, partition_by=["lang"]
+    )
+    report["manifest_rows"] = manifest["rows"]
     _mark("write")
     report["sec_total"] = round(_time.perf_counter() - _t0, 1)
     report["output"] = args.output
