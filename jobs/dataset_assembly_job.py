@@ -288,18 +288,20 @@ def main() -> None:
     #    sequences without a sort.  No global sort: one hash shuffle into
     #    n_shards + a within-partition sort.
     t_w = time.perf_counter()
-    (
+    from tdigest_spark.sources.manifest import write_observed
+
+    manifest = write_observed(
         out.select(
             "seq_id", "chunk_idx", "n_chunk_tokens", "chunk_text",
             "pack_id", "pack_pos",
             F.pmod(F.col("pack_id"), F.lit(args.n_shards)).alias("shard"),
         )
         .repartition(args.n_shards, "shard")
-        .sortWithinPartitions("pack_id", "pack_pos")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(args.output)
+        .sortWithinPartitions("pack_id", "pack_pos"),
+        args.output,
+        partition_by=["shard"],
     )
+    report["manifest_rows"] = manifest["rows"]
     report["sec_write"] = round(time.perf_counter() - t_w, 1)
     report["sec_total"] = round(report["sec_total"] + report["sec_write"], 1)
     report["output"] = args.output
