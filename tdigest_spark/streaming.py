@@ -343,6 +343,48 @@ def streaming_exact_dedup(
     return out.dropDuplicates(["content_hash"])
 
 
+def session_stats(
+    sdf: DataFrame,
+    ts_col: str = "ts",
+    by: Sequence[str] = ("user_id",),
+    gap: str = "30 minutes",
+    watermark: str | None = "2 hours",
+    count_col: str = "n_events",
+):
+    """Per-key session statistics over event time using Spark's native
+    `session_window` (dynamic-gap windows merge as events arrive — the
+    windowing mode tumbling/sliding can't express).  Works on BOTH a
+    streaming frame (pass a watermark; closed sessions emit in append
+    mode once the watermark passes their end) and a batch frame
+    (`watermark=None`), and the two produce identical sessions — the
+    batch face doubles as the streaming oracle in tests.
+
+    Boundary semantics: sessions merge when the next event starts AT OR
+    BEFORE the previous session's end (last_event + gap) — an event
+    arriving exactly `gap` later stays in the session, matching the
+    lag-based rule (`gap_us > threshold` starts a new one) the batch
+    `events_sessions` oracle query uses (verified in the stream-vs-batch
+    test with a grid-aligned exact-gap event).
+
+    Returns (by..., session_start, session_end, n_events).  State at
+    scale is one open session per active key — bounded by the watermark
+    horizon, evicted by Spark's session-window state store logic."""
+    src = sdf
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    out = (
+        src.groupBy(F.session_window(F.col(ts_col), gap), *by)
+        .agg(F.count(F.lit(1)).alias(count_col))
+        .select(
+            *by,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            F.col(count_col),
+        )
+    )
+    return out
+
+
 def compact_stream_index(
     spark,
     index_dir: str,

@@ -536,3 +536,58 @@ def test_compact_stream_index(spark, tmp_path):
     assert final == before
     # nothing left to compact
     assert ST.compact_stream_index(spark, idx) == 0
+
+
+def test_session_stats_stream_equals_batch(spark, tmp_path):
+    """Native session windows: the streaming run (append mode, watermark
+    advanced past every session) emits exactly the batch run's sessions;
+    gap merging and the half-open boundary behave as documented."""
+    import datetime as dt
+
+    src = str(tmp_path / "sess_src")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def t(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: events at 0, 10, 25 (one session: gaps < 30m), then 90
+        (1, t(0)), (1, t(10)), (1, t(25)), (1, t(90)),
+        # user 2: events at 0 and exactly 30m later -> SAME session
+        # (merge rule: next.start <= prev end, matching the lag-based
+        # gap > threshold oracle), then 61m -> new session
+        (2, t(0)), (2, t(30)), (2, t(61)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    # sentinel far in the future so the watermark closes every session
+    spark.createDataFrame(
+        [(99, t(10000))], "user_id long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    batch = sorted(
+        map(tuple, ST.session_stats(df, watermark=None).collect())
+    )
+    assert [(u, s.minute + s.hour * 60, n) for u, s, _, n in batch] == [
+        (1, 0, 3), (1, 90, 1), (2, 0, 2), (2, 61, 1),
+    ]
+
+    sdf = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    out_dir = str(tmp_path / "sess_out")
+    q = (
+        ST.session_stats(sdf, watermark="1 minute")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream = sorted(
+        map(tuple, spark.read.parquet(out_dir)
+            .filter(F.col("user_id") != 99).collect())
+    )
+    assert stream == batch
