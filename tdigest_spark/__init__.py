@@ -16,17 +16,25 @@ Public surface:
 - functions: registered SQL UDFs (tdigest_quantile, kll_quantile,
   hll_estimate, kmv_estimate, ...)
 - operators.dedup / similarity / text / multimodal: web-corpus pipeline
-  operators (MinHash-LSH / SimHash / embedding / perceptual-hash dedup,
-  benchmark decontamination, cross-corpus line dedup,
-  ANN, quality + repetition signals, language-ID, fingerprints)
+  operators (MinHash-LSH / SimHash / embedding / perceptual-hash /
+  SemDeDup semantic dedup, span + line dedup, benchmark
+  decontamination, crawl snapshot diff, ANN — brute force, multi-probe
+  LSH, IVF, PQ/IVFPQ with residual quantization — JL random projection,
+  quality + repetition signals, language-ID, fingerprints, PII
+  redaction, chunking)
 - operators.scoring: model-based quality scoring (CCNet-style bigram-LM
-  NLL, fastText-style hashed-feature linear classifier)
+  NLL, fastText-style hashed-feature linear classifier, DSIR
+  importance weights + Gumbel top-k selection)
 - operators.joins: as-of join (grouped + bucketed global) and range join
-- operators.sampling: deterministic content-keyed samples and
-  train/val/test splits
+- operators.sampling: deterministic content-keyed samples,
+  train/val/test splits, host quotas, mixture/epoch sampling,
+  token-budget freeze, sequence packing
 - streaming: stateful digests, event-time windowed digests + HLL,
-  streaming exact dedup
+  session-window stats, streaming exact dedup, incremental near-dedup
+  + semantic dedup vs standing indexes (with index compaction)
 - sources.webpages: deterministic Common-Crawl-style table synthesis
+- sources.bucketed / sources.manifest: pre-shuffled bucketed tables and
+  observed writes (one-scan data-quality manifests)
 - checkpoint: resumable per-split digest builds with lineage
 """
 
