@@ -1757,3 +1757,47 @@ def crawl_diff(
     return joined.select(
         F.col("__k").alias(key_col), status.alias(status_col)
     )
+
+
+def similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+    threshold: float = 0.8,
+    n_hashes: int = 8,
+    shingle_k: int = 3,
+    bands: int = 4,
+    max_bucket: int = 1000,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Fuzzy join: (left_id, right_id, jaccard_est) pairs whose texts are
+    near-duplicates at estimated Jaccard >= `threshold` — the two-TABLE
+    face of the dedup machinery (match user queries against a corpus,
+    align two crawls, link re-posts across sources).  Ids live in
+    separate namespaces; the output columns are `left_id`/`right_id`
+    (renamed to `<name>_l`/`<name>_r` when the names collide).
+
+    Plan: one MinHash signature build per side (scan-stage), banded
+    candidate generation via ONE equi-join on (band, band_key) with the
+    right side's template buckets excluded by a partial-agg count
+    (fanout capped linear in the left side), then lane-agreement verify
+    over ~100 B/row signature joins — text never shuffles, and neither
+    side is ever pairwise-expanded against itself."""
+    lcol = f"{left_id}_l" if left_id == right_id else left_id
+    rcol = f"{right_id}_r" if left_id == right_id else right_id
+    ls = minhash_signatures(left, text_col, left_id, n_hashes, shingle_k, hash_fn)
+    rs = minhash_signatures(right, text_col, right_id, n_hashes, shingle_k, hash_fn)
+    cands = lsh_incremental_pairs(
+        ls.withColumnRenamed(left_id, "doc_id"),
+        rs.withColumnRenamed(right_id, "doc_id"),
+        "doc_id", n_hashes, bands, max_bucket,
+    ).select(F.col("new_id").alias(lcol), F.col("index_id").alias(rcol))
+    verified = estimated_jaccard_two(
+        cands,
+        ls.withColumnRenamed(left_id, "doc_id"),
+        rs.withColumnRenamed(right_id, "doc_id"),
+        lcol, rcol, "doc_id",
+    )
+    return verified.filter(F.col("jaccard_est") >= threshold)

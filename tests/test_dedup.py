@@ -917,3 +917,30 @@ def test_crawl_diff_shuffles_hashes_not_text(spark):
         head = node.split("\n")[0]
         if node.strip().startswith("(") and "Exchange" in head:
             assert "text" not in node, node
+
+
+def test_similarity_join_two_tables(spark):
+    from tdigest_spark.operators.dedup import similarity_join
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha bravo charlie delta echo foxtrot golf hotel"),
+         (2, "india juliet kilo lima mike november oscar papa"),
+         (3, "quebec romeo sierra tango uniform victor whiskey xray")],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "alpha bravo charlie delta echo foxtrot golf hotel"),  # == 1
+         (2, "totally different words here nothing matches at all"),
+         (3, "india juliet kilo lima mike november oscar papa")],   # == 2
+        "doc_id long, text string",
+    )
+    out = similarity_join(queries, corpus, threshold=0.8)
+    got = sorted((r["doc_id_l"], r["doc_id_r"]) for r in out.collect())
+    assert got == [(1, 1), (3, 2)]
+    assert all(r["jaccard_est"] >= 0.8 for r in out.collect())
+    # distinct id column names pass through unrenamed
+    out2 = similarity_join(
+        queries.withColumnRenamed("doc_id", "qid"), corpus,
+        left_id="qid", right_id="doc_id", threshold=0.8,
+    )
+    assert sorted((r["qid"], r["doc_id"]) for r in out2.collect()) == [(1, 1), (3, 2)]
