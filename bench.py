@@ -434,6 +434,25 @@ def main() -> None:
 
     bench("pq_adc_topk", pq_ann)
 
+    # 7c. JL random projection (pure scan stage — shuffle_mb should read 0)
+    def jl_project():
+        from tdigest_spark.operators.similarity import random_project
+
+        random_project(emb, 8, dim=64).agg(
+            F.sum(F.element_at("projected", 1))
+        ).collect()
+
+    bench("random_project", jl_project)
+
+    # 7d. crawl snapshot diff (two doc scans reduced to (key, md5) lanes)
+    def snapshot_diff():
+        from tdigest_spark.operators.dedup import crawl_diff
+
+        new = docs.filter((F.col("doc_id") % 7) != 0)
+        crawl_diff(docs, new, key_col="doc_id").groupBy("status").count().collect()
+
+    bench("crawl_diff", snapshot_diff)
+
     # 8. relational baseline (pure Catalyst: scan+filter+agg)
     bench(
         "lineitem_pricing_summary",
