@@ -203,3 +203,95 @@ def test_rolling_core_matches_naive_polynomial(
     ]
     want = _naive_window_hashes(tok_lists, k, short_whole, include_empty)
     assert got == want
+
+
+# ---------------------------------------------------------------- PQ kernel
+
+int_floats = st.integers(min_value=-512, max_value=512).map(float)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_pq_argmin_kernel_matches_bruteforce(data):
+    """The cache-blocked (|c|^2 - 2 x.c) argmin kernel == brute-force
+    |x-c|^2 argmin with first-minimum tie-break.  Integer-valued floats
+    keep every product/sum exact in f64, so the two formulas are
+    bit-identical and the differential is exact — including on
+    duplicate codebook rows (exact ties -> lowest code id wins)."""
+    from tdigest_spark.operators.similarity import (
+        _pq_argmin_codes,
+        _pq_kernel_tables,
+    )
+
+    n_sub = data.draw(st.integers(1, 3))
+    dsub = data.draw(st.integers(1, 4))
+    ksub = data.draw(st.integers(1, 6))
+    n = data.draw(st.integers(1, 40))
+    dim = n_sub * dsub
+    X = np.array(
+        data.draw(
+            st.lists(
+                st.lists(int_floats, min_size=dim, max_size=dim),
+                min_size=n, max_size=n,
+            )
+        )
+    )
+    books = data.draw(
+        st.lists(
+            st.lists(
+                st.lists(int_floats, min_size=dsub, max_size=dsub),
+                min_size=ksub, max_size=ksub,
+            ),
+            min_size=n_sub, max_size=n_sub,
+        )
+    )
+    CT, cnorms = _pq_kernel_tables(books)
+    got = _pq_argmin_codes(X, CT, cnorms, dsub)
+    for i in range(n):
+        for s in range(n_sub):
+            xs = X[i, s * dsub : (s + 1) * dsub]
+            d2 = [((xs - np.array(c)) ** 2).sum() for c in books[s]]
+            want = int(np.argmin(d2))  # first minimum = lowest j
+            assert got[i, s] == want, (i, s, d2)
+
+
+@settings(max_examples=12, deadline=None)
+@given(data=st.data())
+def test_crawl_diff_matches_python_model(data, spark):
+    """crawl_diff (the actual Spark operator) == a Python dict model on
+    arbitrary key/content assignments, including duplicate keys
+    (min-hash collapse) and NULL contents."""
+    import hashlib
+
+    keys = st.integers(0, 8)
+    content = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+    old_rows = data.draw(st.lists(st.tuples(keys, content), min_size=1, max_size=10))
+    new_rows = data.draw(st.lists(st.tuples(keys, content), min_size=1, max_size=10))
+
+    def h(c):
+        return "#null#" if c is None else hashlib.md5(c.encode()).hexdigest()
+
+    def side(rows):
+        out = {}
+        for k, c in rows:
+            out[k] = min(out[k], h(c)) if k in out else h(c)
+        return out
+
+    o, n = side(old_rows), side(new_rows)
+    expect = {}
+    for k in set(o) | set(n):
+        if k not in o:
+            expect[k] = "new"
+        elif k not in n:
+            expect[k] = "gone"
+        elif o[k] == n[k]:
+            expect[k] = "same"
+        else:
+            expect[k] = "changed"
+
+    from tdigest_spark.operators.dedup import crawl_diff
+
+    df_o = spark.createDataFrame(old_rows, "url long, text string")
+    df_n = spark.createDataFrame(new_rows, "url long, text string")
+    got = {r["url"]: r["status"] for r in crawl_diff(df_o, df_n).collect()}
+    assert got == expect
