@@ -1,0 +1,189 @@
+"""spark-submit entry point: MONTHLY-INCREMENT ingestion — fold a new
+crawl snapshot into a standing curated corpus + signature index without
+ever re-reading the old corpus.
+
+    zip -r tdigest_spark.zip tdigest_spark
+    spark-submit --py-files tdigest_spark.zip jobs/incremental_crawl_job.py \
+        --prev-snapshot /data/crawl_2025_12 --new-snapshot /data/crawl_2026_01 \
+        --index-dir /data/sig_index --output /data/increment_2026_01
+
+Stages (every one an existing library operator; the standing corpus
+contributes ONLY its ~100 B/doc MinHash signatures):
+
+  1. snapshot diff      — crawl_diff(prev, new) by url: each side
+                          reduces scan-side to (url, md5(text)); only
+                          'new' + 'changed' rows proceed ('same' is
+                          already in the corpus, 'gone' is retirement
+                          bookkeeping).  Skipped (all rows = new) when
+                          --prev-snapshot is omitted — e.g. the first
+                          increment.
+  2. dedup vs index     — dedup_against_index: banded candidates
+                          against the standing signature index
+                          (template buckets excluded index-side, fanout
+                          linear in the increment), lane-agreement
+                          verify, anti-join.
+  3. within-increment   — LSH candidates + estimated verify + keep-min
+                          EXISTS rule inside the increment itself.
+  4. write              — survivors via observed write (manifest
+                          certifies the count); their signatures append
+                          to --index-dir under a batch=<tag>__dir
+                          subdirectory (same layout the streaming faces
+                          use, so `compact_stream_index` maintains it).
+
+One JSON report line: per-stage seconds + row counts (diff statuses,
+dropped-vs-index, dropped-within, emitted).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--prev-snapshot", default=None,
+                    help="previous crawl parquet (url, text, ...); omit on "
+                    "the first increment")
+    ap.add_argument("--new-snapshot", required=True)
+    ap.add_argument("--index-dir", required=True,
+                    help="standing signature index directory "
+                    "(batch=*__dir layout); created if absent")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--batch-tag", default=None,
+                    help="index subdirectory tag (default: next integer "
+                    "after the largest existing batch id)")
+    ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument("--n-hashes", type=int, default=8)
+    ap.add_argument("--shingle-k", type=int, default=3)
+    ap.add_argument("--bands", type=int, default=4)
+    ap.add_argument("--max-bucket", type=int, default=1000)
+    ap.add_argument("--minhash-lane", default="md5",
+                    choices=("md5", "xxhash64", "rolling"))
+    args = ap.parse_args()
+
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from tdigest_spark.operators.dedup import (
+        crawl_diff,
+        dedup_against_index,
+        estimated_jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from tdigest_spark.plans import get_spark
+    from tdigest_spark.sources.manifest import write_observed
+
+    spark = get_spark(app_name="incremental-crawl")
+    spark.sparkContext.setLogLevel("ERROR")
+    report: dict = {}
+    t0 = time.perf_counter()
+
+    new = spark.read.parquet(args.new_snapshot)
+
+    # 1. snapshot diff: only new/changed urls proceed
+    t = time.perf_counter()
+    if args.prev_snapshot:
+        prev = spark.read.parquet(args.prev_snapshot)
+        diff = crawl_diff(prev, new, key_col="url").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        report["diff_counts"] = {
+            r["status"]: r["n"]
+            for r in diff.groupBy("status").agg(F.count("*").alias("n")).collect()
+        }
+        keep_keys = diff.filter(
+            F.col("status").isin("new", "changed")
+        ).select("url")
+        increment = new.join(keep_keys, "url", "left_semi").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        diff.unpersist()
+    else:
+        increment = new.persist(StorageLevel.MEMORY_AND_DISK)
+        report["diff_counts"] = {"new": increment.count()}
+    n_increment = increment.count()
+    report["n_increment"] = n_increment
+    report["sec_diff"] = round(time.perf_counter() - t, 1)
+
+    # 2. + 3. dedup vs the standing index, then within the increment
+    t = time.perf_counter()
+    sigs = minhash_signatures(
+        increment, "text", "url", args.n_hashes, args.shingle_k,
+        args.minhash_lane,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig_type = dict(sigs.dtypes)["minhash_sig"]
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        index = spark.read.parquet(f"{args.index_dir}/*__dir")
+        existing_ids = [
+            int(d.split("batch=")[1].split("c")[0].split("__")[0])
+            for d in os.listdir(args.index_dir)
+            if d.startswith("batch=") and d.endswith("__dir")
+        ]
+    except (AnalysisException, FileNotFoundError):
+        index = spark.createDataFrame([], f"url string, minhash_sig {sig_type}")
+        existing_ids = []
+
+    vs_index = dedup_against_index(
+        increment, index.select("url", "minhash_sig"), "text", "url",
+        threshold=args.jaccard, n_hashes=args.n_hashes,
+        shingle_k=args.shingle_k, bands=args.bands,
+        max_bucket=args.max_bucket, hash_fn=args.minhash_lane,
+        new_sigs=sigs,
+    )
+    cands = lsh_candidate_pairs(
+        increment, "text", "url", args.n_hashes, args.shingle_k,
+        args.bands, args.max_bucket, sigs=sigs, hash_fn=args.minhash_lane,
+    )
+    removed_within = (
+        estimated_jaccard_pairs(sigs, cands, "url")
+        .filter(F.col("jaccard_est") >= args.jaccard)
+        .select(F.col("id_b").alias("url"))
+        .distinct()
+    )
+    kept = vs_index.join(removed_within, "url", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_kept = kept.count()
+    report["n_dropped_vs_index"] = n_increment - vs_index.count()
+    report["n_emitted"] = n_kept
+    report["n_dropped_within"] = (
+        n_increment - report["n_dropped_vs_index"] - n_kept
+    )
+    report["sec_dedup"] = round(time.perf_counter() - t, 1)
+
+    # 4. write survivors (observed) + append their signatures to the index
+    t = time.perf_counter()
+    manifest = write_observed(kept, args.output)
+    report["manifest_rows"] = manifest["rows"]
+    batch_id = (
+        args.batch_tag
+        if args.batch_tag is not None
+        else str(max(existing_ids, default=-1) + 1)
+    )
+    tag = f"batch={int(batch_id):020d}__dir"
+    (
+        sigs.join(kept.select("url"), "url", "left_semi")
+        .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        .write.mode("overwrite")
+        .parquet(f"{args.index_dir}/{tag}")
+    )
+    report["index_batch"] = tag
+    report["sec_write"] = round(time.perf_counter() - t, 1)
+    report["sec_total"] = round(time.perf_counter() - t0, 1)
+    report["output"] = args.output
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -111,3 +111,74 @@ def test_corpus_pipeline_stage_resume(spark, tmp_path):
     p3 = run("out3", extra=("--min-tokens", "25"))
     assert p3.returncode != 0
     assert "different args" in (p3.stderr + p3.stdout)
+
+
+@pytest.mark.slow
+def test_incremental_crawl_job_two_months(spark, tmp_path):
+    """Two monthly increments: month 1 seeds the index (within-increment
+    dedup applies); month 2 diffs against month 1's snapshot, drops
+    unchanged urls, dedups the changed/new remainder against the
+    standing index, and appends only survivors' signatures."""
+    t_a = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    t_b = "juliet kilo lima mike november oscar papa quebec romeo"
+    t_c = "sierra tango uniform victor whiskey xray yankee zulu one"
+    t_d = "two three four five six seven eight nine ten eleven twelve"
+
+    m1 = str(tmp_path / "m1")
+    spark.createDataFrame(
+        [("u1", t_a), ("u2", t_a), ("u3", t_b)],  # u2 dups u1 within month 1
+        "url string, text string",
+    ).write.mode("overwrite").parquet(m1)
+
+    m2 = str(tmp_path / "m2")
+    spark.createDataFrame(
+        [
+            ("u1", t_a),            # unchanged -> dropped by the diff
+            ("u3", t_c),            # changed   -> proceeds, unique
+            ("u9", t_a),            # new url, dups the INDEXED u1
+            ("u5", t_d),            # new, unique
+        ],
+        "url string, text string",
+    ).write.mode("overwrite").parquet(m2)
+
+    index_dir = str(tmp_path / "idx")
+
+    def run(new, prev, outdir):
+        env = dict(os.environ)
+        env["SPARK_DRIVER_MEM"] = "2g"
+        env["SPARK_GRAFT_CPUS"] = "8"
+        cmd = [
+            "python", os.path.join(REPO, "jobs", "incremental_crawl_job.py"),
+            "--new-snapshot", new, "--index-dir", index_dir,
+            "--output", str(tmp_path / outdir),
+        ]
+        if prev:
+            cmd += ["--prev-snapshot", prev]
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=420, cwd=REPO, env=env
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    r1 = run(m1, None, "out1")
+    assert r1["n_increment"] == 3
+    assert r1["n_dropped_within"] == 1          # u2 dups u1 (min url wins)
+    assert r1["n_emitted"] == 2 == r1["manifest_rows"]
+    out1 = sorted(
+        r["url"] for r in spark.read.parquet(str(tmp_path / "out1")).collect()
+    )
+    assert out1 == ["u1", "u3"]
+
+    r2 = run(m2, m1, "out2")
+    assert r2["diff_counts"] == {"same": 1, "changed": 1, "new": 2, "gone": 1}
+    assert r2["n_increment"] == 3               # u3 changed, u9 + u5 new
+    assert r2["n_dropped_vs_index"] == 1        # u9 dups indexed u1
+    assert r2["n_emitted"] == 2 == r2["manifest_rows"]
+    out2 = sorted(
+        r["url"] for r in spark.read.parquet(str(tmp_path / "out2")).collect()
+    )
+    assert out2 == ["u3", "u5"]
+
+    idx = spark.read.parquet(f"{index_dir}/*__dir")
+    rows = {(r["url"], r["batch_id"]) for r in idx.collect()}
+    assert rows == {("u1", 0), ("u3", 0), ("u3", 1), ("u5", 1)}
