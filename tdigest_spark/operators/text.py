@@ -329,6 +329,272 @@ def repetition_stats(
     return df.select(id_col).join(metrics, id_col, "left")
 
 
+def _strict_ngrams(toks: Column, n: int) -> Column:
+    """Strict word n-grams from a *bound* token-array column: documents
+    with fewer than n tokens yield an EMPTY array (unlike
+    shingles_from_tokens, which falls back to the whole text — right for
+    dedup fingerprints, wrong for repetition statistics where a short
+    doc simply has no n-grams).  `greatest(..., 1)` keeps the sequence
+    ascending on the untaken branch — sequence(1, 0) would descend."""
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+#: Gopher repetition output column order (given top_ns / dup_ns).
+def _gopher_cols(top_ns: Sequence[int], dup_ns: Sequence[int]) -> list[str]:
+    return (
+        ["dup_line_frac", "dup_line_char_frac"]
+        + [f"top_{n}gram_char_frac" for n in top_ns]
+        + [f"dup_{n}gram_char_frac" for n in dup_ns]
+    )
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: Sequence[int] = (2, 3, 4),
+    dup_ns: Sequence[int] = (5, 10),
+    line_sep: str = "\n",
+    lane: str = "jvm",
+) -> DataFrame:
+    """The full Gopher repetition-signal family (Rae et al. 2021, table
+    A1) — the quality-filter battery `repetition_stats` gives the first
+    two members of:
+
+    - dup_line_frac:      (lines - distinct lines) / lines
+    - dup_line_char_frac: chars of lines occurring >= 2x / chars of all
+      lines (char mass counts every occurrence)
+    - top_{n}gram_char_frac (n in top_ns): chars of the most frequent
+      word n-gram x its occurrence count / document chars.  Most
+      frequent = max by (count, then gram) — the deterministic
+      tie-break both engines share via max(struct).
+    - dup_{n}gram_char_frac (n in dup_ns): char mass of n-grams
+      occurring >= 2x / char mass of all n-grams.  Overlap-agnostic by
+      design (each sliding occurrence counts its full chars): unlike
+      the paper's sequential skip-ahead accounting it is expressible as
+      pure grouped aggregation in any SQL engine, bounded in [0, 1],
+      and monotone in repetition — the property a threshold filter
+      needs.
+
+    Returns the NARROW frame (id_col, <metrics>) with exactly one row
+    per input row; NULL-text docs keep their row with NULL metrics, and
+    a doc too short for some n has NULL for that n's metrics (it has no
+    such n-grams — distinct from 0.0, which means "has them, none
+    repeated").  All ratios are single IEEE divisions of exact integers,
+    so every column hash-matches a SQL oracle.
+
+    Lanes:
+    - lane="jvm" (default, oracle lane): ONE tagged explode — every
+      (n, gram) instance plus the line stream ride a single
+      generate — then a partial-aggregating groupBy(id, n, gram) counts
+      within-doc occurrences (map-side combine collapses repeats before
+      the exchange, so the shuffle carries ~distinct grams per doc),
+      groupBy(id, n) folds per-size masses, and a conditional agg
+      pivots the fixed n set to columns.  The raw text column never
+      crosses an Exchange.
+    - lane="pandas": all metrics are WITHIN-document pure functions, so
+      one Arrow-batched mapInPandas scan computes the whole battery
+      with ZERO shuffle — the production shape at corpus scale.  Output
+      is value-identical to the jvm lane (same integer counts, same
+      IEEE divisions; asserted in tests).
+
+    The in-array JVM alternative (count each distinct gram with a
+    filter lambda) is O(distinct x n) per doc — the documented
+    quadratic trap (see shingles_from_tokens) — which is exactly why
+    the jvm lane pays one explode instead.
+    """
+    top_ns = tuple(top_ns)
+    dup_ns = tuple(dup_ns)
+    if any(n < 2 for n in (*top_ns, *dup_ns)):
+        raise ValueError("n-gram sizes must be >= 2")
+    if len(set(top_ns)) != len(top_ns) or len(set(dup_ns)) != len(dup_ns):
+        raise ValueError("duplicate n in top_ns/dup_ns")
+    out_cols = _gopher_cols(top_ns, dup_ns)
+    if lane == "pandas":
+        return _gopher_repetition_pandas(
+            df, text_col, id_col, top_ns, dup_ns, line_sep, out_cols
+        )
+    if lane != "jvm":
+        raise ValueError(f"unknown lane {lane!r} (jvm|pandas)")
+    import re as _re
+
+    ns = sorted(set(top_ns) | set(dup_ns))
+    narrow = df.select(F.col(id_col), F.col(text_col)).filter(
+        F.col(text_col).isNotNull()
+    )
+    # Bind tokens/lines in their own projection (O(n²) inline pitfall).
+    bound = narrow.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("__nch"),
+        tokens_col(text_col).alias("__toks"),
+        F.filter(
+            F.split(F.col(text_col), F.lit(_re.escape(line_sep)), -1),
+            lambda l: l != "",
+        ).alias("__lines"),
+    )
+    def _tag(tag_n: int):
+        # NOTE: must stay a ONE-parameter lambda — F.transform treats a
+        # two-parameter lambda as (element, index), so the idiomatic
+        # `lambda g, n=n:` default-arg binding silently rebinds n to the
+        # array POSITION.
+        return lambda g: F.struct(F.lit(tag_n).alias("n"), g.alias("g"))
+
+    streams = [F.transform(F.col("__lines"), _tag(0))] + [
+        F.transform(_strict_ngrams(F.col("__toks"), n), _tag(n)) for n in ns
+    ]
+    tagged = bound.select(
+        F.col(id_col), "__nch", F.concat(*streams).alias("__all")
+    )
+    # explode_OUTER: keeps no-gram docs as a null row (harmlessly folded
+    # to NULL metrics below) and — the real reason — suppresses
+    # InferFiltersFromGenerate pushing a size()>0 constraint that would
+    # inline the token split into the per-index lambdas (the O(tokens²)
+    # trap this module documents).
+    inst = tagged.select(
+        F.col(id_col), "__nch", F.explode_outer("__all").alias("__gr")
+    ).select(
+        F.col(id_col), "__nch", F.col("__gr.n").alias("__n"),
+        F.col("__gr.g").alias("__g"),
+    )
+    counted = inst.groupBy(id_col, "__nch", "__n", "__g").agg(
+        F.count("*").alias("__c")
+    )
+    chlen = F.length("__g").cast("long")
+    per_n = counted.groupBy(id_col, "__nch", "__n").agg(
+        F.sum("__c").alias("__total"),
+        F.count("*").alias("__distinct"),
+        F.max(F.struct(F.col("__c").alias("c"), F.col("__g").alias("g"))).alias(
+            "__top"
+        ),
+        F.sum(chlen * F.col("__c")).alias("__mass_all"),
+        F.sum(
+            F.when(F.col("__c") >= 2, chlen * F.col("__c")).otherwise(F.lit(0))
+        ).alias("__mass_dup"),
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("__n") == 0,
+                (F.col("__total") - F.col("__distinct")).cast("double")
+                / F.col("__total"),
+            )
+        ).alias("dup_line_frac"),
+        F.max(
+            F.when(
+                F.col("__n") == 0,
+                F.col("__mass_dup").cast("double") / F.col("__mass_all"),
+            )
+        ).alias("dup_line_char_frac"),
+    ]
+    for n in top_ns:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("__n") == n,
+                    (F.length("__top.g").cast("long") * F.col("__top.c"))
+                    .cast("double")
+                    / F.col("__nch"),
+                )
+            ).alias(f"top_{n}gram_char_frac")
+        )
+    for n in dup_ns:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("__n") == n,
+                    F.col("__mass_dup").cast("double") / F.col("__mass_all"),
+                )
+            ).alias(f"dup_{n}gram_char_frac")
+        )
+    metrics = per_n.groupBy(id_col).agg(*aggs)
+    return df.select(id_col).join(metrics, id_col, "left").select(
+        id_col, *out_cols
+    )
+
+
+def _gopher_repetition_pandas(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_ns: tuple[int, ...],
+    dup_ns: tuple[int, ...],
+    line_sep: str,
+    out_cols: list[str],
+) -> DataFrame:
+    """Zero-shuffle production lane for gopher_repetition: per-doc
+    Counter passes inside one mapInPandas scan.  Same integer counts and
+    the same single IEEE divisions as the jvm lane, so the two lanes are
+    value-identical (tests assert exact equality)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    id_field = df.select(id_col).schema.fields[0]
+    schema_parts = [f"`{id_col}` {id_field.dataType.simpleString()}"] + [
+        f"{c} double" for c in out_cols
+    ]
+    out_schema = ", ".join(schema_parts)
+    top_ns_l, dup_ns_l = list(top_ns), list(dup_ns)
+    ns = sorted(set(top_ns_l) | set(dup_ns_l))
+
+    def _doc_metrics(text):
+        if text is None:
+            return [None] * len(out_cols)
+        vals: list = []
+        lines = [l for l in text.split(line_sep) if l != ""]
+        if lines:
+            lc = Counter(lines)
+            total = len(lines)
+            mass_all = sum(len(g) * c for g, c in lc.items())
+            mass_dup = sum(len(g) * c for g, c in lc.items() if c >= 2)
+            vals.append(float(total - len(lc)) / total)
+            vals.append(float(mass_dup) / mass_all)
+        else:
+            vals.extend([None, None])
+        toks = [t for t in text.split(" ") if t != ""]
+        nch = len(text)
+        per_n: dict[int, Counter] = {}
+        for n in ns:
+            if len(toks) >= n:
+                per_n[n] = Counter(
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                )
+        for n in top_ns_l:
+            c = per_n.get(n)
+            if not c:
+                vals.append(None)
+                continue
+            # max by (count, gram) — the jvm/SQL max(struct) tie-break.
+            cnt, g = max((v, k) for k, v in c.items())
+            vals.append(float(len(g) * cnt) / nch)
+        for n in dup_ns_l:
+            c = per_n.get(n)
+            if not c:
+                vals.append(None)
+                continue
+            mass_all = sum(len(g) * v for g, v in c.items())
+            mass_dup = sum(len(g) * v for g, v in c.items() if v >= 2)
+            vals.append(float(mass_dup) / mass_all)
+        return vals
+
+    def _scan(batches):
+        for pdf in batches:
+            rows = [_doc_metrics(t) for t in pdf[text_col]]
+            out = pd.DataFrame(rows, columns=out_cols, dtype="float64")
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, text_col).mapInPandas(_scan, out_schema)
+
+
 def chunk_tokens(
     df: DataFrame,
     text_col: str = "text",

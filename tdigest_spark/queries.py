@@ -1319,6 +1319,81 @@ FROM documents d LEFT JOIN m USING (doc_id)
 """
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher repetition battery (dup-line fractions, top-{2,3,4}-gram
+    char fractions, dup-{5,10}-gram char fractions) — one tagged explode,
+    within-doc grouped counting, conditional-agg pivot.  Every metric is a
+    single IEEE division of exact integers, so the whole frame is
+    value-exact vs the SQL oracle.  (The zero-shuffle mapInPandas lane is
+    asserted value-identical to this jvm lane in tests/test_text_ops.py.)"""
+    from .operators.text import gopher_repetition
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_repetition(docs)
+
+
+def _sql_gopher_repetition(
+    top_ns: tuple[int, ...] = (2, 3, 4), dup_ns: tuple[int, ...] = (5, 10)
+) -> str:
+    ns = sorted(set(top_ns) | set(dup_ns))
+    gram_arms = "\n  UNION ALL ".join(
+        f"""SELECT doc_id, nch, {n} AS n,
+    unnest(CASE WHEN len(toks) >= {n}
+           THEN [array_to_string(toks[i:i+{n - 1}], ' ')
+                 FOR i IN range(1, len(toks)-{n}+2)]
+           ELSE [] END) AS gr FROM t"""
+        for n in ns
+    )
+    top_exprs = "\n    ".join(
+        f"""max(CASE WHEN n = {n} THEN
+      CAST(length(struct_extract(top,'g')) * struct_extract(top,'c') AS DOUBLE)
+      / CAST(nch AS DOUBLE) END) AS top_{n}gram_char_frac,"""
+        for n in top_ns
+    )
+    dup_exprs = ",\n    ".join(
+        f"""max(CASE WHEN n = {n} THEN
+      CAST(mass_dup AS DOUBLE) / CAST(mass_all AS DOUBLE)
+      END) AS dup_{n}gram_char_frac"""
+        for n in dup_ns
+    )
+    out = ", ".join(
+        ["m.dup_line_frac", "m.dup_line_char_frac"]
+        + [f"m.top_{n}gram_char_frac" for n in top_ns]
+        + [f"m.dup_{n}gram_char_frac" for n in dup_ns]
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS nch,
+         list_filter(string_split(text, ' '), tk -> tk != '') AS toks,
+         list_filter(string_split(text, chr(10)), l -> l != '') AS lines
+  FROM documents WHERE text IS NOT NULL
+), inst AS (
+  SELECT doc_id, nch, 0 AS n, unnest(lines) AS gr FROM t
+  UNION ALL {gram_arms}
+), c AS (
+  SELECT doc_id, nch, n, gr, count(*) AS cnt
+  FROM inst GROUP BY doc_id, nch, n, gr
+), p AS (
+  SELECT doc_id, nch, n, sum(cnt) AS total_inst, count(*) AS distinct_g,
+         max(struct_pack(c := cnt, g := gr)) AS top,
+         sum(length(gr) * cnt) AS mass_all,
+         sum(CASE WHEN cnt >= 2 THEN length(gr) * cnt ELSE 0 END) AS mass_dup
+  FROM c GROUP BY doc_id, nch, n
+), m AS (
+  SELECT doc_id,
+    max(CASE WHEN n = 0 THEN CAST(total_inst - distinct_g AS DOUBLE)
+        / CAST(total_inst AS DOUBLE) END) AS dup_line_frac,
+    max(CASE WHEN n = 0 THEN CAST(mass_dup AS DOUBLE)
+        / CAST(mass_all AS DOUBLE) END) AS dup_line_char_frac,
+    {top_exprs}
+    {dup_exprs}
+  FROM p GROUP BY doc_id
+)
+SELECT d.doc_id, {out}
+FROM documents d LEFT JOIN m USING (doc_id)
+"""
+
+
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish (GPT-2 pre-tokenizer) token counting — the second half of
     the brief's token-counting pair (whitespace counts: doc_token_stats).
@@ -3585,6 +3660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_repetition": q_doc_repetition,
+        "gopher_repetition": q_gopher_repetition,
         "bpe_token_stats": q_bpe_token_stats,
         "language_id": q_language_id,
         "url_normalize": q_url_normalize,
@@ -3663,6 +3739,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _sql_doc_quality(),
         "doc_fingerprint": _SQL_DOC_FINGERPRINT,
         "doc_repetition": _SQL_DOC_REPETITION,
+        "gopher_repetition": _sql_gopher_repetition(),
         "bpe_token_stats": _sql_bpe_token_stats(),
         "language_id": _sql_language_id(),
         "url_normalize": _SQL_URL_NORMALIZE,

@@ -141,6 +141,28 @@ def test_repetition_stats_narrow_join_no_text(docs):
     assert "slice(filter(split" not in plan
 
 
+def test_gopher_repetition_plan(docs):
+    """gopher_repetition jvm lane: the raw text column feeds the tagged
+    explode inside the scan stage and never crosses an Exchange or a
+    join (the shuffles carry (id, n, gram) count rows); no inferred
+    generate-filter re-inlines the token split.  The pandas lane is a
+    single mapInPandas scan with NO Exchange at all."""
+    from tdigest_spark.operators.text import gopher_repetition
+
+    plan = explain_str(gopher_repetition(docs))
+    read_schemas = [s.split("\n")[0] for s in plan.split("ReadSchema")[1:]]
+    assert any("text" not in s for s in read_schemas)
+    for block in plan.split("\n\n"):
+        head = block.lstrip().split("\n")[0]
+        if head.startswith("(") and ("Exchange" in head or "Join" in head):
+            assert "text#" not in block, head
+    assert "slice(filter(split" not in plan
+
+    pplan = explain_str(gopher_repetition(docs, lane="pandas"), "simple")
+    assert "Exchange" not in pplan
+    assert "MapInPandas" in pplan
+
+
 def test_asof_global_carry_no_nested_loop(spark):
     """asof_join_global's carry-in is a running window over the KB-sized
     per-bucket summary — O(B log B); the inequality-join alternative

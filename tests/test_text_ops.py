@@ -108,6 +108,77 @@ def test_repetition_stats_values(spark):
     assert out[3]["top_bigram_frac"] is None
 
 
+def test_gopher_repetition_values(spark):
+    rows = [
+        (0, "l1\nl1\nl2 l2 l2"),          # dup line + repeated bigram
+        (1, "t t t t t t t t t t t t"),    # pathological repeat
+        (2, "a b"),                        # too short for n >= 3
+        (3, None),                         # NULL text: row kept, NULL metrics
+        (4, ""),                           # empty text: no lines, no grams
+        (5, "p q p q p"),                  # bigram-count tie
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.gopher_repetition(df).collect()}
+    assert set(out) == {0, 1, 2, 3, 4, 5}
+
+    # doc 0: lines [l1, l1, "l2 l2 l2"] -> (3-2)/3; char mass 12, dup 4
+    assert out[0]["dup_line_frac"] == (3 - 2) / 3
+    assert out[0]["dup_line_char_frac"] == 4 / 12
+    # tokens split on literal space ONLY, so newlines ride inside a
+    # token: ["l1\nl1\nl2", "l2", "l2"].  Bigrams both unique; the
+    # (count, gram) tie-break picks the lexicographically larger
+    # "l2 l2" (len 5, count 1); nch 14
+    assert out[0]["top_2gram_char_frac"] == (5 * 1) / 14
+    # 3 tokens -> no 5-grams at all -> NULL, distinct from 0.0
+    assert out[0]["dup_5gram_char_frac"] is None
+    assert out[0]["dup_10gram_char_frac"] is None
+
+    # doc 1: "t t" x11, len 3, nch 23 -> the documented overlap proxy > 1
+    assert out[1]["top_2gram_char_frac"] == (3 * 11) / 23
+    assert out[1]["dup_5gram_char_frac"] == 1.0   # all 8 5-grams identical
+    assert out[1]["dup_line_frac"] == 0.0          # one line
+
+    # doc 2: single bigram covers the whole text
+    assert out[2]["top_2gram_char_frac"] == 1.0
+    assert out[2]["top_3gram_char_frac"] is None
+    assert out[2]["dup_5gram_char_frac"] is None
+
+    for c in T._gopher_cols((2, 3, 4), (5, 10)):
+        assert out[3][c] is None, c   # NULL text
+        assert out[4][c] is None, c   # empty text
+
+    # equal-count tie-break: "p q" x2 and "q p" x2 -> largest gram wins
+    assert out[5]["top_2gram_char_frac"] == (3 * 2) / 9
+
+
+def test_gopher_repetition_lane_equivalence(spark):
+    """The zero-shuffle mapInPandas lane is VALUE-IDENTICAL to the jvm
+    oracle lane — same integer counts, same single IEEE divisions."""
+    rows = [
+        (0, "a b a b c\na b a b c\nx y z"),
+        (1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"),
+        (2, None),
+        (3, "t t t t t t t t t t t t"),
+        (4, "a b"),
+        (5, "x\n\nx\ny y\ny y"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    jvm = sorted(T.gopher_repetition(df).collect())
+    pandas = sorted(T.gopher_repetition(df, lane="pandas").collect())
+    assert jvm == pandas
+
+
+def test_gopher_repetition_validation(spark):
+    df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        T.gopher_repetition(df, top_ns=(1, 2))
+    with pytest.raises(ValueError):
+        T.gopher_repetition(df, dup_ns=(5, 5))
+    with pytest.raises(ValueError):
+        T.gopher_repetition(df, lane="nope")
+
+
 def test_url_canonicalization_edges(spark):
     from tdigest_spark.operators.text import url_canonical, url_host
 
