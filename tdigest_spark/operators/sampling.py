@@ -371,6 +371,89 @@ def freeze_to_budget(
     return below.unionByName(at)
 
 
+def weighted_sample_by(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    by: Sequence[str] | None = None,
+    salt: str = "wsample",
+    method: str = "exp",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: k winners
+    (per `by` group, or globally) drawn with probability proportional
+    to `weight_col` — the weighted twin of `deterministic_fixed_sample`
+    and the building block for "pick 10k docs per language, long docs
+    proportionally more often" curation draws.
+
+    Two key functions, both content-keyed off u(id) = md5-uniform:
+
+    - method="exp" (default): key = -ln(u)/w, keep the k SMALLEST —
+      the Efraimidis–Spirakis exponential-jumps scheme (keys are
+      Exp(w) variates; "Weighted random sampling with a reservoir",
+      IPL 2006).  Exact WRS-without-replacement distribution: for k=1
+      the inclusion probability is exactly w_i/ΣW.
+    - method="ratio": key = u/w — Ohlsson's *sequential Poisson
+      sampling* (πps approximation).  Every operation is exact IEEE
+      arithmetic (one divide; no libm), so the selection is
+      bit-reproducible across engines — this is the lane the DuckDB
+      driver oracle runs, since ln() is not guaranteed bit-identical
+      between the JVM and a C libm.
+
+    Like reservoir sampling, the candidate state is mergeable: the
+    bottom-k keys of a union are the bottom-k of the per-part
+    bottom-k's, so partial top-k per partition + one k-row combine is
+    associative (globally Spark's TakeOrdered does exactly that;
+    per-group the shuffle carries only the (by, id, w, key) lane —
+    never the text).
+
+    Returns the NARROW winners frame (by…, id_col, weight double,
+    rank_col 1-based by ascending key); semi-join it back for full
+    rows.  Rows with NULL/≤0 weight or NULL id are excluded (they have
+    zero selection mass).  Ties (identical keys) break by id, so the
+    draw is a total order and partition/engine invariant.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if method not in ("exp", "ratio"):
+        raise ValueError("method must be 'exp' or 'ratio'")
+    u = _unit_hash(F.col(id_col), salt)
+    w = F.col(weight_col).cast("double")
+    if method == "exp":
+        # Spark's log() yields NULL at 0; u == 0 (a 52-bit md5 prefix of
+        # zero) is the worst possible E-S key (u^(1/w) == 0), i.e. +inf
+        key = F.when(u > 0, -F.log(u) / w).otherwise(F.lit(float("inf")))
+    else:
+        key = u / w
+    lane = (
+        df.filter(F.col(id_col).isNotNull() & (w > 0))
+        .select(
+            *[F.col(c) for c in (by or [])],
+            F.col(id_col),
+            w.alias("__ws_w"),
+            key.alias("__ws_key"),
+        )
+    )
+    if not by:
+        winners = lane.orderBy("__ws_key", id_col).limit(int(k))
+        from pyspark.sql import Window
+
+        wspec = Window.orderBy("__ws_key", id_col)
+        winners = winners.withColumn(rank_col, F.row_number().over(wspec))
+    else:
+        from pyspark.sql import Window
+
+        wspec = Window.partitionBy(*by).orderBy("__ws_key", id_col)
+        winners = (
+            lane.withColumn(rank_col, F.row_number().over(wspec))
+            .filter(F.col(rank_col) <= int(k))
+        )
+    return winners.select(
+        *(by or []), id_col, F.col("__ws_w").alias("weight"), rank_col
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

@@ -1167,6 +1167,43 @@ FROM u
 """
 
 
+WSAMPLE_K = 20
+
+
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (sampling.weighted_sample_by,
+    ratio lane = Ohlsson sequential Poisson): per-lang k winners drawn
+    ∝ n_chars, keyed entirely off md5(doc_id) and one IEEE divide — so
+    any SQL engine reproduces the identical draw bit-for-bit.  The
+    Efraimidis–Spirakis exp lane (exact WRS distribution) is pytest-
+    gated instead: its -ln(u) key is libm-dependent across engines."""
+    from .operators.sampling import weighted_sample_by
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_by(
+        docs, "doc_id", "n_chars", WSAMPLE_K, by=["lang"], method="ratio"
+    )
+
+
+def _sql_weighted_sample_docs() -> str:
+    return f"""
+WITH lane AS (
+  SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS w,
+         ('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+           / CAST({float(16**13)!r} AS DOUBLE) AS u
+  FROM documents
+  WHERE doc_id IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+), ranked AS (
+  SELECT lang, doc_id, w,
+         row_number() OVER (PARTITION BY lang ORDER BY u / w, doc_id)
+           AS sample_rank
+  FROM lane
+)
+SELECT lang, doc_id, w AS weight, sample_rank
+FROM ranked WHERE sample_rank <= {WSAMPLE_K}
+"""
+
+
 HH_THRESHOLD = 0.005
 
 
@@ -3653,6 +3690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_global": q_events_asof_global,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "doc_split_sample": q_doc_split_sample,
+        "weighted_sample_docs": q_weighted_sample_docs,
         "mixture_epochs": q_mixture_epochs,
         "token_budget_freeze": q_token_budget_freeze,
         "adaptive_quantile_filter": q_adaptive_quantile_filter,
@@ -3732,6 +3770,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_global": _SQL_EVENTS_ASOF_GLOBAL,
         "heavy_hitter_tokens": _SQL_HEAVY_HITTER_TOKENS,
         "doc_split_sample": _sql_doc_split_sample(),
+        "weighted_sample_docs": _sql_weighted_sample_docs(),
         "mixture_epochs": _sql_mixture_epochs(),
         "token_budget_freeze": _SQL_TOKEN_BUDGET_FREEZE,
         "adaptive_quantile_filter": _SQL_ADAPTIVE_QUANTILE_FILTER,

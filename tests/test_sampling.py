@@ -269,3 +269,84 @@ def test_freeze_to_budget_edges(spark):
     assert freeze_to_budget(df, "doc_id", "n", 0).count() == 0
     assert freeze_to_budget(df, "doc_id", "n", 10**9).count() == 100
     assert freeze_to_budget(df, "doc_id", "n", 95).count() == 9  # inclusive cumsum
+
+
+def _py_wsample(ids_weights, k, salt="wsample", method="exp"):
+    """Pure-Python reference for weighted_sample_by (same md5 math)."""
+    import hashlib
+    import math
+
+    keyed = []
+    for i, w in ids_weights:
+        if i is None or w is None or w <= 0:
+            continue
+        h = hashlib.md5(f"{salt}:{i}".encode()).hexdigest()
+        u = int(h[:13], 16) / float(16**13)
+        if method == "exp":
+            key = (-math.log(u) / w) if u > 0 else float("inf")
+        else:
+            key = u / w
+        keyed.append((key, i, float(w)))
+    keyed.sort()
+    return [(i, w, r + 1) for r, (_, i, w) in enumerate(keyed[:k])]
+
+
+def test_weighted_sample_matches_reference_both_methods(spark):
+    from tdigest_spark.operators.sampling import weighted_sample_by
+
+    rows = [(i, (i % 17) + 1) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    for method in ("exp", "ratio"):
+        got = sorted(
+            (r["doc_id"], r["weight"], r["sample_rank"])
+            for r in weighted_sample_by(
+                df, "doc_id", "w", 25, method=method
+            ).collect()
+        )
+        want = sorted(_py_wsample(rows, 25, method=method))
+        assert got == want, method
+        # partition invariance
+        got2 = sorted(
+            (r["doc_id"], r["weight"], r["sample_rank"])
+            for r in weighted_sample_by(
+                df.repartition(13), "doc_id", "w", 25, method=method
+            ).collect()
+        )
+        assert got2 == got
+
+
+def test_weighted_sample_grouped_and_null_semantics(spark):
+    from tdigest_spark.operators.sampling import weighted_sample_by
+
+    rows = [(i, f"g{i % 5}", (i % 7) + 1) for i in range(1000)]
+    rows += [(9001, "g0", None), (9002, "g0", 0), (None, "g0", 5)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w long")
+    out = weighted_sample_by(df, "doc_id", "w", 10, by=["g"]).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append((r["doc_id"], r["weight"], r["sample_rank"]))
+    assert set(by_g) == {f"g{j}" for j in range(5)}
+    for g, members in by_g.items():
+        grp = [(i, w) for i, gg, w in rows if gg == g]
+        want = _py_wsample(grp, 10)
+        assert sorted(members) == sorted(want), g
+    # excluded rows never appear
+    ids = {r["doc_id"] for r in out}
+    assert 9001 not in ids and 9002 not in ids and None not in ids
+
+
+def test_weighted_sample_k1_inclusion_probability(spark):
+    """E-S with k=1 picks item i with probability exactly w_i/W; across
+    2,000 independent two-item groups (A w=3, B w=1) the A-fraction must
+    concentrate near 0.75."""
+    from tdigest_spark.operators.sampling import weighted_sample_by
+
+    rows = []
+    for g in range(2000):
+        rows.append((2 * g, f"g{g}", 3))
+        rows.append((2 * g + 1, f"g{g}", 1))
+    df = spark.createDataFrame(rows, "doc_id long, g string, w long")
+    out = weighted_sample_by(df, "doc_id", "w", 1, by=["g"]).collect()
+    assert len(out) == 2000
+    frac_a = sum(1 for r in out if r["doc_id"] % 2 == 0) / 2000
+    assert 0.70 < frac_a < 0.80  # 3-sigma ≈ ±0.029
