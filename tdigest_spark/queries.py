@@ -1204,6 +1204,54 @@ FROM ranked WHERE sample_rank <= {WSAMPLE_K}
 """
 
 
+BPE_TOPK = 50
+
+
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE training round, driver-gated: word-frequency table in
+    one shuffle (the only pass over text), then weighted adjacent-symbol
+    pair counts over initial char+EOW symbol arrays — exactly what
+    tokenizer.bpe_train scores each round (full multi-round training is
+    iterative, hence pytest-differential vs a pure-Python reference;
+    this gates the distributed counting core).  Total order (cnt desc,
+    lhs, rhs) makes the top-k engine-reproducible."""
+    from pyspark.sql import Window
+
+    from .operators.tokenizer import initial_symbols, pair_counts, word_freq_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = word_freq_table(docs).select(
+        initial_symbols("word").alias("syms"), "cnt"
+    )
+    w = Window.orderBy(F.desc("cnt"), "lhs", "rhs")
+    return (
+        pair_counts(words)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BPE_TOPK)
+    )
+
+
+def _sql_bpe_merge_candidates() -> str:
+    return f"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split(text, ' '), tk -> tk != '')) AS w
+  FROM documents WHERE text IS NOT NULL
+), wc AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+pairs AS (
+  SELECT substr(w, CAST(i AS INT), 1) AS lhs,
+         substr(w, CAST(i AS INT) + 1, 1) AS rhs, c
+  FROM (SELECT w, c, unnest(range(1, length(w))) AS i
+        FROM wc WHERE length(w) >= 2)
+  UNION ALL
+  SELECT substr(w, length(w), 1), '</w>', c FROM wc
+), agg AS (
+  SELECT lhs, rhs, SUM(c) AS cnt FROM pairs GROUP BY lhs, rhs
+)
+SELECT lhs, rhs, cnt, row_number() OVER (ORDER BY cnt DESC, lhs, rhs) AS rk
+FROM agg QUALIFY rk <= {BPE_TOPK}
+"""
+
+
 HH_THRESHOLD = 0.005
 
 
@@ -3700,6 +3748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "gopher_repetition": q_gopher_repetition,
         "bpe_token_stats": q_bpe_token_stats,
+        "bpe_merge_candidates": q_bpe_merge_candidates,
         "language_id": q_language_id,
         "url_normalize": q_url_normalize,
         "pii_redact": q_pii_redact,
@@ -3780,6 +3829,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": _SQL_DOC_REPETITION,
         "gopher_repetition": _sql_gopher_repetition(),
         "bpe_token_stats": _sql_bpe_token_stats(),
+        "bpe_merge_candidates": _sql_bpe_merge_candidates(),
         "language_id": _sql_language_id(),
         "url_normalize": _SQL_URL_NORMALIZE,
         "pii_redact": _sql_pii_redact(),
