@@ -11,6 +11,10 @@ Public surface:
 - core.MergingDigest / histogram.LogHistogram / kll.KLL: NumPy sketch algebra
 - sketches: HLL, Count-Min, Bloom, KMV/theta set algebra, exact heavy
   hitters — all-JVM mergeable aggregations
+- fd: Frequent-Directions matrix sketch over embedding columns
+  (mergeable low-rank second-moment sketch) + exact distributed Gram
+- operators.tokenizer: distributed BPE tokenizer training/encoding over
+  the word-frequency table (corpus text read exactly once)
 - operators.digest: build/merge/query digests over DataFrames, incl.
   one-pass multi-column profiling (digest_profile)
 - functions: registered SQL UDFs (tdigest_quantile, kll_quantile,
@@ -39,6 +43,7 @@ Public surface:
 """
 
 from .core import MergingDigest, merge_all
+from .fd import FrequentDirections
 from .histogram import LogHistogram, SignedLogHistogram
 from .kll import KLL
 from .scale import K_0, K_1, K_2, K_3, SCALES
@@ -48,6 +53,7 @@ __version__ = "0.1.0"
 __all__ = [
     "MergingDigest",
     "merge_all",
+    "FrequentDirections",
     "KLL",
     "LogHistogram",
     "SignedLogHistogram",

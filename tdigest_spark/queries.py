@@ -1204,6 +1204,38 @@ FROM ranked WHERE sample_rank <= {WSAMPLE_K}
 """
 
 
+GRAM_DIMS = 16
+
+
+def q_gram_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact upper-triangle Gram of the embedding corpus on integer-
+    quantized components (fd.gram_pairs_quantized): one scan, literal
+    pair-array explode + partial-aggregating groupBy, bigint sums —
+    order-insensitive and engine-neutral, so hash-exact vs SQL.  Gates
+    the pair algebra of the second-moment path; the float lane
+    (fd.gram_matrix, NumPy X.T@X partials) and the Frequent-Directions
+    sketch built on it are pytest-differential against this."""
+    from .fd import gram_pairs_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return gram_pairs_quantized(emb, "embedding", dims=GRAM_DIMS)
+
+
+def _sql_gram_embeddings() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id, CAST(i AS INT) AS i,
+         CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576.0)
+              AS BIGINT) AS qv
+  FROM (SELECT vec_id, embedding, unnest(range(1, {GRAM_DIMS + 1})) AS i
+        FROM embeddings WHERE embedding IS NOT NULL)
+)
+SELECT a.i AS i, b.i AS j, SUM(a.qv * b.qv) AS g
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+GROUP BY a.i, b.i
+"""
+
+
 BPE_TOPK = 50
 
 
@@ -3783,6 +3815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_topk": q_ivf_pq_topk,
         "ivf_pq_residual_topk": q_ivf_pq_residual_topk,
         "random_project": q_random_project,
+        "gram_embeddings": q_gram_embeddings,
         "crawl_diff": q_crawl_diff,
         "binary_meta": q_binary_meta,
         "ahash_near_pairs": q_ahash_near_pairs,
@@ -3864,6 +3897,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_topk": _sql_ivf_pq_topk(),
         "ivf_pq_residual_topk": _sql_ivf_pq_residual_topk(),
         "random_project": _sql_random_project(),
+        "gram_embeddings": _sql_gram_embeddings(),
         "crawl_diff": _SQL_CRAWL_DIFF,
         "binary_meta": _SQL_BINARY_META,
         "ahash_near_pairs": _sql_ahash_near_pairs(),
