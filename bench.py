@@ -487,6 +487,26 @@ def main() -> None:
 
     bench("kll_by_returnflag", kll)
 
+    # 11. BPE training round-1 pair counts (word-freq table = the one
+    #     text pass, then all-JVM pair explode + partial agg)
+    bench(
+        "bpe_merge_candidates",
+        lambda: Q.q_bpe_merge_candidates(spark, SF_DIR).collect(),
+    )
+
+    # 12. Frequent-Directions / second-moment path: the quantized exact
+    #     Gram gate (literal pair-array explode, one partial-agg shuffle)
+    bench(
+        "gram_embeddings",
+        lambda: Q.q_gram_embeddings(spark, SF_DIR).collect(),
+    )
+
+    # 13. weighted sampling without replacement (narrow-lane window top-k)
+    bench(
+        "weighted_sample_docs",
+        lambda: Q.q_weighted_sample_docs(spark, SF_DIR).collect(),
+    )
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_suite_sec",

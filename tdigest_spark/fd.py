@@ -43,6 +43,7 @@ if TYPE_CHECKING:  # pyspark deferred so `import tdigest_spark` stays NumPy-only
 
 __all__ = [
     "FrequentDirections",
+    "fd_drift",
     "fd_sketch",
     "fd_sketch_by",
     "gram_matrix",
@@ -172,6 +173,39 @@ class FrequentDirections:
         out.n_rows = n_rows
         out.frob2 = frob2
         return out
+
+
+def fd_drift(
+    a: FrequentDirections, b: FrequentDirections, k: int = 8
+) -> dict:
+    """Embedding-distribution drift between two corpus snapshots, from
+    their KB-sized FD sketches alone (no re-scan) — the vector sibling
+    of the sketch-only CDF drift monitor in `sketches`.
+
+    Returns:
+    - spectral_drift: ‖Â₁ − Â₂‖₂ / max(‖Â₁‖₂, ‖Â₂‖₂) where
+      Âᵢ = BᵢᵀBᵢ/nᵢ is the per-row second-moment estimate (so corpus
+      SIZE cancels and only the distribution's shape moves the number).
+      Each Âᵢ is within error_bound()/nᵢ of the true moment, so the
+      reported drift is exact up to that additive slack.
+    - principal_cosines: cosines of the principal angles between the two
+      sketches' top-k singular subspaces (1.0 = aligned); their min is
+      the strongest "a new direction appeared" alarm.
+    """
+    if a.d != b.d:
+        raise ValueError("dimension mismatch")
+    ca = a.cov_estimate() / max(a.n_rows, 1)
+    cb = b.cov_estimate() / max(b.n_rows, 1)
+    denom = max(np.linalg.norm(ca, 2), np.linalg.norm(cb, 2), 1e-300)
+    drift = float(np.linalg.norm(ca - cb, 2) / denom)
+    _, da = a.top_directions(k)
+    _, db = b.top_directions(k)
+    k_eff = min(da.shape[0], db.shape[0])
+    sv = np.linalg.svd(da[:k_eff] @ db[:k_eff].T, compute_uv=False)
+    return {
+        "spectral_drift": drift,
+        "principal_cosines": np.clip(sv, 0.0, 1.0),
+    }
 
 
 # -- distributed build -------------------------------------------------

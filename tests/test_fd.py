@@ -130,3 +130,24 @@ def test_gram_pairs_quantized_differential(spark):
             want = int((Q[:, i] * Q[:, j]).sum())
             assert got[(i + 1, j + 1)] == want, (i, j)
     assert len(got) == 36
+
+
+def test_fd_drift_same_vs_rotated():
+    from tdigest_spark.fd import fd_drift
+
+    rng = np.random.default_rng(23)
+    # same distribution, different draw: split one 5500-row sample (the
+    # two halves share the generating V, i.e. the same low-rank factor)
+    full = _data(n=5500, d=20, rank=5, seed=29)
+    A, B = full[:3000], full[3000:]
+    ska = FrequentDirections(20, ell=10).add(A)
+    skb = FrequentDirections(20, ell=10).add(B)
+    same = fd_drift(ska, skb, k=5)
+    assert same["spectral_drift"] < 0.15
+    assert same["principal_cosines"].min() > 0.95
+    # rotated distribution: large drift, subspaces diverge
+    Q, _ = np.linalg.qr(rng.normal(size=(20, 20)))
+    skc = FrequentDirections(20, ell=10).add(A @ Q)
+    rot = fd_drift(ska, skc, k=5)
+    assert rot["spectral_drift"] > 0.5
+    assert rot["principal_cosines"].min() < 0.6
