@@ -101,26 +101,48 @@ def pair_counts(words: DataFrame, syms_col: str = "syms", cnt_col: str = "cnt") 
     )
 
 
-def _merge_fold(syms: Column, lhs: str, rhs: str) -> Column:
-    """Left-to-right non-overlapping merge of adjacent (lhs, rhs) into
-    lhs+rhs, as a pure-JVM fold.  Safe against self-overlap: the fold's
-    trailing element after a merge is lhs+rhs, which can never compare
-    equal to lhs (rhs is non-empty), so "aaa" -> ["aa","a"]."""
-    merged = lhs + rhs
-    fold = F.aggregate(
-        syms,
-        F.array().cast("array<string>"),
-        lambda acc, s: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(lhs))
-            & (s == F.lit(rhs)),
-            F.concat(
-                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(merged))
-            ),
-        ).otherwise(F.concat(acc, F.array(s))),
-    )
-    # rows without both symbols can't contain the pair — skip the fold
-    guard = F.array_contains(syms, lhs) & F.array_contains(syms, rhs)
+def _merge_fold(syms: Column, pairs: Sequence[tuple[str, str]]) -> Column:
+    """Left-to-right non-overlapping merge of every adjacent (lhs, rhs)
+    in `pairs` into lhs+rhs, as ONE pure-JVM fold pass.
+
+    Correctness notes:
+    - Self-overlap safe: the fold's trailing element after a merge is
+      lhs+rhs, which can never compare equal to any pair's lhs (pairs
+      are symbol-disjoint and none equals a merged string — bpe_train's
+      selection enforces both), so "aaa" under ("a","a") -> ["aa","a"].
+    - One pass == sequential per-pair passes for symbol-disjoint pairs:
+      merging one pair only creates adjacencies involving its (strictly
+      longer) merged symbol, which no other selected pair references.
+    - All pairs ride a single CASE chain inside one aggregate() — NEVER
+      nest per-pair folds: when(guard, fold).otherwise(syms) references
+      its child 3x, so chaining k folds builds a 3^k expression tree
+      that OOMs task deserialization (observed at batch 8 on the 4M
+      corpus: 12 GB heap gone inside ObjectInputStream).
+    """
+    pairs = list(pairs)
+    if not pairs:
+        return syms
+
+    def step(acc: Column, s: Column) -> Column:
+        expr = F.concat(acc, F.array(s))
+        nonempty = F.size(acc) > 0
+        tail = F.element_at(acc, -1)
+        for lhs, rhs in reversed(pairs):
+            expr = F.when(
+                nonempty & (tail == F.lit(lhs)) & (s == F.lit(rhs)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(lhs + rhs)),
+                ),
+            ).otherwise(expr)
+        return expr
+
+    fold = F.aggregate(syms, F.array().cast("array<string>"), step)
+    # rows containing no selected pair's symbols skip the fold entirely
+    guard = None
+    for lhs, rhs in pairs:
+        g = F.array_contains(syms, lhs) & F.array_contains(syms, rhs)
+        guard = g if guard is None else (guard | g)
     return F.when(guard, fold).otherwise(syms)
 
 
@@ -174,10 +196,9 @@ def bpe_train(
                 used.update((r["lhs"], r["rhs"], r["lhs"] + r["rhs"]))
             if not chosen:
                 break
-            new_syms: Column = F.col("syms")
-            for lhs, rhs in chosen:
-                new_syms = _merge_fold(new_syms, lhs, rhs)
-            nxt = words.select(new_syms.alias("syms"), "cnt")
+            nxt = words.select(
+                _merge_fold(F.col("syms"), chosen).alias("syms"), "cnt"
+            )
             rounds += 1
             if rounds % checkpoint_every == 0:
                 nxt = nxt.localCheckpoint(eager=True)

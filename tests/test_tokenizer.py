@@ -152,3 +152,41 @@ def test_pair_counts_weighted(spark):
         (r["lhs"], r["rhs"]): r["cnt"] for r in pair_counts(words).collect()
     }
     assert got == {("a", "b"): 2, ("b", EOW): 3}
+
+
+def test_tokenizer_train_job_end_to_end(spark, tmp_path):
+    """jobs/tokenizer_train_job.py: artifact layout, determinism, and the
+    merge table equals the in-process trainer's output."""
+    import json
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    inp = str(tmp_path / "corpus")
+    spark.createDataFrame([(t,) for t in CORPUS], "text string").write.mode(
+        "overwrite"
+    ).parquet(inp)
+    out = str(tmp_path / "tok")
+    env = dict(os.environ)
+    env["SPARK_DRIVER_MEM"] = "2g"
+    proc = subprocess.run(
+        [
+            "python", os.path.join(repo, "jobs", "tokenizer_train_job.py"),
+            "--input", inp, "--out", out, "--merges", "15", "--batch", "4",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=repo, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["n_merges"] == 15
+    got = [
+        (r["lhs"], r["rhs"])
+        for r in spark.read.parquet(os.path.join(out, "merges.parquet"))
+        .orderBy("rank")
+        .collect()
+    ]
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    want = bpe_train(df, n_merges=15, batch_size=4)
+    assert got == want
+    with open(os.path.join(out, "report.json")) as fh:
+        assert json.load(fh)["n_merges"] == 15
