@@ -552,6 +552,66 @@ class MergingDigest:
         base = weight_so_far + c1c / 2.0 + left_excl
         return (base + dw_no_single * (x - c1m) / (c2m - c1m)) / total
 
+    def cdf_batch(self, xs: np.ndarray) -> np.ndarray:
+        """Vectorized `cdf` over an array of probe values (one
+        searchsorted pass instead of a Python loop per value — the shape
+        per-row percentile enrichment needs at Arrow-batch granularity).
+
+        Value-identical to looping `cdf(x)` — same branch precedence
+        (below-min, ==min, above-max, ==max, equal-centroid run,
+        two-centroid interpolation) and the same IEEE operation order in
+        each branch; the only internal difference is prefix sums instead
+        of per-call masked sums, which cannot split a ulp for the
+        integer-valued sample weights every pipeline path produces
+        (asserted exactly in tests/test_core.py against the scalar).
+        NaN/Inf probes raise, matching `cdf`; an empty digest yields NaN.
+        """
+        xs = np.asarray(xs, dtype=np.float64)
+        if xs.size and not np.isfinite(xs).all():
+            raise ValueError("Invalid value in xs (NaN/Inf)")
+        self._force_ascending()
+        n = self._n
+        if n == 0:
+            return np.full(xs.shape, np.nan)
+        means = self._mean[:n]
+        counts = self._count[:n]
+        total = self.total_weight
+        if n == 1:
+            v = means[0]
+            return np.where(xs < v, 0.0, np.where(xs > v, 1.0, 0.5))
+        mn = means[0]
+        mx = means[n - 1]
+        cumpad = np.concatenate(([0.0], np.cumsum(counts)))
+        il = np.searchsorted(means, xs, side="left")
+        ir = np.searchsorted(means, xs, side="right")
+        w_lt = cumpad[il]
+        w_le = cumpad[ir]
+        has_eq = ir > il
+
+        # interpolation lane (c_i < x < c_{i+1}), computed everywhere and
+        # masked: clip keeps the gather in-bounds for out-of-range probes,
+        # errstate silences the equal-means division the mask discards.
+        i = np.clip(il - 1, 0, n - 2)
+        c1m, c1c = means[i], counts[i]
+        c2m, c2c = means[i + 1], counts[i + 1]
+        wsf = w_lt - c1c
+        left_excl = np.where((c1c == 1) & (c2c != 1), 0.5, 0.0)
+        right_excl = np.where((c2c == 1) & (c1c != 1), 0.5, 0.0)
+        dw = (c1c + c2c) / 2.0
+        dw_no = dw - left_excl - right_excl
+        base = wsf + c1c / 2.0 + left_excl
+        with np.errstate(divide="ignore", invalid="ignore"):
+            interp = (base + dw_no * (xs - c1m) / (c2m - c1m)) / total
+        out = np.where((c1c == 1) & (c2c == 1), (wsf + 1.0) / total, interp)
+        # branch precedence, lowest to highest (mirrors the scalar's
+        # first-match-wins ordering: <min, ==min, >max, ==max, eq, interp)
+        out = np.where(has_eq, (w_lt + (w_le - w_lt) / 2.0) / total, out)
+        out = np.where(xs == mx, 1.0 - 0.5 / total, out)
+        out = np.where(xs > mx, 1.0, out)
+        out = np.where(xs == mn, w_le / 2.0 / total, out)
+        out = np.where(xs < mn, 0.0, out)
+        return out
+
     def trimmed_mean(self, q1: float, q2: float) -> float:
         """Mean of the samples with rank in [q1*W, q2*W].
 

@@ -97,6 +97,8 @@ def quota_by_key(
     order_by: Sequence[Column | str],
     k: int,
     rank_col: str | None = None,
+    presalt: int | None = None,
+    presalt_by: Column | str | None = None,
 ) -> DataFrame:
     """Per-key quota cap: keep at most `k` rows per `key_col`, preferring
     rows earliest in `order_by` — the host-quota / domain-balancing
@@ -108,20 +110,43 @@ def quota_by_key(
     `rank_col` to also keep the within-key rank (1-based).
 
     Plan: one hash shuffle on `key_col` + a per-key sort for row_number —
-    the minimum any per-key top-k needs.  Skew note for 100 TB: a
-    pathological key (one host with 10^8 pages) serializes into a single
-    window partition; since rows beyond rank k are discarded anyway,
-    pre-thin such keys first (e.g. `deterministic_sample` at a rate that
-    leaves ~10k x k expected rows for keys whose approximate count —
-    one cheap partial-agg pass — exceeds that), then apply the exact
-    quota.  For every realistic host distribution the plain window is
-    the right plan; AQE handles moderate skew in the shuffle itself.
+    the minimum any per-key top-k needs.  Skew: a pathological key (one
+    host with 10^8 pages) serializes into a single window partition, so
+    `presalt=s` adds a salted PRE-CAP stage: rows first rank within
+    (key, xxhash64(key, order...) % s) sub-windows — the hot key's sort
+    spreads over s reducers — and only each sub-window's top-k (<= s*k
+    rows per key, KB not GB) reaches the exact final window.  The kept
+    set is IDENTICAL to the plain path by pigeonhole: a row with global
+    within-key rank <= k has rank <= k inside any subset containing it,
+    so the pre-cap never discards a final survivor.  `presalt_by` is the
+    bucketing expression — pass the row id (or any expression that
+    varies within a key; order_by entries can't be reused because they
+    may be SortOrder expressions, which have no value to hash).  The
+    key is hashed alongside it so two keys' rows don't co-bucket
+    systematically; determinism is preserved because the bucket depends
+    only on row content, never on partitioning.  Default (None) keeps
+    the single-window plan — right for every realistic host distribution
+    (AQE absorbs moderate skew); reach for presalt when one key holds
+    millions of rows.
     """
     from pyspark.sql import Window
 
     if k < 1:
         raise ValueError("k must be >= 1")
+    if presalt is not None and presalt < 2:
+        raise ValueError("presalt must be >= 2 (or None for the plain plan)")
+    if (presalt is None) != (presalt_by is None):
+        raise ValueError("presalt and presalt_by must be passed together")
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    if presalt is not None:
+        pb = F.col(presalt_by) if isinstance(presalt_by, str) else presalt_by
+        bucket = F.pmod(F.xxhash64(F.col(key_col), pb), F.lit(int(presalt)))
+        w1 = Window.partitionBy(F.col(key_col), bucket).orderBy(*cols)
+        df = (
+            df.withColumn("__qk_pre", F.row_number().over(w1))
+            .filter(F.col("__qk_pre") <= int(k))
+            .drop("__qk_pre")
+        )
     w = Window.partitionBy(key_col).orderBy(*cols)
     rk = "__qk_rank" if rank_col is None else rank_col
     out = df.withColumn(rk, F.row_number().over(w)).filter(F.col(rk) <= int(k))

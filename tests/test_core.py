@@ -510,3 +510,61 @@ class TestLazyBuffer:
         m.merge(big)
         m.compress()
         m.check_weights()
+
+
+# ---------------------------------------------------------- cdf_batch lane
+
+class TestCdfBatch:
+    """cdf_batch must be bit-identical to looping the scalar cdf —
+    same branch precedence and IEEE operation order per branch."""
+
+    def _assert_matches_scalar(self, d, xs):
+        got = d.cdf_batch(xs)
+        want = np.array([d.cdf(float(x)) for x in xs])
+        assert got.shape == want.shape
+        assert np.array_equal(got, want, equal_nan=True)
+
+    def _probes(self, d, rng):
+        means = d._mean[: d._n]
+        mids = (means[:-1] + means[1:]) / 2.0 if d._n > 1 else np.array([])
+        return np.concatenate([
+            means,                        # exact centroid hits (eq branch)
+            mids,                         # interpolation lane
+            [means[0] - 1.0, means[-1] + 1.0, means[0], means[-1]],
+            rng.uniform(means[0] - 0.5, means[-1] + 0.5, size=200),
+        ])
+
+    def test_continuous(self):
+        rng = np.random.default_rng(7)
+        d = MergingDigest(100)
+        d.add(rng.normal(size=50_000))
+        d.compress()
+        self._assert_matches_scalar(d, self._probes(d, rng))
+
+    def test_heavy_ties_and_singletons(self):
+        rng = np.random.default_rng(8)
+        d = MergingDigest(50)
+        # discrete ties create equal-centroid runs + boundary singletons
+        d.add(rng.integers(0, 12, size=20_000).astype(float))
+        d.add(np.array([100.0, -100.0]))  # singleton extremes
+        d.compress()
+        self._assert_matches_scalar(d, self._probes(d, rng))
+
+    def test_tiny_digests(self):
+        for vals in ([3.0], [1.0, 2.0], [5.0, 5.0, 5.0]):
+            d = MergingDigest(100)
+            d.add(np.array(vals))
+            xs = np.array([v for v in vals] + [min(vals) - 1, max(vals) + 1,
+                                               (min(vals) + max(vals)) / 2.0])
+            self._assert_matches_scalar(d, xs)
+
+    def test_empty_and_invalid(self):
+        d = MergingDigest(100)
+        out = d.cdf_batch(np.array([1.0, 2.0]))
+        assert np.isnan(out).all()
+        d.add(np.array([1.0]))
+        with pytest.raises(ValueError):
+            d.cdf_batch(np.array([np.nan]))
+        with pytest.raises(ValueError):
+            d.cdf_batch(np.array([np.inf]))
+        assert d.cdf_batch(np.array([])).size == 0

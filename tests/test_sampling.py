@@ -130,6 +130,44 @@ def test_quota_by_key_rejects_bad_k(spark):
         quota_by_key(df, "k", ["k"], 0)
 
 
+def test_quota_by_key_presalt_identical_to_plain(spark):
+    # The salted pre-cap must be invisible in the result: pigeonhole
+    # guarantees every global top-k row survives its sub-window's top-k.
+    # Exercised with a pathologically hot key (one host holds 80% of
+    # rows), several presalt widths, ties, and a repartitioned input.
+    from pyspark.sql import functions as F
+
+    from tdigest_spark.operators.sampling import quota_by_key
+
+    rows = [(i, "hot" if i % 5 != 0 else f"h{i % 40}", float(i % 11))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, host string, q double")
+    order = [F.desc("q"), F.asc("doc_id")]
+    plain = sorted(
+        map(tuple, quota_by_key(df, "host", order, 7, rank_col="rk").collect())
+    )
+    for s in (2, 3, 16):
+        salted = quota_by_key(
+            df.repartition(9), "host", order, 7, rank_col="rk",
+            presalt=s, presalt_by="doc_id",
+        )
+        assert sorted(map(tuple, salted.collect())) == plain
+
+
+def test_quota_by_key_presalt_validation(spark):
+    import pytest as _pt
+
+    from tdigest_spark.operators.sampling import quota_by_key
+
+    df = spark.range(3).withColumnRenamed("id", "k")
+    with _pt.raises(ValueError):
+        quota_by_key(df, "k", ["k"], 1, presalt=1, presalt_by="k")
+    with _pt.raises(ValueError):
+        quota_by_key(df, "k", ["k"], 1, presalt=4)  # missing presalt_by
+    with _pt.raises(ValueError):
+        quota_by_key(df, "k", ["k"], 1, presalt_by="k")  # missing presalt
+
+
 # ---------------------------------------------------------------- packing
 
 
