@@ -9,6 +9,7 @@ from .digest import (
     digest_drift,
     digest_of,
     merge_partials,
+    percentile_enrich,
     quantiles_of,
 )
 from .histogram_ops import histogram_by
@@ -21,6 +22,7 @@ __all__ = [
     "digest_drift",
     "digest_of",
     "merge_partials",
+    "percentile_enrich",
     "quantiles_of",
     "histogram_by",
 ]

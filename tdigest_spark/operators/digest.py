@@ -570,3 +570,102 @@ def quantile_filter(
     pred = {"ge": v >= c, "gt": v > c, "le": v <= c, "lt": v < c}[keep]
     out = joined.filter(pred)
     return out if cutoff_col else out.drop(cut)
+
+
+def percentile_enrich(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    delta: float = 100.0,
+    scale: str = "K_3",
+    out_col: str = "percentile",
+    digests: DataFrame | None = None,
+) -> DataFrame:
+    """Attach each row's within-group percentile: `out_col` = the
+    group digest's cdf evaluated at the row's own `value_col` — the
+    per-document scoring move ("this page's length sits at p93 for its
+    language") that turns a distribution sketch into a per-row feature
+    for downstream filters and samplers.
+
+    Plan shape (the 100 TB path): one map-side-combining digest build
+    (KB partials, zero raw-row shuffle), then the digest table — KB per
+    group — travels to workers as an `sc.broadcast` SIDE CHANNEL into a
+    single mapInPandas over the corpus.  The corpus is scanned exactly
+    twice and shuffled ZERO times, and the digest bytes are materialized
+    once per executor, NOT copied per row — deliberately not a broadcast
+    join, which would clone the KB digest blob onto every joined row
+    (the pq_topk lesson: join-output row-copy moved ~100 GB through a
+    6.4M-row join).  Per Arrow batch the rows group in pandas and score
+    through the vectorized `cdf_batch` lane (bit-identical to scalar
+    `cdf`, tests/test_core.py).
+
+    Pass `digests` (a `digest_by`/`merge_partials` table with columns
+    (*by, digest)) to score against a FROZEN snapshot — e.g. last
+    crawl's checkpointed sketches — instead of rebuilding; rows whose
+    group is absent from it get NULL.  NULL group keys are groups like
+    any other (groupBy semantics).  NULL / non-finite values yield NULL
+    (finite probes on a non-empty digest never produce NaN, so NaN is
+    an unambiguous missing-marker internally).
+
+    Reference parity: cdf semantics per TDigest.jl:430-544
+    (defect-corrected, SURVEY §2.3); the enrichment shape itself is the
+    distribution layer feeding the pipeline, no reference counterpart.
+    """
+    from pyspark.sql import types as T
+
+    by = list(by)
+    if digests is None:
+        digests = digest_by(df, value_col, by=by, delta=delta, scale=scale)
+    rows = digests.select(*by, "digest").collect()
+    table = {
+        tuple(r[c] for c in by): bytes(r["digest"])
+        for r in rows
+        if r["digest"] is not None
+    }
+    bc = df.sparkSession.sparkContext.broadcast(table)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType(), True)]
+    )
+
+    def _norm(k):
+        # pandas group keys: NaN for NULL numeric keys (None for object),
+        # numpy scalars for the rest; collect() gave None / python values.
+        if k is None or (isinstance(k, float) and np.isnan(k)):
+            return None
+        return k.item() if hasattr(k, "item") else k
+
+    def enrich(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[tuple, MergingDigest] = {}
+        tbl = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            out = np.full(n, np.nan)
+            vals = pd.to_numeric(pdf[value_col], errors="coerce").to_numpy(
+                dtype=np.float64, na_value=np.nan
+            )
+            if by:
+                groups = pdf.groupby(by, dropna=False, sort=False).indices
+            else:
+                groups = {(): np.arange(n)}
+            for key, idx in groups.items():
+                kt = key if isinstance(key, tuple) else (key,)
+                kt = tuple(_norm(k) for k in kt)
+                d = cache.get(kt)
+                if d is None:
+                    blob = tbl.get(kt)
+                    if blob is None:
+                        continue
+                    d = MergingDigest.from_bytes(blob)
+                    cache[kt] = d
+                v = vals[idx]
+                mask = np.isfinite(v)
+                if mask.any():
+                    res = np.full(v.shape, np.nan)
+                    res[mask] = d.cdf_batch(v[mask])
+                    out[idx] = res
+            res_pdf = pdf.copy()
+            # nullable Float64 maps NaN -> NULL on the Arrow wire
+            res_pdf[out_col] = pd.array(out, dtype="Float64")
+            yield res_pdf
+
+    return df.mapInPandas(enrich, out_schema)

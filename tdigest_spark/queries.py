@@ -179,6 +179,41 @@ GROUP BY ca.lang
 """
 
 
+def q_percentile_enrich_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row within-group percentile (operators/digest.py:
+    percentile_enrich): every document scored with the cdf of its own
+    n_chars in its language's digest — broadcast side-channel + one
+    mapInPandas, zero corpus shuffle (test_plans.py).  Singleton regime
+    -> bit-exact against the windowed SQL: generic (below + eq/2)/n with
+    the reference's ==max precedence (1 - 0.5/n even when the max is
+    tied; cdf branch order, core.py:520-537)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return digest.percentile_enrich(
+        docs.select("doc_id", "lang", "n_chars"),
+        "n_chars",
+        by=["lang"],
+        delta=DOCS_DELTA,
+    )
+
+
+_SQL_PERCENTILE_ENRICH_DOCS = """
+WITH s AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(count(*) OVER (PARTITION BY lang) AS DOUBLE) AS n,
+         CAST(rank() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS DOUBLE)
+           AS below,
+         CAST(count(*) OVER (PARTITION BY lang, n_chars) AS DOUBLE) AS eq,
+         max(n_chars) OVER (PARTITION BY lang) AS mx,
+         min(n_chars) OVER (PARTITION BY lang) AS mn
+  FROM documents
+)
+SELECT doc_id, lang, n_chars,
+       CASE WHEN n_chars = mx AND n_chars > mn THEN 1.0 - 0.5 / n
+            ELSE (below + eq / 2.0) / n END AS percentile
+FROM s
+"""
+
+
 def q_tdigest_trimmed_mean_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import tdigest_trimmed_mean_udf
 
@@ -3745,6 +3780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_quantiles_by_lang": q_tdigest_quantiles_by_lang,
         "tdigest_cdf_by_lang": q_tdigest_cdf_by_lang,
         "tdigest_drift_by_lang": q_tdigest_drift_by_lang,
+        "percentile_enrich_docs": q_percentile_enrich_docs,
         "tdigest_trimmed_mean_by_lang": q_tdigest_trimmed_mean_by_lang,
         "tdigest_stats_by_lang": q_tdigest_stats_by_lang,
         "tdigest_events_by_type": q_tdigest_events_by_type,
@@ -3827,6 +3863,7 @@ def oracle_sql() -> dict[str, str]:
         "tdigest_quantiles_by_lang": _SQL_QUANTILES_BY_LANG,
         "tdigest_cdf_by_lang": _SQL_CDF_BY_LANG,
         "tdigest_drift_by_lang": _SQL_DRIFT_BY_LANG,
+        "percentile_enrich_docs": _SQL_PERCENTILE_ENRICH_DOCS,
         "tdigest_trimmed_mean_by_lang": _SQL_TRIMMED_MEAN_BY_LANG,
         "tdigest_stats_by_lang": _SQL_STATS_BY_LANG,
         "tdigest_events_by_type": _SQL_EVENTS_BY_TYPE,

@@ -630,3 +630,18 @@ def test_shuffle_totals_measures_exchange_volume(spark, docs):
     docs.select((F.col("n_chars") + 1).alias("x")).limit(5).collect()
     w2, _ = shuffle_totals(spark)
     assert w2 == w1  # narrow projection + CollectLimit: zero shuffle
+
+
+def test_percentile_enrich_no_corpus_shuffle(docs):
+    """percentile_enrich's scoring stage is ONE mapInPandas directly over
+    the scan: the digest table travels as an sc.broadcast side channel,
+    so the returned plan has no Exchange and no Join at all (the corpus
+    never shuffles and no KB digest blob is copied per row)."""
+    from tdigest_spark.operators import digest_by, percentile_enrich
+
+    d = digest_by(docs, "n_chars", by=["lang"], delta=24000.0)
+    out = percentile_enrich(docs, "n_chars", by=["lang"], digests=d)
+    simple = explain_str(out, "simple")
+    assert "Exchange" not in simple
+    assert "Join" not in simple
+    assert simple.count("MapInPandas") == 1

@@ -393,3 +393,84 @@ def test_digest_drift_inner_join_drops_one_sided_groups(spark):
     db = digest_by(b, "v", by=["g"], delta=100.0)
     out = digest_drift(da, db, (1.5,), by=["g"]).collect()
     assert [r["g"] for r in out] == ["x"]
+
+
+# ----------------------------------------------------- percentile_enrich
+
+def test_percentile_enrich_matches_scalar_cdf(spark):
+    """Every row's percentile equals the scalar cdf of its value on the
+    SAME collected digest — exactly (the operator rides cdf_batch, which
+    is bit-identical to cdf)."""
+    from tdigest_spark.operators import percentile_enrich
+
+    rng = np.random.default_rng(42)
+    rows = [
+        (int(i), ["en", "de", "fr"][i % 3], float(v))
+        for i, v in enumerate(rng.integers(0, 50, size=3000))
+    ]
+    df = spark.createDataFrame(rows, "id long, lang string, v double").repartition(7)
+    d = digest_by(df, "v", by=["lang"], delta=100.0)  # ties force compaction
+    local = {
+        r["lang"]: MergingDigest.from_bytes(bytes(r["digest"]))
+        for r in d.collect()
+    }
+    out = percentile_enrich(df, "v", by=["lang"], delta=100.0, digests=d)
+    for r in out.collect():
+        assert r["percentile"] == local[r["lang"]].cdf(r["v"]), r
+
+
+def test_percentile_enrich_edge_semantics(spark):
+    """Exact branch values: min, tied interior, tied-or-not max, all-equal
+    group, single-row group, NULL group key, NULL value."""
+    from tdigest_spark.operators import percentile_enrich
+
+    rows = [("en", 10.0), ("en", 20.0), ("en", 20.0), ("en", 30.0),
+            (None, 5.0), (None, 5.0), ("de", 7.0), ("de", None),
+            ("solo", 42.0)]
+    df = spark.createDataFrame(rows, "lang string, v double").repartition(3)
+    got = {
+        (r["lang"], r["v"]): r["percentile"]
+        for r in percentile_enrich(df, "v", by=["lang"], delta=1000.0).collect()
+    }
+    assert got[("en", 10.0)] == 0.125       # ==min: w_le/2/n
+    assert got[("en", 20.0)] == 0.5         # tied interior run
+    assert got[("en", 30.0)] == 0.875       # ==max: 1 - 0.5/n
+    assert got[(None, 5.0)] == 0.5          # all-equal group (min precedence)
+    assert got[("de", 7.0)] == 0.5          # n==1 digest
+    assert got[("de", None)] is None        # NULL value -> NULL
+    assert got[("solo", 42.0)] == 0.5
+
+
+def test_percentile_enrich_frozen_snapshot(spark):
+    """Scoring against a FROZEN digest table: groups absent from the
+    snapshot yield NULL; present groups score against the snapshot's
+    distribution, not the current frame's."""
+    from tdigest_spark.operators import percentile_enrich
+
+    snap_src = spark.createDataFrame(
+        [("en", float(v)) for v in range(1, 101)], "lang string, v double"
+    )
+    snap = digest_by(snap_src, "v", by=["lang"], delta=1000.0)
+    cur = spark.createDataFrame(
+        [("en", 50.0), ("new", 1.0)], "lang string, v double"
+    )
+    got = {
+        r["lang"]: r["percentile"]
+        for r in percentile_enrich(cur, "v", by=["lang"], digests=snap).collect()
+    }
+    assert got["en"] == (49 + 0.5) / 100.0  # rank in the SNAPSHOT
+    assert got["new"] is None
+
+
+def test_percentile_enrich_global_no_groups(spark):
+    from tdigest_spark.operators import percentile_enrich
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(1, 9)], "v double"
+    ).repartition(3)
+    got = sorted(
+        (r["v"], r["percentile"])
+        for r in percentile_enrich(df, "v", delta=1000.0).collect()
+    )
+    assert got[0] == (1.0, 0.5 / 8)
+    assert got[-1] == (8.0, 1 - 0.5 / 8)
