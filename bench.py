@@ -507,6 +507,20 @@ def main() -> None:
         lambda: Q.q_weighted_sample_docs(spark, SF_DIR).collect(),
     )
 
+    # 14. per-row percentile enrichment over the BIG table: map-combine
+    #     digest build + broadcast side channel + one mapInPandas scoring
+    #     scan through cdf_batch (zero corpus shuffle; count() keeps the
+    #     timed region the full scoring scan without collecting 600k rows)
+    bench(
+        "percentile_enrich_lineitem",
+        lambda: digest.percentile_enrich(
+            li.select("l_orderkey", "l_returnflag", "l_extendedprice"),
+            "l_extendedprice",
+            by=["l_returnflag"],
+            delta=100.0,
+        ).count(),
+    )
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_suite_sec",

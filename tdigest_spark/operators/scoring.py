@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .text import tokens_col
@@ -507,3 +508,221 @@ def gumbel_sample_fraction(
         F.col(weight_col),
         F.col("__key_d").cast("long").alias("key_micro"),
     )
+
+
+# ------------------------------------------------------------------------
+# distributed training for the hashed-feature classifier
+
+_W_SCALE = 10**6  # weights live in integer micro-units
+_G_SCALE = 10**9  # per-token gradient quantum (nano-units)
+
+
+def train_hashed_logit(
+    df: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    delimiter: str = " ",
+    epochs: int = 10,
+    lr: float = 1.0,
+    cache: bool = True,
+) -> dict:
+    """Distributed full-batch training of the `hashed_logit` classifier
+    (fastText-style quality filter): logistic regression on hashed-
+    bucket token features, z = mean(w[bucket(t)]) + bias.
+
+    DETERMINISTIC BY CONSTRUCTION — the trained model is bit-identical
+    under any repartitioning or re-run, like every sketch in this
+    library: weights are integer micro-units; each doc's residual
+    (p - y) is computed from exact integer state, quantized per token
+    to integer nano-units, and accumulated with int64 sums (order-free);
+    the driver update rounds once per bucket per epoch.  No float ever
+    crosses an aggregation boundary.
+
+    Plan shape (per epoch): ONE mapInPandas scan over the cached
+    (label, bucket-array) projection — tokenization + md5 bucketing run
+    JVM-side ONCE up front (identical to inference's `token_bucket`) —
+    emitting ONE dense int64 gradient row per partition (8·n_buckets
+    bytes).  Nothing shuffles; the driver sums n_partitions partials
+    and broadcasts the updated weights.  Labels are scarce, so the
+    training frame is a labeled SAMPLE (thousands..millions of rows);
+    the 100 TB corpus meets the model only at inference, which is pure
+    scan-stage algebra (`hashed_logit`).
+
+    Labels: cast to double, y in [0, 1] (soft labels fine); NULL-label
+    and zero-token docs are excluded.  Loss history records mean
+    logloss at each epoch START (quantized micro-bits, deterministic).
+
+    Training-time z sums integer weights then divides once; inference's
+    ordered fold can differ by ulps — both are deterministic, and a
+    linear classifier's decisions don't hinge on ulps (documented, not
+    reconciled).
+
+    Returns {"weights": int64 ndarray (micro-units), "bias": int,
+    "n_buckets", "n_docs", "history": [float]}.
+    """
+    from pyspark.sql import types as T
+
+    if epochs < 1:
+        raise ValueError("epochs must be >= 1")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+
+    toks = tokens_col(text_col, delimiter)
+    feats = df.select(
+        F.col(label_col).cast("double").alias("__y"),
+        F.transform(toks, lambda t: token_bucket(t, n_buckets)).alias("__b"),
+    ).filter(F.col("__y").isNotNull() & (F.size("__b") > 0))
+    if cache:
+        feats = feats.persist()
+
+    out_schema = T.StructType(
+        [
+            T.StructField("grad", T.BinaryType()),
+            T.StructField("bias_grad", T.LongType()),
+            T.StructField("loss_micro", T.LongType()),
+            T.StructField("n_docs", T.LongType()),
+        ]
+    )
+
+    sc = df.sparkSession.sparkContext
+    W = np.zeros(n_buckets, dtype=np.int64)
+    B = 0
+    history: list[float] = []
+    n_total = 0
+    try:
+        for _ in range(epochs):
+            bc = sc.broadcast((W.tobytes(), B))
+
+            def partials(batches):
+                import pandas as _pd
+
+                wb, bias = bc.value
+                w = np.frombuffer(wb, dtype=np.int64)
+                g = np.zeros(w.shape[0], dtype=np.int64)
+                bg = 0
+                loss = 0
+                nd = 0
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    ys = pdf["__y"].to_numpy(dtype=np.float64)
+                    lists = pdf["__b"].tolist()
+                    lens = np.array([len(x) for x in lists], dtype=np.int64)
+                    flat = np.concatenate(lists).astype(np.int64)
+                    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                    zsum = np.add.reduceat(w[flat], offsets)
+                    z = zsum / (lens * float(_W_SCALE)) + bias / float(_W_SCALE)
+                    p = 1.0 / (1.0 + np.exp(-z))
+                    resid = p - ys
+                    # per-token integer quantum; c_{d,k} enters via add.at
+                    q = np.rint(resid / lens * _G_SCALE).astype(np.int64)
+                    np.add.at(g, flat, np.repeat(q, lens))
+                    bg += int(np.rint(resid * _G_SCALE).astype(np.int64).sum())
+                    # stable soft-label logloss in micro-nats
+                    l_pos = np.logaddexp(0.0, -z)
+                    l_neg = np.logaddexp(0.0, z)
+                    lv = ys * l_pos + (1.0 - ys) * l_neg
+                    loss += int(np.rint(lv * _W_SCALE).astype(np.int64).sum())
+                    nd += len(pdf)
+                yield _pd.DataFrame(
+                    {
+                        "grad": [g.tobytes()],
+                        "bias_grad": [bg],
+                        "loss_micro": [loss],
+                        "n_docs": [nd],
+                    }
+                )
+
+            rows = feats.mapInPandas(partials, out_schema).collect()
+            bc.destroy()
+            G = np.zeros(n_buckets, dtype=np.int64)
+            BG = 0
+            L = 0
+            N = 0
+            for r in rows:
+                G += np.frombuffer(r["grad"], dtype=np.int64)
+                BG += r["bias_grad"]
+                L += r["loss_micro"]
+                N += r["n_docs"]
+            if N == 0:
+                raise ValueError("no trainable rows (all labels NULL or empty text)")
+            n_total = N
+            history.append(L / float(_W_SCALE) / N)
+            step = lr / (N * float(_G_SCALE)) * float(_W_SCALE)
+            W = W - np.rint(G * step).astype(np.int64)
+            B = B - int(np.rint(BG * step))
+    finally:
+        if cache:
+            feats.unpersist()
+    return {
+        "weights": W,
+        "bias": B,
+        "n_buckets": n_buckets,
+        "n_docs": n_total,
+        "history": history,
+    }
+
+
+def trained_weight_fn(model: dict) -> Callable[[Column], Column]:
+    """Bind a trained model's weights as a `hashed_logit` weight_fn: a
+    literal double array indexed scan-side (exact micro-unit grid
+    values).  Fine to a few 10^5 buckets; beyond that, score via a
+    broadcast + mapInPandas lane instead of a literal."""
+    arr = [w / float(_W_SCALE) for w in model["weights"].tolist()]
+    lit = F.lit(arr)
+    return lambda b: F.element_at(lit, b.cast("int") + 1)
+
+
+def apply_hashed_logit(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = " ",
+) -> DataFrame:
+    """Score with a trained model: (id, n_tokens, logit, p).  Same
+    zero-shuffle scan-stage plan as `hashed_logit`; the bias joins as a
+    literal and p = sigmoid(logit)."""
+    out = hashed_logit(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        n_buckets=model["n_buckets"],
+        delimiter=delimiter,
+        weight_fn=trained_weight_fn(model),
+    )
+    z = F.col("logit") + F.lit(model["bias"] / float(_W_SCALE))
+    return out.select(
+        F.col(id_col),
+        "n_tokens",
+        z.alias("logit"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("p"),
+    )
+
+
+def logit_model_to_bytes(model: dict) -> bytes:
+    """Serialize a trained model (little-endian: magic, n_buckets,
+    bias, n_docs, weights int64[n])."""
+    import struct
+
+    head = struct.pack(
+        "<4sqqq", b"HLG1", model["n_buckets"], model["bias"], model["n_docs"]
+    )
+    return head + np.ascontiguousarray(model["weights"], dtype="<i8").tobytes()
+
+
+def logit_model_from_bytes(blob: bytes) -> dict:
+    import struct
+
+    magic, n, bias, n_docs = struct.unpack_from("<4sqqq", blob, 0)
+    if magic != b"HLG1":
+        raise ValueError("not a hashed-logit model blob")
+    w = np.frombuffer(blob, dtype="<i8", offset=28, count=n).astype(np.int64)
+    return {
+        "weights": w,
+        "bias": bias,
+        "n_buckets": n,
+        "n_docs": n_docs,
+        "history": [],
+    }

@@ -289,3 +289,131 @@ def test_gumbel_sample_fraction_matches_topk_scheme(spark):
     assert again == ids
     with pytest.raises(ValueError):
         S.gumbel_sample_fraction(scored, 1.5)
+
+
+# ----------------------------------------------------- train_hashed_logit
+
+class TestTrainHashedLogit:
+    def _mk(self, spark, n=120, seed=3):
+        import numpy as np
+
+        spam = ["buy", "cheap", "pills", "casino", "winner", "click"]
+        ham = ["the", "science", "report", "data", "method", "results"]
+        rng = np.random.default_rng(seed)
+        rows = []
+        for i in range(n):
+            rows.append((i, 1.0, " ".join(spam[j] for j in rng.integers(0, 6, 10))))
+            rows.append((1000 + i, 0.0, " ".join(ham[j] for j in rng.integers(0, 6, 10))))
+        rows.append((9999, None, "null label skipped"))
+        rows.append((9998, 1.0, ""))
+        return spark.createDataFrame(rows, "doc_id long, label double, text string")
+
+    def test_partition_invariant_bit_exact(self, spark):
+        import numpy as np
+
+        from tdigest_spark.operators.scoring import train_hashed_logit
+
+        df = self._mk(spark)
+        a = train_hashed_logit(df, epochs=5, n_buckets=128, lr=2.0)
+        b = train_hashed_logit(df.repartition(17), epochs=5, n_buckets=128, lr=2.0)
+        assert np.array_equal(a["weights"], b["weights"])
+        assert a["bias"] == b["bias"]
+        assert a["history"] == b["history"]
+        assert a["n_docs"] == b["n_docs"] == 240
+
+    def test_matches_pure_python_reference_exactly(self, spark):
+        """The distributed trainer equals a single-process reference
+        implementing the same quantized algorithm — integer weights,
+        bias, and micro-nat loss history all exact."""
+        import hashlib
+
+        import numpy as np
+
+        from tdigest_spark.operators.scoring import train_hashed_logit
+
+        df = self._mk(spark, n=60)
+        nb, epochs, lr = 64, 4, 1.5
+        got = train_hashed_logit(df, epochs=epochs, n_buckets=nb, lr=lr)
+
+        def bucket(tok: str) -> int:
+            return int(hashlib.md5(b"b:" + tok.encode()).hexdigest()[:8], 16) % nb
+
+        docs = [
+            (r["label"], [bucket(t) for t in r["text"].split(" ") if t != ""])
+            for r in df.collect()
+            if r["label"] is not None
+        ]
+        docs = [(y, b) for y, b in docs if b]
+        W = np.zeros(nb, dtype=np.int64)
+        B = 0
+        hist = []
+        for _ in range(epochs):
+            G = np.zeros(nb, dtype=np.int64)
+            BG = 0
+            L = 0
+            for y, bl in docs:
+                b = np.array(bl)
+                z = W[b].sum() / (len(b) * 1e6) + B / 1e6
+                p = 1.0 / (1.0 + np.exp(-z))
+                q = int(np.rint((p - y) / len(b) * 1e9))
+                np.add.at(G, b, q)
+                BG += int(np.rint((p - y) * 1e9))
+                lv = y * np.logaddexp(0.0, -z) + (1.0 - y) * np.logaddexp(0.0, z)
+                L += int(np.rint(lv * 1e6))
+            N = len(docs)
+            hist.append(L / 1e6 / N)
+            step = lr / (N * 1e9) * 1e6
+            W = W - np.rint(G * step).astype(np.int64)
+            B = B - int(np.rint(BG * step))
+        assert np.array_equal(got["weights"], W)
+        assert got["bias"] == B
+        assert got["history"] == hist
+
+    def test_learns_and_applies(self, spark):
+        from tdigest_spark.operators.scoring import (
+            apply_hashed_logit,
+            train_hashed_logit,
+        )
+
+        df = self._mk(spark)
+        m = train_hashed_logit(df, epochs=10, n_buckets=256, lr=2.0)
+        assert all(a > b for a, b in zip(m["history"], m["history"][1:]))
+        scored = apply_hashed_logit(
+            df.filter("label is not null and text != ''"), m
+        ).collect()
+        sp = [r["p"] for r in scored if r["doc_id"] < 1000]
+        hp = [r["p"] for r in scored if r["doc_id"] >= 1000]
+        assert min(sp) > max(hp)
+        assert all(0.0 < r["p"] < 1.0 for r in scored)
+
+    def test_model_serde_roundtrip(self, spark):
+        import numpy as np
+
+        from tdigest_spark.operators.scoring import (
+            logit_model_from_bytes,
+            logit_model_to_bytes,
+            train_hashed_logit,
+        )
+
+        m = train_hashed_logit(self._mk(spark, n=20), epochs=2, n_buckets=32)
+        m2 = logit_model_from_bytes(logit_model_to_bytes(m))
+        assert np.array_equal(m["weights"], m2["weights"])
+        assert m2["bias"] == m["bias"]
+        assert m2["n_buckets"] == m["n_buckets"]
+        assert m2["n_docs"] == m["n_docs"]
+        with pytest.raises(ValueError):
+            logit_model_from_bytes(b"XXXX" + bytes(24))
+
+    def test_validation_and_empty(self, spark):
+        from tdigest_spark.operators.scoring import train_hashed_logit
+
+        df = self._mk(spark, n=5)
+        with pytest.raises(ValueError):
+            train_hashed_logit(df, epochs=0)
+        with pytest.raises(ValueError):
+            train_hashed_logit(df, n_buckets=0)
+        empty = spark.createDataFrame(
+            [(1, None, "x"), (2, 1.0, "")], "doc_id long, label double, text string"
+        )
+        with pytest.raises(ValueError, match="no trainable rows"):
+            train_hashed_logit(empty, epochs=1, n_buckets=8)
