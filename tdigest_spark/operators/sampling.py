@@ -496,3 +496,44 @@ def stratified_sample(
     for s, r in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == s, F.lit(float(r))).otherwise(rate)
     return df.filter(u < rate)
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    centroids: DataFrame,
+    k_per_cell: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "cbs",
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Diversity sampling over an embedding column: assign every vector
+    to its nearest centroid (cosine; `ivf_assign` — small quantizers
+    argmin in the scan stage, zero corpus shuffle), then keep at most
+    `k_per_cell` per cell chosen by a content-keyed md5 order — so no
+    semantic neighborhood dominates the sample, the within-cell pick is
+    unbiased, and the kept set is partitioning/growth-invariant (a
+    vector's key never changes when the corpus grows).
+
+    Returns the NARROW frame (id_col, cell[, rank_col]) — join it back
+    to fetch payloads; only (id, cell, 32-byte key) rows cross the
+    quota window's shuffle, never vectors or text.  `centroids` comes
+    from `ivf_train`/`ivf_refine` (or any small (centroid_id, centroid)
+    table); pick n_cells ~ target_sample/k so cells stay balanced.
+    """
+    from .similarity import ivf_assign
+
+    assigned = ivf_assign(
+        emb.select(F.col(id_col), F.col(vec_col)), centroids, id_col, vec_col
+    ).select(F.col(id_col), F.col("ivf_cell").alias("cell"))
+    key = F.md5(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+    )
+    narrow = assigned.withColumn("__cbs_key", key)
+    out = quota_by_key(
+        narrow,
+        "cell",
+        [F.asc("__cbs_key"), F.asc(F.col(id_col))],
+        k_per_cell,
+        rank_col=rank_col,
+    )
+    return out.drop("__cbs_key")

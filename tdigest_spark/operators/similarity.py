@@ -193,13 +193,15 @@ def ivf_assign(
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid",
     max_literal_cells: int = 4096,
+    sim_col: str | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid
     by cosine (ties break toward the lower centroid id).  The assignment
     column then serves as the block key for search/near-dup (the inverted
     list).  Centroids typically come from a driver-side k-means over a
     sample (`ivf_train`, optionally `ivf_refine`) — any small (id, vec)
-    table works.
+    table works.  Pass `sim_col` to also keep the winning cosine (e.g.
+    for threshold gates: `semantic_contamination` builds on this).
 
     Plan shape: when the quantizer fits in the plan
     (n_cells <= `max_literal_cells`), the centroid table is collected
@@ -234,7 +236,12 @@ def ivf_assign(
                 F.struct((-sim).alias("ns"), F.lit(r["cid"]).alias("cid"))
             )
         best = F.least(*candidates) if len(candidates) > 1 else candidates[0]
-        return tmp.withColumn("ivf_cell", best.getField("cid")).drop("__nv")
+        out = tmp.withColumn("__best", best).withColumn(
+            "ivf_cell", F.col("__best").getField("cid")
+        )
+        if sim_col is not None:
+            out = out.withColumn(sim_col, -F.col("__best").getField("ns"))
+        return out.drop("__best", "__nv")
 
     cents = centroids.select(
         F.col(centroid_id).alias("cid"), F.col(centroid_vec).alias("cv")
@@ -244,11 +251,13 @@ def ivf_assign(
         "__sim", dot_col(vec_col, "cv") / (F.col("__n") * F.col("cn"))
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cid"))
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .drop("__rk", "__sim", "__n", "cv", "cn")
-        .withColumnRenamed("cid", "ivf_cell")
+    out = scored.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") == 1
+    )
+    if sim_col is not None:
+        out = out.withColumn(sim_col, F.col("__sim"))
+    return out.drop("__rk", "__sim", "__n", "cv", "cn").withColumnRenamed(
+        "cid", "ivf_cell"
     )
 
 
@@ -1282,4 +1291,48 @@ def semantic_dedup(
             F.col("ivf_cell"),
             F.col("__rm").isNull().alias("keep"),
         )
+    )
+
+def semantic_contamination(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id: str = "bench_id",
+    bench_vec: str = "embedding",
+    max_literal_bench: int = 4096,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: flag every corpus
+    vector whose nearest BENCHMARK embedding has cosine >= `threshold`
+    — the semantic sibling of `ngram_contamination` (an eval item
+    paraphrased or reformatted slips past n-gram overlap but not past
+    its own embedding neighborhood).
+
+    Mechanically this is `ivf_assign` with the benchmark as the
+    quantizer: for small eval sets (the normal case — thousands of
+    items) the argmax over benchmark vectors runs IN THE SCAN STAGE as
+    a literal least() fold, zero joins/shuffles of the corpus; larger
+    sets fall back to the broadcast+window path.  Returns the NARROW
+    frame (id_col, nearest_bench_id, bench_cosine, contaminated), one
+    row per corpus vector — join it back or anti-filter to
+    decontaminate.  The threshold compares the same sequential-fold
+    cosine the gated `embedding_near_dup`/`semantic_dedup` queries use.
+    """
+    flags = ivf_assign(
+        corpus_emb.select(F.col(id_col), F.col(vec_col)),
+        bench_emb.select(
+            F.col(bench_id).alias("centroid_id"),
+            F.col(bench_vec).alias("centroid"),
+        ),
+        id_col=id_col,
+        vec_col=vec_col,
+        max_literal_cells=max_literal_bench,
+        sim_col="bench_cosine",
+    )
+    return flags.select(
+        F.col(id_col),
+        F.col("ivf_cell").alias("nearest_bench_id"),
+        F.col("bench_cosine"),
+        (F.col("bench_cosine") >= F.lit(float(threshold))).alias("contaminated"),
     )

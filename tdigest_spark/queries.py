@@ -3517,6 +3517,93 @@ def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMCON_MOD = 47  # vec_id % 47 == 0 rows (1.01-scaled) form the eval bench
+SEMCON_TH = 0.95
+
+
+def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination (operators/similarity.py:
+    semantic_contamination): bench = 1.01-scaled copies of the mod-47
+    corpus rows (guaranteed cos-1.0 hits for exactly those rows), the
+    whole corpus flagged against it in the scan stage via the literal
+    least() argmax — same oracle-expressible construction as ivf_topk's
+    quantizer, same sequential-fold cosine as embedding_near_dup."""
+    from .operators.similarity import semantic_contamination
+
+    emb = _emb_double(spark, sf_dir).drop("label")
+    bench = emb.filter((F.col("vec_id") % SEMCON_MOD) == 0).select(
+        F.col("vec_id").cast("int").alias("bench_id"),
+        F.transform("embedding", lambda x: x * 1.01).alias("embedding"),
+    )
+    out = semantic_contamination(emb, bench, threshold=SEMCON_TH)
+    return out.select(
+        "vec_id",
+        "nearest_bench_id",
+        F.round("bench_cosine", 4).alias("bench_cosine"),
+        "contaminated",
+    )
+
+
+_SQL_SEMANTIC_CONTAMINATION = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bench AS (
+  SELECT CAST(vec_id AS INT) AS bid, list_transform(v, x -> x * 1.01) AS bv
+  FROM c WHERE vec_id % {SEMCON_MOD} = 0
+)
+SELECT vec_id, bid AS nearest_bench_id,
+       round(cos_raw, 4) AS bench_cosine,
+       cos_raw >= {SEMCON_TH} AS contaminated
+FROM (
+  SELECT c.vec_id, bench.bid,
+         list_cosine_similarity(c.v, bench.bv) AS cos_raw,
+         row_number() OVER (PARTITION BY c.vec_id
+                            ORDER BY list_cosine_similarity(c.v, bench.bv) DESC,
+                                     bench.bid ASC) AS rk
+  FROM c CROSS JOIN bench
+) WHERE rk = 1
+"""
+
+
+CBS_K = 5
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity sampling (operators/sampling.py:cluster_balanced_sample):
+    nearest-centroid assignment (deterministic mod-97 quantizer, scan-
+    stage argmin) + per-cell quota of {CBS_K} in content-keyed md5 order —
+    the narrow (id, cell, rank) kept-set, partitioning/growth-invariant."""
+    from .operators.sampling import cluster_balanced_sample
+
+    emb = _emb_double(spark, sf_dir).drop("label")
+    cents = emb.filter((F.col("vec_id") % IVF_CENT_MOD) == 1).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    return cluster_balanced_sample(emb, cents, CBS_K, rank_col="rk")
+
+
+_SQL_CLUSTER_BALANCED_SAMPLE = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM c WHERE vec_id % {IVF_CENT_MOD} = 1),
+assigned AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT c.vec_id, cents.cid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY list_cosine_similarity(c.v, cents.cv) DESC,
+                                       cents.cid ASC) AS rk
+    FROM c CROSS JOIN cents
+  ) WHERE rk = 1
+)
+SELECT vec_id, cell, rk FROM (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY cell
+                            ORDER BY md5('cbs:' || CAST(vec_id AS VARCHAR)),
+                                     vec_id) AS rk
+  FROM assigned
+) WHERE rk <= {CBS_K}
+"""
+
+
 def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_double(spark, sf_dir)
     queries = emb.filter((F.col("vec_id") % ANN_QUERY_MOD) == 0)
@@ -3844,6 +3931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
+        "semantic_contamination": q_semantic_contamination,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -3927,6 +4016,8 @@ def oracle_sql() -> dict[str, str]:
         "bloom_membership": _sql_bloom_membership(),
         "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
+        "semantic_contamination": _SQL_SEMANTIC_CONTAMINATION,
+        "cluster_balanced_sample": _SQL_CLUSTER_BALANCED_SAMPLE,
         "ann_bruteforce_topk": _SQL_ANN_BRUTEFORCE,
         "ann_lsh_topk": _sql_ann_lsh(),
         "ivf_topk": _SQL_IVF_TOPK,

@@ -388,3 +388,38 @@ def test_weighted_sample_k1_inclusion_probability(spark):
     assert len(out) == 2000
     frac_a = sum(1 for r in out if r["doc_id"] % 2 == 0) / 2000
     assert 0.70 < frac_a < 0.80  # 3-sigma ≈ ±0.029
+
+
+def test_cluster_balanced_sample_caps_and_invariance(spark):
+    import numpy as np
+
+    from tdigest_spark.operators.sampling import cluster_balanced_sample
+
+    rng = np.random.default_rng(21)
+    # three well-separated clusters of unequal size
+    centers = np.eye(3) * 10.0
+    rows = []
+    for i in range(240):
+        c = 0 if i < 180 else (1 if i < 220 else 2)
+        v = centers[c] + rng.standard_normal(3) * 0.1
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(j, [float(x) for x in centers[j]]) for j in range(3)],
+        "centroid_id int, centroid array<double>",
+    )
+    out = cluster_balanced_sample(emb, cents, 7, rank_col="rk").collect()
+    per_cell = {}
+    for r in out:
+        per_cell.setdefault(r["cell"], []).append(r["rk"])
+    # every cell is capped at 7 and dense-ranked from 1
+    assert set(per_cell) == {0, 1, 2}
+    for ranks in per_cell.values():
+        assert sorted(ranks) == list(range(1, 8))
+    # partitioning-invariant kept set
+    again = cluster_balanced_sample(
+        emb.repartition(11), cents, 7, rank_col="rk"
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # narrow output: ids + cell + rank only
+    assert set(out[0].asDict()) == {"vec_id", "cell", "rk"}

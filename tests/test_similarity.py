@@ -706,3 +706,80 @@ def test_rerank_exact_recovers_true_topk(spark):
         d2 = {i: ((X[i] - X[qid]) ** 2).sum() for i in X if i != qid}
         want = [i for i, _ in sorted(d2.items(), key=lambda t: (t[1], t[0]))[:5]]
         assert got[qid] == want, qid
+
+
+def test_semantic_contamination_flags_twins(spark):
+    import numpy as np
+
+    from tdigest_spark.operators.similarity import semantic_contamination
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((40, 8))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    # bench: scaled copies of vectors 0..4 -> those five are contaminated
+    bench = spark.createDataFrame(
+        [(100 + i, [float(x * 1.01) for x in vecs[i]]) for i in range(5)],
+        "bench_id long, embedding array<double>",
+    )
+    out = semantic_contamination(corpus, bench, threshold=0.99).collect()
+    flags = {r["vec_id"]: r for r in out}
+    assert len(flags) == 40
+    for i in range(5):
+        r = flags[i]
+        assert r["contaminated"] and r["nearest_bench_id"] == 100 + i
+        assert r["bench_cosine"] > 0.999999
+    # random 8-dim gaussians essentially never hit cosine 0.99
+    assert not any(flags[i]["contaminated"] for i in range(5, 40))
+    assert set(out[0].asDict()) == {
+        "vec_id", "nearest_bench_id", "bench_cosine", "contaminated",
+    }
+
+
+def test_semantic_contamination_scan_stage_plan(spark):
+    import numpy as np
+
+    from tdigest_spark.operators.similarity import semantic_contamination
+    from tdigest_spark.plans import explain_str
+
+    rng = np.random.default_rng(12)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(4)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "bench_id long, embedding array<double>"
+    )
+    plan = explain_str(semantic_contamination(corpus, bench), "simple")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_ivf_assign_sim_col_both_paths(spark):
+    """sim_col returns the winning cosine identically on the literal and
+    the broadcast+window fallback paths."""
+    import numpy as np
+
+    from tdigest_spark.operators.similarity import ivf_assign
+
+    rng = np.random.default_rng(13)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(6)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(j, [float(x) for x in rng.standard_normal(6)]) for j in range(4)],
+        "centroid_id int, centroid array<double>",
+    )
+    lit = ivf_assign(emb, cents, sim_col="s").orderBy("vec_id").collect()
+    win = (
+        ivf_assign(emb, cents, sim_col="s", max_literal_cells=0)
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert [r["ivf_cell"] for r in lit] == [r["ivf_cell"] for r in win]
+    for a, b in zip(lit, win):
+        assert abs(a["s"] - b["s"]) < 1e-12
+        assert -1.0 <= a["s"] <= 1.0
