@@ -580,6 +580,7 @@ def percentile_enrich(
     scale: str = "K_3",
     out_col: str = "percentile",
     digests: DataFrame | None = None,
+    max_groups: int = 100_000,
 ) -> DataFrame:
     """Attach each row's within-group percentile: `out_col` = the
     group digest's cdf evaluated at the row's own `value_col` — the
@@ -616,7 +617,17 @@ def percentile_enrich(
     by = list(by)
     if digests is None:
         digests = digest_by(df, value_col, by=by, delta=delta, scale=scale)
-    rows = digests.select(*by, "digest").collect()
+    # cardinality-explosive `by` guard (the heavy_hitters philosophy):
+    # the side channel is for distribution-like keys (lang, source,
+    # day — up to ~10^5 KB-sized digests); limit() caps what the driver
+    # ever pulls, so a groupBy-user_id mistake raises instead of OOMing.
+    rows = digests.select(*by, "digest").limit(max_groups + 1).collect()
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"percentile_enrich: more than max_groups={max_groups} groups; "
+            "a digest side channel this large should not broadcast — "
+            "reduce the key cardinality or raise max_groups deliberately"
+        )
     table = {
         tuple(r[c] for c in by): bytes(r["digest"])
         for r in rows

@@ -474,3 +474,17 @@ def test_percentile_enrich_global_no_groups(spark):
     )
     assert got[0] == (1.0, 0.5 / 8)
     assert got[-1] == (8.0, 1 - 0.5 / 8)
+
+
+def test_percentile_enrich_max_groups_guard(spark):
+    from tdigest_spark.operators import percentile_enrich
+
+    df = spark.createDataFrame(
+        [(i, str(i), float(i)) for i in range(50)],
+        "id long, k string, v double",
+    )
+    with pytest.raises(ValueError, match="max_groups"):
+        percentile_enrich(df, "v", by=["k"], max_groups=10)
+    # at or under the cap it works
+    out = percentile_enrich(df, "v", by=["k"], max_groups=50).collect()
+    assert len(out) == 50 and all(r["percentile"] == 0.5 for r in out)
