@@ -94,6 +94,17 @@ def main() -> None:
                          "the curated en slice) and the hashed-feature "
                          "classifier logit")
     ap.add_argument("--classifier-buckets", type=int, default=1 << 20)
+    ap.add_argument("--distill-classifier", action="store_true",
+                    help="(requires --score) distill the bigram-LM quality "
+                         "signal into the scan-stage hashed classifier: "
+                         "weak label = doc's within-lang NLL percentile "
+                         "<= 0.5 (percentile_enrich, zero-shuffle), train "
+                         "train_hashed_logit on a 20%% hash slice, report "
+                         "holdout agreement, save the model beside the "
+                         "output — downstream corpora then get the LM-"
+                         "quality verdict from pure scan-stage algebra")
+    ap.add_argument("--distill-buckets", type=int, default=1 << 16)
+    ap.add_argument("--distill-epochs", type=int, default=3)
     ap.add_argument("--resume-dir", default=None,
                     help="optional stage-boundary checkpoint dir: the "
                          "post-quality and post-dedup boundary frames are "
@@ -397,6 +408,70 @@ def main() -> None:
         curated = scored_out
         _mark("score")
 
+    # 3.8 (optional) distill the LM quality signal into the scan-stage
+    #     classifier: the LM join is the expensive scorer (model join +
+    #     per-bigram algebra); the hashed classifier is free at inference
+    #     (pure scan-stage fold).  Weak labels come from each doc's
+    #     within-lang NLL percentile — percentile_enrich appends it with
+    #     ZERO shuffle (broadcast digest side channel), so labeling costs
+    #     one scan.  Train on the mod-5==0 hash slice, report agreement
+    #     on the disjoint mod-5==1 holdout, save the model blob beside
+    #     the output for downstream corpora.
+    if args.distill_classifier:
+        if not args.score:
+            raise SystemExit("--distill-classifier requires --score")
+        from tdigest_spark.operators.digest import percentile_enrich
+        from tdigest_spark.operators.scoring import (
+            apply_hashed_logit,
+            logit_model_to_bytes,
+            train_hashed_logit,
+        )
+
+        base = curated.filter(F.col("avg_nll_bits").isNotNull())
+        labeled = percentile_enrich(
+            base.select("doc_id", "lang", "text", "avg_nll_bits"),
+            "avg_nll_bits",
+            by=["lang"],
+            delta=args.delta,
+            out_col="nll_pct",
+        ).withColumn(
+            "label", (F.col("nll_pct") <= 0.5).cast("double")
+        )
+        slice_ = F.pmod(F.xxhash64("doc_id", F.lit("distill")), F.lit(5))
+        train = labeled.filter(slice_ == 0).select("label", "text")
+        model = train_hashed_logit(
+            train,
+            epochs=args.distill_epochs,
+            n_buckets=args.distill_buckets,
+            lr=2.0,
+        )
+        report["distill_n_train"] = model["n_docs"]
+        report["distill_loss_first"] = round(model["history"][0], 4)
+        report["distill_loss_last"] = round(model["history"][-1], 4)
+        holdout = labeled.filter(slice_ == 1).select("doc_id", "label", "text")
+        preds = apply_hashed_logit(holdout, model).select("doc_id", "p")
+        agree = (
+            holdout.select("doc_id", "label")
+            .join(preds, "doc_id")
+            .agg(
+                F.avg(
+                    ((F.col("p") >= 0.5) == (F.col("label") == 1.0)).cast("double")
+                ),
+                F.count("*"),
+            )
+            .collect()[0]
+        )
+        report["distill_holdout_agreement"] = (
+            round(agree[0], 4) if agree[0] is not None else None
+        )
+        report["distill_n_holdout"] = agree[1]
+        # serialized now, written AFTER the stage-5 overwrite-mode output
+        # write (which clears the target dir)
+        distill_blob = logit_model_to_bytes(model)
+        _mark("distill")
+    else:
+        distill_blob = None
+
     # 4. profile the curated corpus — text length AND token count per
     #    lang from ONE scan (build_partials_multi shares the pass)
     prof_in = curated.select(
@@ -440,6 +515,9 @@ def main() -> None:
         curated.select(*out_cols), args.output, partition_by=["lang"]
     )
     report["manifest_rows"] = manifest["rows"]
+    if distill_blob is not None:
+        with open(os.path.join(args.output, "_classifier.bin"), "wb") as fh:
+            fh.write(distill_blob)
     _mark("write")
     report["sec_total"] = round(_time.perf_counter() - _t0, 1)
     report["output"] = args.output

@@ -1302,6 +1302,7 @@ def semantic_contamination(
     bench_id: str = "bench_id",
     bench_vec: str = "embedding",
     max_literal_bench: int = 4096,
+    lane: str = "jvm",
 ) -> DataFrame:
     """Embedding-level benchmark decontamination: flag every corpus
     vector whose nearest BENCHMARK embedding has cosine >= `threshold`
@@ -1309,16 +1310,87 @@ def semantic_contamination(
     paraphrased or reformatted slips past n-gram overlap but not past
     its own embedding neighborhood).
 
-    Mechanically this is `ivf_assign` with the benchmark as the
-    quantizer: for small eval sets (the normal case — thousands of
-    items) the argmax over benchmark vectors runs IN THE SCAN STAGE as
-    a literal least() fold, zero joins/shuffles of the corpus; larger
-    sets fall back to the broadcast+window path.  Returns the NARROW
-    frame (id_col, nearest_bench_id, bench_cosine, contaminated), one
-    row per corpus vector — join it back or anti-filter to
-    decontaminate.  The threshold compares the same sequential-fold
-    cosine the gated `embedding_near_dup`/`semantic_dedup` queries use.
+    Returns the NARROW frame (id_col, nearest_bench_id, bench_cosine,
+    contaminated), one row per corpus vector — join it back or
+    anti-filter to decontaminate.
+
+    Lanes:
+    - "jvm" (default, oracle-neutral): `ivf_assign` with the benchmark
+      as the quantizer — small eval sets argmax IN THE SCAN STAGE as a
+      literal least() fold (zero joins/shuffles of the corpus; fine to
+      a few hundred items before codegen folds get bulky), larger sets
+      fall back to the broadcast+window path (shuffles corpus × bench
+      rows — oracle scale only).  The threshold compares the same
+      sequential-fold cosine the gated `embedding_near_dup`/
+      `semantic_dedup` queries use.
+    - "numpy" (production): the bench matrix broadcasts out-of-band
+      (pre-normalized rows, MBs once per executor) and ONE mapInPandas
+      pass computes every row's best bench cosine by blocked matmul —
+      the 100 TB shape for real eval suites (10k–1M items): corpus
+      never shuffles, no per-row build-side copy (the pq_topk lesson).
+      Matmul reassociates the dot sum, so cosines can differ from the
+      jvm lane by ulps (flags agree except exactly at the threshold);
+      zero-norm vectors get NULL cosine (NaN nulls on the Arrow wire)
+      and contaminated=false.
     """
+    if lane == "numpy":
+        import numpy as _np
+        from pyspark.sql import types as T
+
+        rows = (
+            bench_emb.select(F.col(bench_id).alias("b"), F.col(bench_vec).alias("v"))
+            .collect()
+        )
+        if not rows:
+            raise ValueError("semantic_contamination: empty benchmark set")
+        rows.sort(key=lambda r: r["b"])  # argmax first-hit = lowest bench id
+        bids = _np.array([r["b"] for r in rows], dtype=_np.int64)
+        mat = _np.array([r["v"] for r in rows], dtype=_np.float64)
+        norms = _np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        matn = (mat / norms[:, None]).T.copy()  # (dim, n_bench)
+        sc = corpus_emb.sparkSession.sparkContext
+        bc = sc.broadcast((bids, matn))
+        id_type = corpus_emb.schema[id_col].dataType
+        schema = T.StructType(
+            [
+                T.StructField(id_col, id_type),
+                T.StructField("nearest_bench_id", T.LongType()),
+                T.StructField("bench_cosine", T.DoubleType()),
+                T.StructField("contaminated", T.BooleanType()),
+            ]
+        )
+        tau = float(threshold)
+
+        def score(batches):
+            import pandas as _pd
+
+            b_ids, b_mat = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = _np.array(pdf[vec_col].tolist(), dtype=_np.float64)
+                xn = _np.linalg.norm(X, axis=1)
+                zero = xn == 0.0
+                xn[zero] = 1.0
+                sims = (X @ b_mat) / xn[:, None]
+                best = _np.argmax(sims, axis=1)
+                cos = sims[_np.arange(len(X)), best]
+                cos[zero] = _np.nan
+                yield _pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        "nearest_bench_id": b_ids[best],
+                        "bench_cosine": cos,
+                        "contaminated": cos >= tau,
+                    }
+                )
+
+        return corpus_emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+            score, schema
+        )
+    if lane != "jvm":
+        raise ValueError(f"unknown lane: {lane!r}")
     flags = ivf_assign(
         corpus_emb.select(F.col(id_col), F.col(vec_col)),
         bench_emb.select(

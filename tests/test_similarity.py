@@ -783,3 +783,56 @@ def test_ivf_assign_sim_col_both_paths(spark):
     for a, b in zip(lit, win):
         assert abs(a["s"] - b["s"]) < 1e-12
         assert -1.0 <= a["s"] <= 1.0
+
+
+def test_semantic_contamination_numpy_lane_matches_jvm(spark):
+    import numpy as np
+
+    from tdigest_spark.operators.similarity import semantic_contamination
+
+    rng = np.random.default_rng(31)
+    vecs = rng.standard_normal((60, 8))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+        + [(999, [0.0] * 8)],  # zero vector
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(100 + i, [float(x * 1.01) for x in vecs[i]]) for i in range(6)],
+        "bench_id long, embedding array<double>",
+    )
+    jvm = {
+        r["vec_id"]: r
+        for r in semantic_contamination(
+            corpus.filter("vec_id != 999"), bench, threshold=0.99
+        ).collect()
+    }
+    np_lane = {
+        r["vec_id"]: r
+        for r in semantic_contamination(
+            corpus.repartition(5), bench, threshold=0.99, lane="numpy"
+        ).collect()
+    }
+    assert len(np_lane) == 61
+    for i in range(60):
+        a, b = jvm[i], np_lane[i]
+        assert a["nearest_bench_id"] == b["nearest_bench_id"], i
+        assert a["contaminated"] == b["contaminated"], i
+        assert abs(a["bench_cosine"] - b["bench_cosine"]) < 1e-12, i
+    z = np_lane[999]
+    assert z["bench_cosine"] is None and not z["contaminated"]
+
+
+def test_semantic_contamination_numpy_lane_validation(spark):
+    import pytest as _pt
+
+    from tdigest_spark.operators.similarity import semantic_contamination
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    empty = corpus.filter("vec_id < 0").withColumnRenamed("vec_id", "bench_id")
+    with _pt.raises(ValueError, match="empty benchmark"):
+        semantic_contamination(corpus, empty, lane="numpy")
+    with _pt.raises(ValueError, match="unknown lane"):
+        semantic_contamination(corpus, corpus.withColumnRenamed("vec_id", "bench_id"), lane="bogus")
