@@ -603,7 +603,10 @@ def percentile_enrich(
     Pass `digests` (a `digest_by`/`merge_partials` table with columns
     (*by, digest)) to score against a FROZEN snapshot — e.g. last
     crawl's checkpointed sketches — instead of rebuilding; rows whose
-    group is absent from it get NULL.  NULL group keys are groups like
+    group is absent from it get NULL.  In frozen mode the operator is a
+    STATELESS mapInPandas, so it runs unchanged on a streaming
+    DataFrame (the monitoring face: score arriving rows against last
+    crawl's distribution; chunking-invariant — tests/test_streaming.py).  NULL group keys are groups like
     any other (groupBy semantics).  NULL / non-finite values yield NULL
     (finite probes on a non-empty digest never produce NaN, so NaN is
     an unambiguous missing-marker internally).

@@ -591,3 +591,59 @@ def test_session_stats_stream_equals_batch(spark, tmp_path):
             .filter(F.col("user_id") != 99).collect())
     )
     assert stream == batch
+
+
+def test_percentile_enrich_streams_against_frozen_digests(spark, tmp_path):
+    """percentile_enrich with a frozen `digests=` snapshot is a stateless
+    mapInPandas — it runs UNCHANGED on a streaming DataFrame (the
+    monitoring face: score arriving rows against last crawl's
+    distribution).  Chunked triggers must equal the batch operator row
+    for row."""
+    from tdigest_spark.operators.digest import digest_by, percentile_enrich
+
+    snap_src = spark.createDataFrame(
+        [("en", float(v)) for v in range(1, 101)]
+        + [("de", float(v)) for v in range(1, 51)],
+        "lang string, v double",
+    )
+    frozen = digest_by(snap_src, "v", by=["lang"], delta=1000.0)
+
+    src = str(tmp_path / "pe_src")
+    rows = [(i, ["en", "de"][i % 2], float((i * 37) % 120)) for i in range(60)]
+    for chunk in (rows[:20], rows[20:45], rows[45:]):
+        spark.createDataFrame(
+            chunk, "doc_id long, lang string, v double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    sdf = (
+        spark.readStream.schema("doc_id long, lang string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "pe_out")
+    q = (
+        percentile_enrich(sdf, "v", by=["lang"], digests=frozen)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "pe_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        r["doc_id"]: r["percentile"] for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        r["doc_id"]: r["percentile"]
+        for r in percentile_enrich(
+            spark.createDataFrame(rows, "doc_id long, lang string, v double"),
+            "v",
+            by=["lang"],
+            digests=frozen,
+        ).collect()
+    }
+    assert len(streamed) == 60
+    assert streamed == batch  # exact float equality, chunking-invariant
