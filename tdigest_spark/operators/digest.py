@@ -631,8 +631,14 @@ def percentile_enrich(
             "a digest side channel this large should not broadcast — "
             "reduce the key cardinality or raise max_groups deliberately"
         )
+
+    def _norm_key(k):
+        # NaN float group keys: nan != nan would miss every dict lookup,
+        # and pandas floats NULL-able numeric keys anyway — fold both
+        # sides of the channel to None
+        return None if isinstance(k, float) and np.isnan(k) else k
     table = {
-        tuple(r[c] for c in by): bytes(r["digest"])
+        tuple(_norm_key(r[c]) for c in by): bytes(r["digest"])
         for r in rows
         if r["digest"] is not None
     }

@@ -488,3 +488,22 @@ def test_percentile_enrich_max_groups_guard(spark):
     # at or under the cap it works
     out = percentile_enrich(df, "v", by=["k"], max_groups=50).collect()
     assert len(out) == 50 and all(r["percentile"] == 0.5 for r in out)
+
+
+def test_percentile_enrich_nan_group_key(spark):
+    """A NaN double group key is a group like any other: both sides of
+    the broadcast channel fold NaN to the same lookup key (nan != nan
+    would otherwise miss every lookup and NULL the whole group)."""
+    import math
+
+    from tdigest_spark.operators import percentile_enrich
+
+    df = spark.createDataFrame(
+        [(1, float("nan"), 10.0), (2, float("nan"), 20.0), (3, 1.0, 5.0)],
+        "id long, g double, v double",
+    )
+    got = {
+        r["id"]: r["percentile"]
+        for r in percentile_enrich(df, "v", by=["g"], delta=100.0).collect()
+    }
+    assert got[1] == 0.25 and got[2] == 0.75 and got[3] == 0.5
