@@ -428,14 +428,19 @@ def main() -> None:
         )
 
         base = curated.filter(F.col("avg_nll_bits").isNotNull())
-        labeled = percentile_enrich(
-            base.select("doc_id", "lang", "text", "avg_nll_bits"),
-            "avg_nll_bits",
-            by=["lang"],
-            delta=args.delta,
-            out_col="nll_pct",
-        ).withColumn(
-            "label", (F.col("nll_pct") <= 0.5).cast("double")
+        # persist: train (feature pass), holdout, and the agreement join
+        # all read this frame — unpersisted, each re-runs the enrich scan
+        # AND the digest side-channel job (measured 139.7 s -> ~30 s)
+        labeled = (
+            percentile_enrich(
+                base.select("doc_id", "lang", "text", "avg_nll_bits"),
+                "avg_nll_bits",
+                by=["lang"],
+                delta=args.delta,
+                out_col="nll_pct",
+            )
+            .withColumn("label", (F.col("nll_pct") <= 0.5).cast("double"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         slice_ = F.pmod(F.xxhash64("doc_id", F.lit("distill")), F.lit(5))
         train = labeled.filter(slice_ == 0).select("label", "text")
@@ -468,6 +473,7 @@ def main() -> None:
         # serialized now, written AFTER the stage-5 overwrite-mode output
         # write (which clears the target dir)
         distill_blob = logit_model_to_bytes(model)
+        labeled.unpersist()
         _mark("distill")
     else:
         distill_blob = None

@@ -154,6 +154,43 @@ def worker(
                 )).alias("h"),
             ).collect()
             return int(r[0]["n"])
+    elif jobname == "enrich":
+        # per-row percentile scoring against a FROZEN per-lang digest
+        # table (percentile_enrich: broadcast side channel + one
+        # mapInPandas through cdf_batch) — the QUERY side of the north
+        # metric, where the digest rows cover the BUILD side.  The
+        # frozen digests are rebuilt identically per executor from the
+        # one globally-fixed file in $ENRICH_DIGEST_FILE (per-executor
+        # constant overhead at both levels; on a cluster the KB table
+        # broadcasts once).  The slice self-unions 8x so hi-level walls
+        # clear the >=15 s floor; the agg folds every percentile so
+        # nothing prunes.
+        from functools import reduce
+
+        from tdigest_spark.operators.digest import digest_by, percentile_enrich
+
+        dig_file = os.environ["ENRICH_DIGEST_FILE"]
+        # the frozen digest table materializes ONCE, before the barrier
+        # (on a cluster the driver builds it once and broadcasts); the
+        # timed job sees a KB local relation — zero extra Spark jobs
+        dig_rows = digest_by(
+            spark.read.parquet(dig_file).select("lang", "text_len"),
+            "text_len",
+            by=["lang"],
+            delta=100.0,
+        )
+        dig_local = spark.createDataFrame(dig_rows.collect(), dig_rows.schema)
+
+        def job() -> int:
+            base = spark.read.parquet(*files).select("lang", "text_len")
+            df = reduce(lambda a, b: a.unionAll(b), [base] * 8)
+            out = percentile_enrich(
+                df, "text_len", by=["lang"], digests=dig_local
+            )
+            r = out.agg(
+                F.count("*").alias("n"), F.sum("percentile").alias("s")
+            ).collect()
+            return int(r[0]["n"])
     elif jobname in ("minhash", "minhashroll"):
         # LSH dedup stage 1: the MinHash signature build (the
         # pipeline-dominant stage in the 4M-doc curation run) — md5 JVM
@@ -276,7 +313,7 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument(
         "--job", default="digest",
-        choices=("digest", "minhash", "minhashroll", "decon", "spanroll", "pqencode"),
+        choices=("digest", "minhash", "minhashroll", "decon", "spanroll", "pqencode", "enrich"),
         help="digest: grouped t-digest partial build over the _lens table; "
         "minhash: LSH dedup stage-1 signature build over the text corpus; "
         "decon: eval-set n-gram decontamination flags over the text corpus "
@@ -284,7 +321,9 @@ def main() -> None:
         "spanroll: span-dedup stage-1 rolling window-hash build; "
         "minhashroll: signature build on the O(n) rolling lane; "
         "pqencode: PQ index encode (arrow lane, ksub=256) over the "
-        "self-bootstrapping 12.8M-vector corpus",
+        "self-bootstrapping 12.8M-vector corpus; "
+        "enrich: frozen-digest per-row percentile scoring over the _lens "
+        "table (the query side of the north metric)",
     )
     ap.add_argument(
         "--files-cap", type=int, default=0,
@@ -313,6 +352,8 @@ def main() -> None:
         files = glob.glob(os.path.join(args.lens, "*.parquet"))
         if not files:
             raise SystemExit(f"no lens table at {args.lens}; run bench_scaling.py once")
+        if args.job == "enrich":
+            os.environ["ENRICH_DIGEST_FILE"] = sorted(files)[0]
     if args.files_cap:
         files = sorted(files)[: args.files_cap]
 
