@@ -87,6 +87,7 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     from tdigest_spark.operators.dedup import release_cached
+    from tdigest_spark.operators.digest import release_broadcasts
     from tdigest_spark.plans import shuffle_totals
 
     timings_first: dict[str, float] = {}
@@ -119,6 +120,7 @@ def main() -> None:
             # dedup suite (GC + block-manager pressure), exactly what a
             # real job's stage-boundary release_cached() call prevents.
             release_cached()
+            release_broadcasts()
         # Adaptive third trial: when the two readings disagree >1.6x, a
         # host contention window hit one of them; one retry usually lands
         # outside the window and recovers the true min.  Bounded (at most
@@ -128,6 +130,7 @@ def main() -> None:
             fn()
             trials.append(time.perf_counter() - t0)
             release_cached()
+            release_broadcasts()
         timings[name] = round(min(trials), 3)
         log(f"{name}: {timings[name]:.2f}s (cold {timings_first[name]:.2f}s)")
 

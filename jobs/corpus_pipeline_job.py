@@ -452,7 +452,7 @@ def main() -> None:
         )
         report["distill_n_train"] = model["n_docs"]
         report["distill_loss_first"] = round(model["history"][0], 4)
-        report["distill_loss_last"] = round(model["history"][-1], 4)
+        report["distill_loss_final"] = round(model["final_loss"], 4)
         holdout = labeled.filter(slice_ == 1).select("doc_id", "label", "text")
         preds = apply_hashed_logit(holdout, model).select("doc_id", "p")
         agree = (
@@ -522,8 +522,17 @@ def main() -> None:
     )
     report["manifest_rows"] = manifest["rows"]
     if distill_blob is not None:
-        with open(os.path.join(args.output, "_classifier.bin"), "wb") as fh:
-            fh.write(distill_blob)
+        # Hadoop FS, not builtin open(): --output may be hdfs://, s3a://,
+        # ... — a local-only write would crash the job at the very last
+        # step and lose the model plus the report
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(args.output, "_classifier.bin")
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        stream = fs.create(path, True)
+        try:
+            stream.write(distill_blob)
+        finally:
+            stream.close()
     _mark("write")
     report["sec_total"] = round(_time.perf_counter() - _t0, 1)
     report["output"] = args.output

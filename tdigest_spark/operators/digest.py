@@ -50,6 +50,25 @@ _VALUE = "__td_value"
 _SALT = "__td_salt"
 DIGEST_FIELDS = "digest binary, n_rows long"
 
+#: sc.broadcast handles created by percentile_enrich — the dedup._CACHED
+#: pattern: broadcast blocks outlive the returned DataFrame's use and
+#: accumulate over a long session unless released at stage boundaries.
+_BROADCASTS: list = []
+
+
+def release_broadcasts() -> None:
+    """Unpersist every digest side channel percentile_enrich has
+    broadcast this session.  Safe once the returned frames are
+    materialized; a frame still holding a released broadcast would fail
+    its next action, so release at stage boundaries only (bench.py does
+    this per query, like dedup.release_cached)."""
+    while _BROADCASTS:
+        b = _BROADCASTS.pop()
+        try:
+            b.unpersist(blocking=True)
+        except Exception:
+            pass  # context already stopped
+
 
 def _build_digest(values: np.ndarray, delta: float, scale: str) -> MergingDigest:
     d = MergingDigest(delta, scale=get_scale(scale))
@@ -146,6 +165,8 @@ def build_partials_grouped(
     At real scale input splits outnumber cores, so leave it None: the plan
     stays exchange-free.
     """
+    from pyspark.sql import types as _T
+
     keys = list(by)
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     sdf = df.select(
@@ -162,6 +183,30 @@ def build_partials_grouped(
     out_schema = ", ".join(
         x for x in (key_schema, f"{_SALT} int", DIGEST_FIELDS) if x
     )
+    # integer key columns group on lossless STRING helpers: an int64
+    # batch with one NULL floats in pandas, rounding keys above 2^53
+    # (hash-derived bigints) onto each other.  Spark's long->string cast
+    # is plain decimal == Python str(int), so the round trip is exact.
+    int_types = (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType)
+    ftypes = {f.name: f.dataType for f in sdf.schema.fields}
+    helper = {
+        k: f"__gk_{i}"
+        for i, k in enumerate(keys)
+        if isinstance(ftypes.get(k), int_types)
+    }
+    if helper:
+        sdf = sdf.select(
+            "*", *[F.col(k).cast("string").alias(h) for k, h in helper.items()]
+        )
+    group_cols = [helper.get(k, k) for k in keys]
+
+    def _unhelp(k: str, v):
+        # string helper -> original integer value (None/NaN -> None)
+        if k not in helper:
+            return v
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return None
+        return int(v)
 
     def build_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         digests: dict[tuple, MergingDigest] = {}
@@ -174,7 +219,7 @@ def build_partials_grouped(
             ok = ~np.isnan(vals)
             # groupby().indices: one pass over the batch, index arrays per
             # group (not a per-group boolean scan of the whole batch)
-            idx_by_group = pdf.groupby(keys, sort=False, dropna=False).indices
+            idx_by_group = pdf.groupby(group_cols, sort=False, dropna=False).indices
             for g, idx in idx_by_group.items():
                 g = g if isinstance(g, tuple) else (g,)
                 d = digests.get(g)
@@ -187,7 +232,17 @@ def build_partials_grouped(
                     d.add(v)
                     rows[g] += int(v.size)
         if digests:
-            out = {k: [g[i] for g in digests] for i, k in enumerate(keys)}
+            out = {}
+            for i, k in enumerate(keys):
+                vals_k = [_unhelp(k, g[i]) for g in digests]
+                if k in helper:
+                    # nullable Int64, NOT a plain list: pandas would
+                    # float64 an ints+None column at DataFrame
+                    # construction, re-rounding the keys the string
+                    # grouping just preserved
+                    out[k] = pd.array(vals_k, dtype="Int64")
+                else:
+                    out[k] = vals_k
             out[_SALT] = [pid] * len(digests)
             out["digest"] = [d.to_bytes() for d in digests.values()]
             out["n_rows"] = [rows[g] for g in digests]
@@ -637,15 +692,45 @@ def percentile_enrich(
         # and pandas floats NULL-able numeric keys anyway — fold both
         # sides of the channel to None
         return None if isinstance(k, float) and np.isnan(k) else k
+
+    # integer group keys travel as STRING helper columns: an int64 batch
+    # containing one NULL arrives in pandas as float64, silently rounding
+    # keys above 2^53 (hash-derived bigints live there) onto wrong or
+    # missing table entries.  Spark's long->string cast is plain decimal
+    # digits, matching Python str(int) exactly, so strings are lossless.
+    int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    field_types = {f.name: f.dataType for f in df.schema.fields}
+    helper = {
+        c: f"__pe_key_{i}"
+        for i, c in enumerate(by)
+        if isinstance(field_types.get(c), int_types)
+    }
+    group_cols = [helper.get(c, c) for c in by]
+
+    def _table_key(r) -> tuple:
+        out = []
+        for c in by:
+            v = _norm_key(r[c])
+            if c in helper and v is not None:
+                v = str(v)
+            out.append(v)
+        return tuple(out)
+
     table = {
-        tuple(_norm_key(r[c]) for c in by): bytes(r["digest"])
+        _table_key(r): bytes(r["digest"])
         for r in rows
         if r["digest"] is not None
     }
     bc = df.sparkSession.sparkContext.broadcast(table)
+    _BROADCASTS.append(bc)
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.DoubleType(), True)]
     )
+    src = df
+    if helper:
+        src = df.select(
+            "*", *[F.col(c).cast("string").alias(h) for c, h in helper.items()]
+        )
 
     def _norm(k):
         # pandas group keys: NaN for NULL numeric keys (None for object),
@@ -653,6 +738,8 @@ def percentile_enrich(
         if k is None or (isinstance(k, float) and np.isnan(k)):
             return None
         return k.item() if hasattr(k, "item") else k
+
+    helper_names = list(helper.values())
 
     def enrich(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[tuple, MergingDigest] = {}
@@ -664,7 +751,7 @@ def percentile_enrich(
                 dtype=np.float64, na_value=np.nan
             )
             if by:
-                groups = pdf.groupby(by, dropna=False, sort=False).indices
+                groups = pdf.groupby(group_cols, dropna=False, sort=False).indices
             else:
                 groups = {(): np.arange(n)}
             for key, idx in groups.items():
@@ -683,9 +770,11 @@ def percentile_enrich(
                     res = np.full(v.shape, np.nan)
                     res[mask] = d.cdf_batch(v[mask])
                     out[idx] = res
-            res_pdf = pdf.copy()
+            res_pdf = (
+                pdf.drop(columns=helper_names) if helper_names else pdf.copy()
+            )
             # nullable Float64 maps NaN -> NULL on the Arrow wire
             res_pdf[out_col] = pd.array(out, dtype="Float64")
             yield res_pdf
 
-    return df.mapInPandas(enrich, out_schema)
+    return src.mapInPandas(enrich, out_schema)

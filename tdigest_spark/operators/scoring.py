@@ -551,7 +551,9 @@ def train_hashed_logit(
 
     Labels: cast to double, y in [0, 1] (soft labels fine); NULL-label
     and zero-token docs are excluded.  Loss history records mean
-    logloss at each epoch START (quantized micro-bits, deterministic).
+    logloss at each epoch START (quantized micro-bits, deterministic);
+    `final_loss` is one extra pass over the SHIPPED weights — the number
+    a consumer of the serialized model should quote.
 
     Training-time z sums integer weights then divides once; inference's
     ordered fold can differ by ulps — both are deterministic, and a
@@ -652,6 +654,16 @@ def train_hashed_logit(
             step = lr / (N * float(_G_SCALE)) * float(_W_SCALE)
             W = W - np.rint(G * step).astype(np.int64)
             B = B - int(np.rint(BG * step))
+        # history[k] is the loss BEFORE epoch k's update, so one more
+        # pass measures the SHIPPED weights (what a consumer of the
+        # serialized model actually gets); same quantized machinery, so
+        # it is deterministic like everything else here
+        bc = sc.broadcast((W.tobytes(), B))
+        rows = feats.mapInPandas(partials, out_schema).collect()
+        bc.destroy()
+        final_loss = (
+            sum(r["loss_micro"] for r in rows) / float(_W_SCALE) / n_total
+        )
     finally:
         if cache:
             feats.unpersist()
@@ -661,6 +673,7 @@ def train_hashed_logit(
         "n_buckets": n_buckets,
         "n_docs": n_total,
         "history": history,
+        "final_loss": final_loss,
     }
 
 
@@ -668,8 +681,13 @@ def trained_weight_fn(model: dict) -> Callable[[Column], Column]:
     """Bind a trained model's weights as a `hashed_logit` weight_fn: a
     literal double array indexed scan-side (exact micro-unit grid
     values).  Fine to a few 10^5 buckets; beyond that, score via a
-    broadcast + mapInPandas lane instead of a literal."""
-    arr = [w / float(_W_SCALE) for w in model["weights"].tolist()]
+    broadcast + mapInPandas lane instead of a literal.
+
+    The ndarray goes to F.lit WHOLE — one py4j call for one array
+    Literal.  A python list would expand to one lit() call per bucket
+    (measured: 22.9 s of driver-side plan build at 2^16 buckets vs
+    ~0.1 s for the ndarray form; identical plan)."""
+    arr = np.asarray(model["weights"], dtype=np.float64) / float(_W_SCALE)
     lit = F.lit(arr)
     return lambda b: F.element_at(lit, b.cast("int") + 1)
 
@@ -680,10 +698,88 @@ def apply_hashed_logit(
     text_col: str = "text",
     id_col: str = "doc_id",
     delimiter: str = " ",
+    lane: str = "jvm",
 ) -> DataFrame:
-    """Score with a trained model: (id, n_tokens, logit, p).  Same
-    zero-shuffle scan-stage plan as `hashed_logit`; the bias joins as a
-    literal and p = sigmoid(logit)."""
+    """Score with a trained model: (id, n_tokens, logit, p).
+
+    Lanes (logits bit-identical; p can differ 1 ulp — JVM vs libm exp —
+    asserted in tests/test_scoring.py):
+    - "jvm" (default): the `hashed_logit` scan-stage plan with the
+      weight array as ONE literal.  Literal build is a py4j transfer —
+      ~0.1 s at 4k buckets, seconds at 2^16, impractical at the 2^20 a
+      production fastText-style model wants.
+    - "pandas": the weight vector broadcasts out-of-band (8 MB at 2^20)
+      and ONE mapInPandas scores each doc with the SAME left-to-right
+      fold (np.cumsum is defined sequentially, so prefix sums reproduce
+      the JVM fold's IEEE order exactly; tokenize+md5-bucket match
+      `tokens_col`/`token_bucket` — the training differential already
+      pins that equivalence).  Zero shuffle either way.
+    """
+    bias = model["bias"] / float(_W_SCALE)
+    if lane == "pandas":
+        import hashlib
+
+        from pyspark.sql import types as T
+
+        nb = int(model["n_buckets"])
+        w = np.asarray(model["weights"], dtype=np.float64) / float(_W_SCALE)
+        bc = df.sparkSession.sparkContext.broadcast(w.tobytes())
+        id_type = df.schema[id_col].dataType
+        schema = T.StructType(
+            [
+                T.StructField(id_col, id_type),
+                T.StructField("n_tokens", T.LongType(), False),
+                T.StructField("logit", T.DoubleType()),
+                T.StructField("p", T.DoubleType()),
+            ]
+        )
+
+        def score(batches):
+            import pandas as _pd
+
+            wv = np.frombuffer(bc.value, dtype=np.float64)
+            for pdf in batches:
+                n = len(pdf)
+                if not n:
+                    continue
+                ids = pdf[id_col].to_numpy()
+                n_toks = np.zeros(n, dtype=np.int64)
+                logits = np.full(n, np.nan)
+                for i, txt in enumerate(pdf[text_col]):
+                    if txt is None:
+                        continue
+                    toks = [t for t in txt.split(delimiter) if t != ""]
+                    n_toks[i] = len(toks)
+                    if not toks:
+                        continue
+                    bk = np.fromiter(
+                        (
+                            int(
+                                hashlib.md5(b"b:" + t.encode()).hexdigest()[:8],
+                                16,
+                            )
+                            % nb
+                            for t in toks
+                        ),
+                        dtype=np.int64,
+                        count=len(toks),
+                    )
+                    # sequential prefix sum == the JVM aggregate fold
+                    logits[i] = np.cumsum(wv[bk])[-1] / float(len(toks)) + bias
+                ps = 1.0 / (1.0 + np.exp(-logits))
+                out = _pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "n_tokens": n_toks,
+                        "logit": logits,
+                        "p": ps,
+                    }
+                )
+                yield out
+
+        return df.select(F.col(id_col), F.col(text_col)).mapInPandas(score, schema)
+    if lane != "jvm":
+        raise ValueError(f"unknown lane: {lane!r}")
     out = hashed_logit(
         df,
         text_col=text_col,
@@ -692,7 +788,7 @@ def apply_hashed_logit(
         delimiter=delimiter,
         weight_fn=trained_weight_fn(model),
     )
-    z = F.col("logit") + F.lit(model["bias"] / float(_W_SCALE))
+    z = F.col("logit") + F.lit(bias)
     return out.select(
         F.col(id_col),
         "n_tokens",

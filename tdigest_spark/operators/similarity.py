@@ -226,12 +226,21 @@ def ivf_assign(
     if cent_rows:
         v = F.col(vec_col)
         # bind the row norm once in its own projection — inlined, each
-        # candidate struct would re-fold it (n_cells x dim per row)
-        tmp = emb.withColumn("__nv", norm_col(v))
+        # candidate struct would re-fold it (n_cells x dim per row).
+        # Zero-norm guard: a zero vector (or zero centroid) would divide
+        # 0/0 — an ANSI-mode job abort.  Substituting norm=1 makes every
+        # such cosine exactly 0.0 (the dot is 0), so zero vectors assign
+        # to the lowest cid deterministically and never pass a positive
+        # threshold; non-zero rows take the untouched branch bit-for-bit.
+        tmp = emb.withColumn("__nvr", norm_col(v)).withColumn(
+            "__nv",
+            F.when(F.col("__nvr") == 0.0, F.lit(1.0)).otherwise(F.col("__nvr")),
+        )
         candidates = []
         for r in sorted(cent_rows, key=lambda r: r["cid"]):
             cv = F.array(*[F.lit(float(x)) for x in r["cv"]])
-            sim = dot_col(v, cv) / (F.col("__nv") * F.lit(_seq_norm(list(r["cv"]))))
+            ncv = _seq_norm(list(r["cv"])) or 1.0
+            sim = dot_col(v, cv) / (F.col("__nv") * F.lit(ncv))
             candidates.append(
                 F.struct((-sim).alias("ns"), F.lit(r["cid"]).alias("cid"))
             )
@@ -241,12 +250,21 @@ def ivf_assign(
         )
         if sim_col is not None:
             out = out.withColumn(sim_col, -F.col("__best").getField("ns"))
-        return out.drop("__best", "__nv")
+        return out.drop("__best", "__nv", "__nvr")
 
-    cents = centroids.select(
-        F.col(centroid_id).alias("cid"), F.col(centroid_vec).alias("cv")
-    ).withColumn("cn", norm_col(F.col("cv")))
-    base = emb.withColumn("__n", norm_col(F.col(vec_col)))
+    cents = (
+        centroids.select(
+            F.col(centroid_id).alias("cid"), F.col(centroid_vec).alias("cv")
+        )
+        .withColumn("cnr", norm_col(F.col("cv")))
+        .withColumn(
+            "cn", F.when(F.col("cnr") == 0.0, F.lit(1.0)).otherwise(F.col("cnr"))
+        )
+        .drop("cnr")
+    )
+    base = emb.withColumn("__nr", norm_col(F.col(vec_col))).withColumn(
+        "__n", F.when(F.col("__nr") == 0.0, F.lit(1.0)).otherwise(F.col("__nr"))
+    )
     scored = base.join(F.broadcast(cents)).withColumn(
         "__sim", dot_col(vec_col, "cv") / (F.col("__n") * F.col("cn"))
     )
@@ -256,7 +274,7 @@ def ivf_assign(
     )
     if sim_col is not None:
         out = out.withColumn(sim_col, F.col("__sim"))
-    return out.drop("__rk", "__sim", "__n", "cv", "cn").withColumnRenamed(
+    return out.drop("__rk", "__sim", "__n", "__nr", "cv", "cn").withColumnRenamed(
         "cid", "ivf_cell"
     )
 
@@ -1329,9 +1347,16 @@ def semantic_contamination(
       the 100 TB shape for real eval suites (10k–1M items): corpus
       never shuffles, no per-row build-side copy (the pq_topk lesson).
       Matmul reassociates the dot sum, so cosines can differ from the
-      jvm lane by ulps (flags agree except exactly at the threshold);
-      zero-norm vectors get NULL cosine (NaN nulls on the Arrow wire)
-      and contaminated=false.
+      jvm lane by ulps (flags agree except exactly at the threshold).
+
+    Zero-norm vectors: BOTH lanes substitute norm=1, so the cosine is
+    exactly 0.0 against every bench item, the nearest id is the lowest
+    bench id (identical tie-break: least() lowest-cid == argmax
+    first-hit over the bid-sorted matrix), and any positive threshold
+    leaves them unflagged — no ANSI divide-by-zero abort, full lane
+    agreement.  Bench ids may be any orderable type (ints, strings);
+    the numpy lane carries them as objects and mirrors the bench id
+    column's Spark type in its output schema.
     """
     if lane == "numpy":
         import numpy as _np
@@ -1344,7 +1369,7 @@ def semantic_contamination(
         if not rows:
             raise ValueError("semantic_contamination: empty benchmark set")
         rows.sort(key=lambda r: r["b"])  # argmax first-hit = lowest bench id
-        bids = _np.array([r["b"] for r in rows], dtype=_np.int64)
+        bids = _np.array([r["b"] for r in rows], dtype=object)
         mat = _np.array([r["v"] for r in rows], dtype=_np.float64)
         norms = _np.linalg.norm(mat, axis=1)
         norms[norms == 0.0] = 1.0
@@ -1352,10 +1377,11 @@ def semantic_contamination(
         sc = corpus_emb.sparkSession.sparkContext
         bc = sc.broadcast((bids, matn))
         id_type = corpus_emb.schema[id_col].dataType
+        bench_id_type = bench_emb.schema[bench_id].dataType
         schema = T.StructType(
             [
                 T.StructField(id_col, id_type),
-                T.StructField("nearest_bench_id", T.LongType()),
+                T.StructField("nearest_bench_id", bench_id_type),
                 T.StructField("bench_cosine", T.DoubleType()),
                 T.StructField("contaminated", T.BooleanType()),
             ]
@@ -1371,12 +1397,10 @@ def semantic_contamination(
                     continue
                 X = _np.array(pdf[vec_col].tolist(), dtype=_np.float64)
                 xn = _np.linalg.norm(X, axis=1)
-                zero = xn == 0.0
-                xn[zero] = 1.0
+                xn[xn == 0.0] = 1.0  # zero rows: dot=0 -> cosine exactly 0.0
                 sims = (X @ b_mat) / xn[:, None]
                 best = _np.argmax(sims, axis=1)
                 cos = sims[_np.arange(len(X)), best]
-                cos[zero] = _np.nan
                 yield _pd.DataFrame(
                     {
                         id_col: pdf[id_col].to_numpy(),

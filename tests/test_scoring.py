@@ -368,6 +368,15 @@ class TestTrainHashedLogit:
         assert np.array_equal(got["weights"], W)
         assert got["bias"] == B
         assert got["history"] == hist
+        # final_loss: one more pass over the SHIPPED weights
+        L = 0
+        for y, bl in docs:
+            b = np.array(bl)
+            z = W[b].sum() / (len(b) * 1e6) + B / 1e6
+            lv = y * np.logaddexp(0.0, -z) + (1.0 - y) * np.logaddexp(0.0, z)
+            L += int(np.rint(lv * 1e6))
+        assert got["final_loss"] == L / 1e6 / len(docs)
+        assert got["final_loss"] < got["history"][-1]
 
     def test_learns_and_applies(self, spark):
         from tdigest_spark.operators.scoring import (
@@ -417,3 +426,44 @@ class TestTrainHashedLogit:
         )
         with pytest.raises(ValueError, match="no trainable rows"):
             train_hashed_logit(empty, epochs=1, n_buckets=8)
+
+
+def test_apply_hashed_logit_pandas_lane_matches_jvm(spark):
+    """The broadcast pandas lane reproduces the jvm literal lane's
+    logits BIT-EXACTLY (same IEEE fold order); p within 1 ulp (exp)."""
+    import numpy as np
+
+    from tdigest_spark.operators.scoring import (
+        apply_hashed_logit,
+        train_hashed_logit,
+    )
+
+    rows = [
+        (1, 1.0, "buy cheap pills now"),
+        (2, 0.0, "the science report method"),
+        (3, 1.0, "cheap cheap cheap"),
+        (4, 0.0, "data results the report"),
+        (5, None, None),
+        (6, 1.0, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, label double, text string")
+    m = train_hashed_logit(df, epochs=3, n_buckets=64, lr=2.0)
+    jvm = {r["doc_id"]: r for r in apply_hashed_logit(df, m).collect()}
+    pnd = {
+        r["doc_id"]: r
+        for r in apply_hashed_logit(df.repartition(3), m, lane="pandas").collect()
+    }
+    assert set(jvm) == set(pnd) == {1, 2, 3, 4, 5, 6}
+    for k in jvm:
+        a, b = jvm[k], pnd[k]
+        assert a["n_tokens"] == b["n_tokens"], k
+        assert a["logit"] == b["logit"], k  # bit-exact (incl. None==None)
+        if a["p"] is None:
+            assert b["p"] is None
+        else:
+            assert abs(a["p"] - b["p"]) < 1e-15
+    assert jvm[5]["logit"] is None and jvm[6]["logit"] is None
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown lane"):
+        apply_hashed_logit(df, m, lane="bogus")

@@ -803,9 +803,7 @@ def test_semantic_contamination_numpy_lane_matches_jvm(spark):
     )
     jvm = {
         r["vec_id"]: r
-        for r in semantic_contamination(
-            corpus.filter("vec_id != 999"), bench, threshold=0.99
-        ).collect()
+        for r in semantic_contamination(corpus, bench, threshold=0.99).collect()
     }
     np_lane = {
         r["vec_id"]: r
@@ -813,14 +811,18 @@ def test_semantic_contamination_numpy_lane_matches_jvm(spark):
             corpus.repartition(5), bench, threshold=0.99, lane="numpy"
         ).collect()
     }
-    assert len(np_lane) == 61
-    for i in range(60):
+    assert len(jvm) == len(np_lane) == 61
+    for i in list(range(60)) + [999]:
         a, b = jvm[i], np_lane[i]
         assert a["nearest_bench_id"] == b["nearest_bench_id"], i
         assert a["contaminated"] == b["contaminated"], i
         assert abs(a["bench_cosine"] - b["bench_cosine"]) < 1e-12, i
-    z = np_lane[999]
-    assert z["bench_cosine"] is None and not z["contaminated"]
+    # the zero vector: cosine exactly 0.0, lowest bench id, unflagged —
+    # identical on BOTH lanes (no ANSI divide-by-zero abort)
+    for lane in (jvm, np_lane):
+        z = lane[999]
+        assert z["bench_cosine"] == 0.0 and not z["contaminated"]
+        assert z["nearest_bench_id"] == 100
 
 
 def test_semantic_contamination_numpy_lane_validation(spark):

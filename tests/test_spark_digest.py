@@ -507,3 +507,25 @@ def test_percentile_enrich_nan_group_key(spark):
         for r in percentile_enrich(df, "v", by=["g"], delta=100.0).collect()
     }
     assert got[1] == 0.25 and got[2] == 0.75 and got[3] == 0.5
+
+
+def test_percentile_enrich_bigint_keys_with_null_in_batch(spark):
+    """Integer group keys above 2^53 sharing a batch with a NULL key:
+    pandas would float64 the column and round the keys — the string
+    helper-key path keeps them exact."""
+    big = (1 << 53) + 1  # 9007199254740993, not representable in float64
+    rows = [
+        (1, big, 10.0),
+        (2, big, 20.0),
+        (3, None, 7.0),
+        (4, (1 << 53) - 1, 5.0),
+    ]
+    from tdigest_spark.operators import percentile_enrich
+
+    df = spark.createDataFrame(rows, "id long, g long, v double").coalesce(1)
+    got = {
+        r["id"]: r["percentile"]
+        for r in percentile_enrich(df, "v", by=["g"], delta=100.0).collect()
+    }
+    assert got[1] == 0.25 and got[2] == 0.75   # the big-key group works
+    assert got[3] == 0.5 and got[4] == 0.5     # NULL group + neighbor key

@@ -211,8 +211,9 @@ def test_corpus_pipeline_distill_classifier(spark, tmp_path):
     # at 400-doc test scale the loss delta can vanish in the 4-decimal
     # report rounding; non-increase is the honest invariant here (the
     # monotone-decrease property is pinned at real scale in
-    # tests/test_scoring.py and the 4M BENCH run)
-    assert rep["distill_loss_last"] <= rep["distill_loss_first"]
+    # tests/test_scoring.py and the 4M BENCH run).  distill_loss_final
+    # measures the SHIPPED weights (one extra pass), not epoch-start.
+    assert rep["distill_loss_final"] <= rep["distill_loss_first"]
     assert 0.0 <= rep["distill_holdout_agreement"] <= 1.0
     # model blob sits beside the parquet output and round-trips
     from tdigest_spark.operators.scoring import logit_model_from_bytes
