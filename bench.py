@@ -411,6 +411,19 @@ def main() -> None:
 
     bench("quality_classifier", classifier)
 
+    # 5g. BM25 multi-query retrieval (broadcast term vocabulary,
+    #     exploded-token equi-join, per-query top-k window)
+    def bm25():
+        from tdigest_spark.operators.scoring import bm25_topk
+
+        q = spark.createDataFrame(
+            [(qid, list(ts)) for qid, ts in Q.BM25_QUERIES],
+            "query_id string, terms array<string>",
+        )
+        bm25_topk(docs, q, k=Q.BM25_TOPK).count()
+
+    bench("bm25_topk", bm25)
+
     # 6. SimHash signatures (explode + 64-way conditional agg)
     bench("simhash", lambda: simhash64(docs, "text", "doc_id").collect())
 

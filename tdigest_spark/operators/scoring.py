@@ -822,3 +822,222 @@ def logit_model_from_bytes(blob: bytes) -> dict:
         "n_docs": n_docs,
         "history": [],
     }
+
+
+# ------------------------------------------------------------------- BM25
+
+
+def _eq_lit(term: str):
+    """Single-parameter equality closure for higher-order F.filter."""
+    lit = F.lit(term)
+    return lambda x: x == lit
+
+
+def bm25_score(
+    df: DataFrame,
+    terms: "list[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    delimiter: str = " ",
+    idf_decimals: int = 6,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to ONE literal query.
+
+    The keyword-side companion of the embedding retrieval lanes
+    (`similarity.cosine_topk` etc.) and the standard data-selection
+    signal for domain-targeted corpus curation ("keep documents
+    relevant to these seed terms"): score(d) = sum over query terms of
+    idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)), with the
+    Lucene-style non-negative idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Two passes, zero data-row shuffles: pass 1 folds the collection
+    stats (N, total token count, per-term document frequencies) into
+    ONE partial-aggregated row — per-term df rides the same aggregate
+    as `array_contains` count-ifs, so the corpus is scanned once
+    however many terms the query has.  Pass 2 cross-joins that
+    broadcast 1-row frame and computes tf and the score as pure
+    scan-stage array algebra (no explode, no join, no Python).  This is
+    the literal lane for a handful of terms; for query SETS or large
+    vocabularies use `bm25_topk` (broadcast term table, exploded-token
+    equi-join).
+
+    Engine-neutral float discipline (module docstring): idf is the only
+    libm term and is quantized to `idf_decimals` before use; everything
+    else is integer-derived doubles combined in a FIXED order (the
+    `terms` argument order, left fold), so the driver gate hash-matches
+    DuckDB.  Zero-match docs score exactly 0.0.
+
+    NULL-text rows keep their row with n_tokens = 0 and NULL bm25 ("no
+    evidence", like `bigram_nll_bits`); they do not count toward N or
+    avgdl.  Duplicate query terms are collapsed (first occurrence kept)
+    so a term can't double-score.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    terms = list(dict.fromkeys(terms))
+    toks = tokens_col(text_col, delimiter)
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    has = F.col("__t").isNotNull()
+    aggs = [
+        F.count(F.when(has, 1)).cast("long").alias("__nd"),
+        F.sum(F.when(has, F.size("__t")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("__tt"),
+    ]
+    for i, t in enumerate(terms):
+        aggs.append(
+            F.count(F.when(F.array_contains("__t", F.lit(t)), 1))
+            .cast("long")
+            .alias(f"__df{i}")
+        )
+    stats = base.agg(*aggs)
+    e = base.crossJoin(F.broadcast(stats))
+    nd = F.col("__nd").cast("double")
+    # ANSI-safe: an all-NULL-text corpus has __nd == 0; the guard value
+    # is never read (every row takes the NULL-text branch below)
+    avgdl = F.when(
+        F.col("__nd") > 0, F.col("__tt").cast("double") / nd
+    ).otherwise(F.lit(1.0))
+    dl = F.size("__t").cast("double")
+    score = None
+    for i, t in enumerate(terms):
+        dfc = F.col(f"__df{i}").cast("double")
+        idf = F.round(
+            F.log((nd - dfc + 0.5) / (dfc + 0.5) + 1.0), idf_decimals
+        )
+        # NB: the closure must stay single-parameter — F.filter treats a
+        # 2-arg lambda (even via a default arg) as the (element, index)
+        # form and binds the second parameter to the INDEX column
+        tf = F.size(F.filter("__t", _eq_lit(t))).cast("double")
+        # tf > 0 implies dl >= 1 and avgdl > 0, so the denominator is
+        # strictly positive even at b = 1; tf == 0 contributes an exact
+        # 0.0 (adding +0.0 leaves the running fold bit-identical, so
+        # this lane agrees ulp-for-ulp with bm25_topk's matched-terms
+        # fold when `terms` is sorted)
+        term_s = F.when(
+            tf > 0,
+            idf
+            * (tf * (k1 + 1.0))
+            / (tf + k1 * (1.0 - b + b * dl / avgdl)),
+        ).otherwise(F.lit(0.0))
+        score = term_s if score is None else score + term_s
+    return e.select(
+        F.col(id_col),
+        F.when(has, F.size("__t")).otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+        F.when(has, score).alias("bm25"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_col: str = "query_id",
+    terms_col: str = "terms",
+    k1: float = 1.2,
+    b: float = 0.75,
+    delimiter: str = " ",
+    idf_decimals: int = 6,
+) -> DataFrame:
+    """Top-k BM25 retrieval for a SET of queries (query_col, terms
+    array<string>) — the inverted-index shape, built as one corpus scan
+    plus narrow-row aggregations.
+
+    Plan (100 TB story): the distinct term vocabulary of the query set
+    is tiny next to the corpus, so it BROADCASTS; corpus tokens explode
+    in the scan stage and the broadcast hash equi-join discards every
+    non-query token before anything shuffles.  The only wide movement
+    is the (id, term, tf) partial-aggregated count — bytes scale with
+    matched tokens, never with text.  Per-term document frequencies
+    re-aggregate those same narrow rows (Spark reuses the tf Exchange);
+    both df and the 1-row collection stats come back as broadcasts.
+    Final per-(query, doc) scores fold per-term contributions in
+    SORTED-term order (deterministic FP order in both engines), and
+    top-k is a per-query row_number window tie-broken by ascending doc
+    id.  For astronomically hot queries (a term matching most of the
+    corpus) the per-query window sort dominates — cap candidates
+    upstream (e.g. score against a `quota_by_key`-balanced slice) or
+    raise k-phase two-level top-k the way `ann_bruteforce_topk` does.
+
+    Retrieval semantics: only documents matching >= 1 query term appear
+    (zero-match docs would all tie at 0.0); queries with no matching
+    docs are absent.  NULL-text rows can't match.  NULL / empty-string
+    terms never match any token (`tokens_col` drops empties).  Terms
+    are deduped per query via array_distinct.
+
+    Scores are bit-identical to `bm25_score(df, sorted(terms))` on the
+    matched docs (see the +0.0 note there) — pytest pins the
+    differential; the driver gate hash-matches a windowed DuckDB oracle.
+    """
+    toks = tokens_col(text_col, delimiter)
+    base = df.select(F.col(id_col), toks.alias("__t")).filter(
+        F.col("__t").isNotNull()
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("__nd"),
+        F.sum(F.size("__t")).cast("long").alias("__tt"),
+    )
+    qterms = queries.select(
+        F.col(query_col),
+        F.explode(F.array_distinct(F.col(terms_col))).alias("__term"),
+    )
+    term_table = qterms.select("__term").distinct()
+    tf = (
+        base.select(
+            F.col(id_col),
+            F.size("__t").cast("double").alias("__dl"),
+            F.explode("__t").alias("__term"),
+        )
+        .join(F.broadcast(term_table), "__term")
+        .groupBy(id_col, "__dl", "__term")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    )
+    dfreq = tf.groupBy("__term").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "__term")
+        .join(F.broadcast(qterms), "__term")
+        .crossJoin(F.broadcast(stats))
+    )
+    nd = F.col("__nd").cast("double")
+    avgdl = F.when(
+        F.col("__nd") > 0, F.col("__tt").cast("double") / nd
+    ).otherwise(F.lit(1.0))
+    dfc = F.col("__df").cast("double")
+    idf = F.round(F.log((nd - dfc + 0.5) / (dfc + 0.5) + 1.0), idf_decimals)
+    s = (
+        idf
+        * (F.col("__tf") * (k1 + 1.0))
+        / (F.col("__tf") + k1 * (1.0 - b + b * F.col("__dl") / avgdl))
+    )
+    per_qd = scored.groupBy(query_col, id_col).agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__term"), s.alias("__s")))
+                ),
+                lambda x: x["__s"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("bm25")
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        per_qd.select(
+            F.col(query_col),
+            F.col(id_col),
+            F.col("bm25"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )

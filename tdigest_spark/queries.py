@@ -78,6 +78,15 @@ KMV_K = 32768  # > 20x distinct users @ sf0.1 -> exact set algebra
 BLOOM_PROBES = (0, 1, 2, 3, 4, 900001, 900002, 900003, 900004, 900005)
 IVF_CENT_MOD = 97  # vec_id % 97 == 1 rows serve as deterministic centroids
 IVF_NPROBE = 2
+# BM25 terms/queries drawn from the synthetic documents vocabulary
+BM25_TERMS = ("spark", "vector", "merge", "customer")
+BM25_QUERIES = (
+    ("q1", ("merge", "spark", "vector")),
+    ("q2", ("customer", "window")),
+    ("q3", ("hash", "join", "scan")),
+)
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_TOPK = 20
 NEARDUP_MOD = 10  # doc_id % 10 == 0 gets a truncated twin
 EMB_SCALE_MOD = 5  # vec_id % 5 == 0 gets a 1.01-scaled twin
 ANN_QUERY_MOD = 50  # vec_id % 50 == 0 are ANN query points
@@ -2497,6 +2506,143 @@ ORDER BY doc_id
 """
 
 
+def q_bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document to one literal query — the
+    keyword data-selection signal (literal lane: per-term df folded
+    into ONE corpus-scan aggregate, scoring pure scan-stage array
+    algebra).  Value-exact vs the oracle: idf is the only libm term and
+    is quantized to 1e-6 (module docstring rules); everything else is
+    integer-derived doubles combined in the fixed `BM25_TERMS` order on
+    both engines."""
+    from .operators.scoring import bm25_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_score(docs, list(BM25_TERMS), k1=BM25_K1, b=BM25_B)
+
+
+def _sql_bm25_doc_scores() -> str:
+    k1p1, one_m_b = repr(BM25_K1 + 1.0), repr(1.0 - BM25_B)
+    k1r, br = repr(BM25_K1), repr(BM25_B)
+    dfs = ",\n       ".join(
+        f"CAST(count(*) FILTER (WHERE list_contains(toks, '{t}')) AS DOUBLE) AS df{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    terms_sql = []
+    for i, t in enumerate(BM25_TERMS):
+        idf = f"round(ln((nd - df{i} + 0.5) / (df{i} + 0.5) + 1.0), 6)"
+        tf = f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE)"
+        terms_sql.append(
+            f"CASE WHEN {tf} > 0 THEN {idf} * ({tf} * {k1p1})"
+            f" / ({tf} + {k1r} * ({one_m_b} + {br} * dl / avgdl))"
+            f" ELSE 0.0 END"
+        )
+    score = "\n         + ".join(terms_sql)  # left fold == Spark loop order
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), tk -> tk != '') AS toks
+  FROM documents
+),
+st AS (
+  SELECT CAST(count(*) FILTER (WHERE toks IS NOT NULL) AS DOUBLE) AS nd,
+       CAST(sum(CASE WHEN toks IS NOT NULL THEN len(toks) ELSE 0 END) AS DOUBLE) AS tt,
+       {dfs}
+  FROM t
+),
+e AS (
+  SELECT doc_id, toks,
+         CAST(len(toks) AS DOUBLE) AS dl,
+         nd, tt,
+         CASE WHEN nd > 0 THEN tt / nd ELSE 1.0 END AS avgdl,
+         {", ".join(f"df{i}" for i in range(len(BM25_TERMS)))}
+  FROM t CROSS JOIN st
+)
+SELECT doc_id,
+       CAST(CASE WHEN toks IS NULL THEN 0 ELSE len(toks) END AS BIGINT) AS n_tokens,
+       CASE WHEN toks IS NULL THEN NULL
+            ELSE {score} END AS bm25
+FROM e
+"""
+
+
+def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query BM25 top-k retrieval (inverted-index lane: broadcast
+    term vocabulary, exploded-token equi-join, sorted-term score fold,
+    per-query row_number window)."""
+    from .operators.scoring import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(q, list(ts)) for q, ts in BM25_QUERIES],
+        "query_id string, terms array<string>",
+    )
+    return bm25_topk(
+        docs, queries, k=BM25_TOPK, k1=BM25_K1, b=BM25_B
+    )
+
+
+def _sql_bm25_topk_docs() -> str:
+    k1p1, one_m_b = repr(BM25_K1 + 1.0), repr(1.0 - BM25_B)
+    k1r, br = repr(BM25_K1), repr(BM25_B)
+    vals = ",\n  ".join(
+        f"('{q}', '{t}')"
+        for q, terms in BM25_QUERIES
+        for t in dict.fromkeys(terms)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), tk -> tk != '') AS toks
+  FROM documents
+  WHERE text IS NOT NULL
+),
+q(query_id, term) AS (VALUES
+  {vals}
+),
+st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nd,
+         CAST(sum(len(toks)) AS DOUBLE) AS tt
+  FROM t
+),
+tok AS (
+  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, unnest(toks) AS term
+  FROM t
+),
+tf AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, dl, term
+),
+dfq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS dfc FROM tf GROUP BY term
+),
+s AS (
+  SELECT q.query_id, tf.doc_id, tf.term,
+         round(ln((st.nd - dfq.dfc + 0.5) / (dfq.dfc + 0.5) + 1.0), 6)
+         * (tf.tf * {k1p1})
+         / (tf.tf + {k1r} * ({one_m_b} + {br} * tf.dl /
+            (CASE WHEN st.nd > 0 THEN st.tt / st.nd ELSE 1.0 END))) AS s
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfq ON tf.term = dfq.term
+  CROSS JOIN st
+),
+g AS (
+  SELECT query_id, doc_id,
+         list_reduce(list(s ORDER BY term), (a, x) -> a + x) AS bm25
+  FROM s GROUP BY query_id, doc_id
+),
+r AS (
+  SELECT query_id, doc_id, bm25,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY bm25 DESC, doc_id ASC) AS rank
+  FROM g
+)
+SELECT query_id, doc_id, bm25, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= {BM25_TOPK}
+"""
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "text", "doc_id", MINHASH_K, SHINGLE_K)
@@ -3921,6 +4067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "quality_classifier": q_quality_classifier,
         "lm_nll_bits": q_lm_nll_bits,
+        "bm25_doc_scores": q_bm25_doc_scores,
+        "bm25_topk_docs": q_bm25_topk_docs,
         "decontaminate_docs": q_decontaminate_docs,
         "minhash_signatures": q_minhash_signatures,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
@@ -4006,6 +4154,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _SQL_DSIR_SELECT,
         "quality_classifier": _SQL_QUALITY_CLASSIFIER,
         "lm_nll_bits": _SQL_LM_NLL_BITS,
+        "bm25_doc_scores": _sql_bm25_doc_scores(),
+        "bm25_topk_docs": _sql_bm25_topk_docs(),
         "decontaminate_docs": _sql_decontaminate_docs(),
         "minhash_signatures": _sql_minhash(),
         "lsh_near_dup_pairs": _sql_lsh_near_dup_pairs(),

@@ -645,3 +645,37 @@ def test_percentile_enrich_no_corpus_shuffle(docs):
     assert "Exchange" not in simple
     assert "Join" not in simple
     assert simple.count("MapInPandas") == 1
+
+
+def test_bm25_score_scan_stage_no_explode_no_python(docs):
+    """The literal BM25 lane is two corpus scans and nothing else: stats
+    fold into a 1-row broadcast (the plan's only Exchange is that
+    aggregate's), scoring is scan-stage array algebra — no Generate
+    (explode), no Python stage, and no Exchange carries the text/token
+    columns."""
+    from tdigest_spark.operators.scoring import bm25_score
+
+    plan = explain_str(bm25_score(docs, ["spark", "vector", "merge"]))
+    assert "Generate" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    # the 1-row stats frame broadcasts into the cross join
+    assert "Broadcast" in plan
+    for block in plan.split("\n\n"):
+        if block.lstrip().startswith("(") and "Exchange" in block.split("\n")[0]:
+            assert "text#" not in block and "__t#" not in block
+
+
+def test_bm25_topk_no_text_in_exchange_broadcast_terms(docs, spark):
+    """The retrieval lane's wide movement is narrow (id, dl, term, tf)
+    rows: the term vocabulary joins as a broadcast in the scan stage and
+    no Exchange carries the text column."""
+    from tdigest_spark.operators.scoring import bm25_topk
+
+    q = spark.createDataFrame(
+        [("q1", ["spark", "vector"])], "query_id string, terms array<string>"
+    )
+    plan = explain_str(bm25_topk(docs, q, k=5))
+    assert "BroadcastHashJoin" in plan  # term-table filter join
+    for block in plan.split("\n\n"):
+        if block.lstrip().startswith("(") and "Exchange" in block.split("\n")[0]:
+            assert "text#" not in block

@@ -467,3 +467,157 @@ def test_apply_hashed_logit_pandas_lane_matches_jvm(spark):
 
     with _pt.raises(ValueError, match="unknown lane"):
         apply_hashed_logit(df, m, lane="bogus")
+
+
+# ------------------------------------------------------------------- BM25
+
+
+def _py_bm25(
+    corpus: dict[int, str],
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> dict[int, float]:
+    """Pure-Python BM25 with the operator's exact float-op order."""
+    import math
+
+    tokd = {i: [t for t in s.split(" ") if t] for i, s in corpus.items()}
+    n = len(tokd)
+    tt = sum(len(v) for v in tokd.values())
+    avgdl = tt / float(n) if n else 1.0
+    out = {}
+    for i, v in tokd.items():
+        s = 0.0
+        for t in terms:
+            dfc = float(sum(1 for w in tokd.values() if t in w))
+            idf = round(math.log((n - dfc + 0.5) / (dfc + 0.5) + 1.0), 6)
+            tf = float(v.count(t))
+            if tf > 0:
+                s += idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * len(v) / avgdl)
+                )
+        out[i] = s
+    return out
+
+
+@pytest.fixture(scope="module")
+def bm25_docs(spark):
+    rows = [
+        (0, "spark merge spark vector"),
+        (1, "customer window hash table"),
+        (2, "spark spark spark"),
+        (3, None),
+        (4, ""),
+        (5, "vector merge"),
+        (6, "merge vector spark customer merge"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestBM25:
+    TERMS = ["merge", "spark", "vector"]
+
+    def test_score_matches_python_reference(self, spark, bm25_docs):
+        from tdigest_spark.operators.scoring import bm25_score
+
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["bm25"])
+            for r in bm25_score(bm25_docs, self.TERMS).collect()
+        }
+        corpus = {
+            0: "spark merge spark vector",
+            1: "customer window hash table",
+            2: "spark spark spark",
+            4: "",
+            5: "vector merge",
+            6: "merge vector spark customer merge",
+        }
+        ref = _py_bm25(corpus, self.TERMS)
+        for i, s in ref.items():
+            n_tok, bm = got[i]
+            assert n_tok == len([t for t in corpus[i].split(" ") if t])
+            assert bm == s  # bit-exact: same op order, quantized idf
+        # NULL text: row kept, no evidence
+        assert got[3] == (0, None)
+        # zero-match doc scores exactly 0.0, empty doc too
+        assert got[1][1] == 0.0 and got[4][1] == 0.0
+
+    def test_score_duplicate_terms_collapse(self, spark, bm25_docs):
+        from tdigest_spark.operators.scoring import bm25_score
+
+        once = bm25_score(bm25_docs, ["spark"]).collect()
+        twice = bm25_score(bm25_docs, ["spark", "spark"]).collect()
+        assert sorted(map(tuple, once)) == sorted(map(tuple, twice))
+
+    def test_topk_differential_vs_literal_lane(self, spark, bm25_docs):
+        from tdigest_spark.operators.scoring import bm25_score, bm25_topk
+
+        terms = sorted(self.TERMS)  # sorted -> identical fold order
+        q = spark.createDataFrame(
+            [("q1", terms)], "query_id string, terms array<string>"
+        )
+        lane2 = {
+            r["doc_id"]: r["bm25"]
+            for r in bm25_topk(bm25_docs, q, k=100).collect()
+        }
+        lane1 = {
+            r["doc_id"]: r["bm25"]
+            for r in bm25_score(bm25_docs, terms).collect()
+        }
+        # every matched doc agrees bit-for-bit; zero-match/NULL docs are
+        # retrieval-absent in the topk lane
+        assert set(lane2) == {i for i, s in lane1.items() if s}
+        for i, s in lane2.items():
+            assert s == lane1[i]
+
+    def test_topk_k_cap_rank_and_tiebreak(self, spark, bm25_docs):
+        from tdigest_spark.operators.scoring import bm25_topk
+
+        # doc 0 and doc 6 both contain 'customer'? no — build a tie:
+        # two docs with identical token multiset => identical score
+        rows = [
+            (10, "alpha beta"),
+            (11, "beta alpha"),
+            (12, "alpha alpha beta"),
+            (13, "gamma"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        q = spark.createDataFrame(
+            [("q", ["alpha"])], "query_id string, terms array<string>"
+        )
+        out = bm25_topk(df, q, k=2).orderBy("rank").collect()
+        assert [r["rank"] for r in out] == [1, 2]
+        assert len(out) == 2  # k cap applied
+        full = bm25_topk(df, q, k=10).orderBy("rank").collect()
+        # identical-score tie (docs 10, 11) breaks by ascending doc_id
+        tied = [r for r in full if r["doc_id"] in (10, 11)]
+        assert tied[0]["doc_id"] == 10 and tied[1]["doc_id"] == 11
+        assert tied[0]["bm25"] == tied[1]["bm25"]
+        assert 13 not in {r["doc_id"] for r in full}  # no-match absent
+
+    def test_topk_multi_query_and_null_terms(self, spark, bm25_docs):
+        from tdigest_spark.operators.scoring import bm25_topk
+
+        q = spark.createDataFrame(
+            [
+                ("q1", ["spark"]),
+                ("q2", ["customer", "customer", "window"]),
+                ("q3", ["zzz_absent"]),
+                ("q4", [None, "hash"]),
+            ],
+            "query_id string, terms array<string>",
+        )
+        out = bm25_topk(bm25_docs, q, k=5).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r["doc_id"])
+        assert set(by_q["q1"]) == {0, 2, 6}
+        assert set(by_q["q2"]) == {1, 6}
+        assert "q3" not in by_q  # no matching docs -> query absent
+        assert set(by_q["q4"]) == {1}  # NULL term ignored, 'hash' matches
+
+    def test_score_empty_terms_raises(self, spark, bm25_docs):
+        from tdigest_spark.operators.scoring import bm25_score
+
+        with pytest.raises(ValueError):
+            bm25_score(bm25_docs, [])
