@@ -38,6 +38,8 @@ from typing import TYPE_CHECKING
 
 import numpy as np
 
+from .pdkeys import emit_key_column, unhelp_key, with_string_key_helpers
+
 if TYPE_CHECKING:  # pyspark deferred so `import tdigest_spark` stays NumPy-only
     from pyspark.sql import DataFrame
 
@@ -230,6 +232,8 @@ def fd_sketch_by(
     by = list(by or [])
     cols = [*by, vec_col]
     sdf = df.select(*cols).filter(F.col(vec_col).isNotNull())
+    # lossless integer group keys across the pandas boundary (pdkeys)
+    sdf, helper, group_cols = with_string_key_helpers(sdf, by)
     by_schema = ", ".join(
         f"{c} {df.schema[c].dataType.simpleString()}" for c in by
     )
@@ -244,7 +248,7 @@ def fd_sketch_by(
             if not by:
                 groups = [((), np.arange(len(pdf)))]
             else:
-                gb = pdf.groupby(by, sort=False, dropna=False).indices
+                gb = pdf.groupby(group_cols, sort=False, dropna=False).indices
                 groups = [
                     (g if isinstance(g, tuple) else (g,), idx)
                     for g, idx in gb.items()
@@ -254,15 +258,13 @@ def fd_sketch_by(
                 if sk is None:
                     sk = sketches[g] = FrequentDirections(X.shape[1], ell)
                 sk.add(X[idx])
-        rows = {c: [] for c in by}
-        blobs, ns = [], []
-        for g, sk in sketches.items():
-            for c, v in zip(by, g):
-                rows[c].append(v)
-            blobs.append(sk.serialize())
-            ns.append(sk.n_rows)
-        rows["fd"] = blobs
-        rows["n_rows"] = ns
+        rows = {}
+        for i, c in enumerate(by):
+            rows[c] = emit_key_column(
+                helper, c, [unhelp_key(helper, c, g[i]) for g in sketches]
+            )
+        rows["fd"] = [sk.serialize() for sk in sketches.values()]
+        rows["n_rows"] = [sk.n_rows for sk in sketches.values()]
         yield pd.DataFrame(rows, columns=[*by, "fd", "n_rows"])
 
     partials = sdf.mapInPandas(build, schema=part_schema)

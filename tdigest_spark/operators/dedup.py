@@ -1566,6 +1566,21 @@ def norm_col(a):
     return F.sqrt(dot_col(a, a))
 
 
+def safe_norm(n):
+    """Zero-norm divisor guard — the repo-wide zero-vector cosine
+    contract (see ivf_assign): substitute 1.0 for a 0.0 norm so a zero
+    vector's cosines are exactly 0.0 (the dot is 0) instead of 0/0.
+    Unguarded, the NaN sorts ABOVE every real similarity in Spark's
+    ordering (a zero vector would take rank 1 of every top-k and pass
+    every `>= threshold` near-dup filter, silently deleting its whole
+    block), and under ANSI mode the 0/0 aborts the job outright.
+
+    Apply to a norm column BOUND in its own projection (not a raw
+    norm_col() expression) so the O(dim) fold isn't re-evaluated per
+    branch."""
+    return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+
+
 def embedding_near_dup(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -1575,11 +1590,23 @@ def embedding_near_dup(
 ) -> DataFrame:
     """Cosine near-duplicate pairs, blocked by `block_col` (e.g. a cluster
     or coarse-quantizer id) so the pair space is sum of per-block squares,
-    not global n².  Returns (id_a, id_b, cosine)."""
+    not global n².  Returns (id_a, id_b, cosine).
+
+    Zero-norm vectors follow the repo-wide contract (`safe_norm`): their
+    cosine against anything is exactly 0.0, so they never pair — without
+    the guard the 0/0 NaN compares >= threshold in Spark's NaN ordering
+    and a single zero embedding would mark its ENTIRE block as its
+    near-dups (mass false deletion through semantic_dedup's keep rule),
+    or abort the job under ANSI mode."""
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
-    base = emb.select(*cols).withColumn("nrm", norm_col(F.col("v")))
+    base = (
+        emb.select(*cols)
+        .withColumn("__nr", norm_col(F.col("v")))
+        .withColumn("nrm", safe_norm(F.col("__nr")))
+        .drop("__nr")
+    )
     join_keys = ["blk"] if block_col else []
     a = base.select(
         *([F.col("blk")] if block_col else []),

@@ -44,6 +44,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..core import MergingDigest
+from ..pdkeys import emit_key_column, unhelp_key, with_string_key_helpers
 from ..scale import get_scale
 
 _VALUE = "__td_value"
@@ -165,8 +166,6 @@ def build_partials_grouped(
     At real scale input splits outnumber cores, so leave it None: the plan
     stays exchange-free.
     """
-    from pyspark.sql import types as _T
-
     keys = list(by)
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     sdf = df.select(
@@ -183,30 +182,13 @@ def build_partials_grouped(
     out_schema = ", ".join(
         x for x in (key_schema, f"{_SALT} int", DIGEST_FIELDS) if x
     )
-    # integer key columns group on lossless STRING helpers: an int64
-    # batch with one NULL floats in pandas, rounding keys above 2^53
-    # (hash-derived bigints) onto each other.  Spark's long->string cast
-    # is plain decimal == Python str(int), so the round trip is exact.
-    int_types = (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType)
-    ftypes = {f.name: f.dataType for f in sdf.schema.fields}
-    helper = {
-        k: f"__gk_{i}"
-        for i, k in enumerate(keys)
-        if isinstance(ftypes.get(k), int_types)
-    }
-    if helper:
-        sdf = sdf.select(
-            "*", *[F.col(k).cast("string").alias(h) for k, h in helper.items()]
-        )
-    group_cols = [helper.get(k, k) for k in keys]
+    # integer key columns group on lossless STRING helpers and come back
+    # as nullable Int64 — see pdkeys module docstring for the two ways
+    # pandas corrupts raw int64 keys
+    sdf, helper, group_cols = with_string_key_helpers(sdf, keys)
 
     def _unhelp(k: str, v):
-        # string helper -> original integer value (None/NaN -> None)
-        if k not in helper:
-            return v
-        if v is None or (isinstance(v, float) and np.isnan(v)):
-            return None
-        return int(v)
+        return unhelp_key(helper, k, v)
 
     def build_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         digests: dict[tuple, MergingDigest] = {}
@@ -235,14 +217,7 @@ def build_partials_grouped(
             out = {}
             for i, k in enumerate(keys):
                 vals_k = [_unhelp(k, g[i]) for g in digests]
-                if k in helper:
-                    # nullable Int64, NOT a plain list: pandas would
-                    # float64 an ints+None column at DataFrame
-                    # construction, re-rounding the keys the string
-                    # grouping just preserved
-                    out[k] = pd.array(vals_k, dtype="Int64")
-                else:
-                    out[k] = vals_k
+                out[k] = emit_key_column(helper, k, vals_k)
             out[_SALT] = [pid] * len(digests)
             out["digest"] = [d.to_bytes() for d in digests.values()]
             out["n_rows"] = [rows[g] for g in digests]
@@ -321,6 +296,8 @@ def build_partials_multi(
     if min_parallelism and sdf.rdd.getNumPartitions() < min_parallelism:
         sdf = sdf.repartition(min_parallelism)
     sdf = sdf.withColumn("__pid", F.spark_partition_id())
+    # lossless integer group keys across the pandas boundary (pdkeys)
+    sdf, helper, group_cols = with_string_key_helpers(sdf, keys)
 
     key_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
@@ -361,10 +338,17 @@ def build_partials_multi(
             if not keys:
                 feed((), pdf)
             else:
-                for g, idx in pdf.groupby(keys, sort=False, dropna=False).indices.items():
+                for g, idx in pdf.groupby(
+                    group_cols, sort=False, dropna=False
+                ).indices.items():
                     feed(g if isinstance(g, tuple) else (g,), pdf, idx)
         if seen and ds:
-            out = {k: [key[i] for key in ds] for i, k in enumerate(keys)}
+            out = {
+                k: emit_key_column(
+                    helper, k, [unhelp_key(helper, k, key[i]) for key in ds]
+                )
+                for i, k in enumerate(keys)
+            }
             out["col"] = [key[-1] for key in ds]
             out[_SALT] = [pid] * len(ds)
             out["digest"] = [d.to_bytes() for d in ds.values()]

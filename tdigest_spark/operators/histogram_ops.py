@@ -20,6 +20,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from ..pdkeys import emit_key_column, unhelp_key, with_string_key_helpers
+
 from ..histogram import LogHistogram
 
 _VALUE = "__lh_value"
@@ -37,6 +39,8 @@ def histogram_by(
     keys = list(by)
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     sdf = df.select(*[F.col(k) for k in keys], value.cast("double").alias(_VALUE))
+    # lossless integer group keys across the pandas boundary (pdkeys)
+    sdf, helper, group_cols = with_string_key_helpers(sdf, keys)
 
     key_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
@@ -70,7 +74,7 @@ def histogram_by(
                 grp_iter = [
                     (g if isinstance(g, tuple) else (g,), idx)
                     for g, idx in pdf.groupby(
-                        keys, sort=False, dropna=False
+                        group_cols, sort=False, dropna=False
                     ).indices.items()
                 ]
             for g, idx in grp_iter:
@@ -84,7 +88,12 @@ def histogram_by(
                     h.add(v)
                     rows[g] += int(v.size)
         if hists:
-            out = {k: [g[i] for g in hists] for i, k in enumerate(keys)}
+            out = {
+                k: emit_key_column(
+                    helper, k, [unhelp_key(helper, k, g[i]) for g in hists]
+                )
+                for i, k in enumerate(keys)
+            }
             out["counts"] = [h.counts.tolist() for h in hists.values()]
             out["n_rows"] = [rows[g] for g in hists]
             yield pd.DataFrame(out)

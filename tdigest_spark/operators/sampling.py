@@ -84,10 +84,19 @@ def deterministic_fixed_sample(
     partitioning/engine, and monotone under corpus growth in the
     reservoir sense (a new row evicts at most one old member).  Plan:
     per-partition top-k then a single k-row merge (Spark's TakeOrdered),
-    no full sort, no shuffle of non-candidates."""
+    no full sort, no shuffle of non-candidates.
+
+    The order carries the id as tie-break: at 10^9+ ids, 52-bit hash
+    collisions are expected (~n²/2^53 pairs), and a colliding pair
+    straddling the k boundary would otherwise be resolved by TakeOrdered
+    partition-merge order — i.e. by partitioning, the exact
+    nondeterminism this operator exists to avoid."""
     u = _unit_hash(F.col(id_col), salt)
     return (
-        df.withColumn("__u", u).orderBy("__u").limit(int(k)).drop("__u")
+        df.withColumn("__u", u)
+        .orderBy("__u", id_col)
+        .limit(int(k))
+        .drop("__u")
     )
 
 
@@ -183,7 +192,8 @@ def pack_sequences(
     sort + first-fit over a pruned active-bin list — bins that cannot
     fit the smallest remaining document close forever).  Documents
     longer than `budget` get a bin of their own (pack_pos 0) — callers
-    that truncate should chunk first (text.chunk_tokens).
+    that truncate should chunk first (text.chunk_tokens).  NULL lengths
+    count as 0 (packed, no budget consumed), like `freeze_to_budget`.
 
     Not SQL-expressible (greedy loop), so there is no driver oracle;
     the pytest suite pins assignment totality, capacity, determinism
@@ -256,7 +266,13 @@ def pack_sequences(
         )
 
     return (
-        df.select(F.col(id_col), F.col(len_col).cast("long").alias(len_col))
+        # NULL lengths count as 0 (the doc is packed, occupies no
+        # budget), mirroring freeze_to_budget — a raw NULL would arrive
+        # as NaN pandas-side and crash int() mid-task
+        df.select(
+            F.col(id_col),
+            F.coalesce(F.col(len_col).cast("long"), F.lit(0)).alias(len_col),
+        )
         .withColumn("__bk", bucket)
         .groupBy("__bk")
         .applyInPandas(_pack, out_schema)

@@ -29,7 +29,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .dedup import dot_col, norm_col
+from .dedup import dot_col, norm_col, safe_norm
 
 
 def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
@@ -81,11 +81,11 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-    ).withColumn("qn", norm_col(F.col("qv")))
+    ).withColumn("__qnr", norm_col(F.col("qv"))).withColumn("qn", safe_norm(F.col("__qnr"))).drop("__qnr")
     c = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-    ).withColumn("cn", norm_col(F.col("cv")))
+    ).withColumn("__cnr", norm_col(F.col("cv"))).withColumn("cn", safe_norm(F.col("__cnr"))).drop("__cnr")
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -137,12 +137,12 @@ def lsh_cosine_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         lsh_bucket_col(vec_col, planes).alias("bucket"),
-    ).withColumn("cn", norm_col(F.col("cv")))
+    ).withColumn("__cnr", norm_col(F.col("cv"))).withColumn("cn", safe_norm(F.col("__cnr"))).drop("__cnr")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         lsh_bucket_col(vec_col, planes).alias("bucket"),
-    ).withColumn("qn", norm_col(F.col("qv")))
+    ).withColumn("__qnr", norm_col(F.col("qv"))).withColumn("qn", safe_norm(F.col("__qnr"))).drop("__qnr")
     if n_probes > 1:
         own = F.col("bucket")
         probe_exprs = [own]
@@ -423,17 +423,17 @@ def ivf_topk(
     ~nprobe/n_cells of brute force."""
     cents = centroids.select(
         F.col("centroid_id").alias("cid"), F.col("centroid").alias("cv")
-    ).withColumn("cn", norm_col(F.col("cv")))
+    ).withColumn("__cnr", norm_col(F.col("cv"))).withColumn("cn", safe_norm(F.col("__cnr"))).drop("__cnr")
 
     corpus = ivf_assign(emb, centroids, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nv"),
         F.col("ivf_cell").alias("cell"),
-    ).withColumn("nn", norm_col(F.col("nv")))
+    ).withColumn("__nnr", norm_col(F.col("nv"))).withColumn("nn", safe_norm(F.col("__nnr"))).drop("__nnr")
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("qn", norm_col(F.col("qv")))
+    ).withColumn("__qnr", norm_col(F.col("qv"))).withColumn("qn", safe_norm(F.col("__qnr"))).drop("__qnr")
     scored_cells = q.join(F.broadcast(cents)).withColumn(
         "__sim", dot_col("qv", "cv") / (F.col("qn") * F.col("cn"))
     )
@@ -1116,10 +1116,10 @@ def ivf_pq_topk(
 
     cents = centroids.select(
         F.col("centroid_id").alias("cid"), F.col("centroid").alias("cv")
-    ).withColumn("cn", norm_col(F.col("cv")))
+    ).withColumn("__cnr", norm_col(F.col("cv"))).withColumn("cn", safe_norm(F.col("__cnr"))).drop("__cnr")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("qn", norm_col(F.col("qv")))
+    ).withColumn("__qnr", norm_col(F.col("qv"))).withColumn("qn", safe_norm(F.col("__qnr"))).drop("__qnr")
     scored_cells = q.join(F.broadcast(cents)).withColumn(
         "__sim", dot_col("qv", "cv") / (F.col("qn") * F.col("cn"))
     )

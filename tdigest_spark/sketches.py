@@ -28,6 +28,8 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .pdkeys import emit_key_column, unhelp_key, with_string_key_helpers
+
 # ------------------------------------------------------------------ hashing
 
 
@@ -450,6 +452,8 @@ def heavy_hitters(
         counters = max(8, int(math.ceil(2.0 / threshold)))
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     sdf = df.select(*keys, value.cast("string").alias("__item"))
+    # lossless integer group keys across the pandas boundary (pdkeys)
+    sdf, helper, group_cols = with_string_key_helpers(sdf, keys)
     if broadcast_candidates is None:
         n_parts = sdf.rdd.getNumPartitions()
         broadcast_candidates = n_parts * counters <= _HH_BROADCAST_MAX_ROWS
@@ -499,20 +503,22 @@ def heavy_hitters(
                 for it, c in pdf["__item"].value_counts(dropna=False).items():
                     insert(s, norm(it), int(c))
                 continue
-            grouped = pdf.groupby(keys, sort=False, dropna=False)["__item"]
+            grouped = pdf.groupby(group_cols, sort=False, dropna=False)["__item"]
             vcs = grouped.value_counts(dropna=False)
             for g, vc in vcs.groupby(level=list(range(len(keys))), dropna=False):
                 g = g if isinstance(g, tuple) else (g,)
                 s = summaries.setdefault(tuple(norm(x) for x in g), {})
                 for idx_key, c in vc.items():
                     insert(s, norm(idx_key[-1]), int(c))
-        rows = {k: [] for k in keys}
-        rows["__item"] = []
+        key_lists: dict[str, list] = {k: [] for k in keys}
+        items = []
         for g, s in summaries.items():
             for it in s:
                 for i, k in enumerate(keys):
-                    rows[k].append(g[i])
-                rows["__item"].append(it)
+                    key_lists[k].append(unhelp_key(helper, k, g[i]))
+                items.append(it)
+        rows = {k: emit_key_column(helper, k, key_lists[k]) for k in keys}
+        rows["__item"] = items
         yield _pd.DataFrame(rows)
 
     candidates = sdf.mapInPandas(mg_partition, schema=cand_schema).distinct()

@@ -12,6 +12,11 @@ The manifest lands as ``_manifest.json`` inside the output directory
 (next to parquet's own ``_SUCCESS``), written AFTER the data commit so
 its presence certifies a complete, counted write — a cheap resume /
 quality gate for downstream stages (`read_manifest`).
+
+Sidecar IO goes through the Hadoop FileSystem API, not builtin
+open()/os.path: the output may be hdfs:// or s3a://, where a local-only
+write would crash AFTER the data commit (a certified-incomplete output)
+and a local-only read would declare every remote manifest missing.
 """
 
 from __future__ import annotations
@@ -73,21 +78,60 @@ def write_observed(
         k: (v if not hasattr(v, "isoformat") else v.isoformat())
         for k, v in obs.get.items()
     }
-    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
-        json.dump(got, f, indent=1, sort_keys=True, default=str)
+    payload = json.dumps(got, indent=1, sort_keys=True, default=str)
+    _fs_write_bytes(
+        df.sparkSession, f"{path.rstrip('/')}/{MANIFEST_NAME}",
+        payload.encode("utf-8"),
+    )
     return got
 
 
-def read_manifest(path: str) -> dict | None:
+def _fs_path(spark: SparkSession, path: str):
+    jp = spark._jvm.org.apache.hadoop.fs.Path(path)  # type: ignore[union-attr]
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
+    return fs, jp
+
+
+def _fs_write_bytes(spark: SparkSession, path: str, data: bytes) -> None:
+    fs, jp = _fs_path(spark, path)
+    stream = fs.create(jp, True)
+    try:
+        stream.write(data)
+    finally:
+        stream.close()
+
+
+def _fs_read_bytes(spark: SparkSession, path: str) -> bytes | None:
+    fs, jp = _fs_path(spark, path)
+    if not fs.exists(jp):
+        return None
+    stream = fs.open(jp)
+    try:
+        return bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)  # type: ignore[union-attr]
+        )
+    finally:
+        stream.close()
+
+
+def read_manifest(path: str, spark: SparkSession | None = None) -> dict | None:
     """Load the manifest an observed write left at `path`, or None when
     the directory was written without one (or the write never
     completed — the manifest is written after the data commit, so its
-    absence is itself the signal)."""
-    p = os.path.join(path, MANIFEST_NAME)
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return json.load(f)
+    absence is itself the signal).
+
+    Goes through the Hadoop FS of the active session so hdfs://s3a://
+    outputs resolve; with no session (pure-local tooling) falls back to
+    builtin open()."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        p = os.path.join(path, MANIFEST_NAME)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+    raw = _fs_read_bytes(spark, f"{path.rstrip('/')}/{MANIFEST_NAME}")
+    return None if raw is None else json.loads(raw.decode("utf-8"))
 
 
 def assert_manifest(
@@ -95,7 +139,7 @@ def assert_manifest(
 ) -> dict:
     """Downstream-stage gate: the manifest must exist and certify at
     least `min_rows` rows.  Raises ValueError otherwise."""
-    m = read_manifest(path)
+    m = read_manifest(path, spark)
     if m is None:
         raise ValueError(f"no manifest at {path} — incomplete write?")
     if int(m.get("rows", 0)) < min_rows:

@@ -630,7 +630,12 @@ def streaming_semantic_dedup(
         from pyspark import StorageLevel
         from pyspark.errors import AnalysisException
 
-        from .operators.dedup import dot_col, embedding_near_dup, norm_col
+        from .operators.dedup import (
+            dot_col,
+            embedding_near_dup,
+            norm_col,
+            safe_norm,
+        )
         from .operators.similarity import ivf_assign
 
         spark = batch_df.sparkSession
@@ -663,8 +668,8 @@ def streaming_semantic_dedup(
 
         idx = index.select(
             F.col("ivf_cell"), F.col(vec_col).alias("__iv")
-        ).withColumn("__in", norm_col(F.col("__iv")))
-        probe = pairable.withColumn("__bn", norm_col(F.col(vec_col)))
+        ).withColumn("__inr", norm_col(F.col("__iv"))).withColumn("__in", safe_norm(F.col("__inr"))).drop("__inr")
+        probe = pairable.withColumn("__bnr", norm_col(F.col(vec_col))).withColumn("__bn", safe_norm(F.col("__bnr"))).drop("__bnr")
         vs_index = (
             probe.join(idx, "ivf_cell")
             .filter(

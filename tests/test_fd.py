@@ -151,3 +151,20 @@ def test_fd_drift_same_vs_rotated():
     rot = fd_drift(ska, skc, k=5)
     assert rot["spectral_drift"] > 0.5
     assert rot["principal_cosines"].min() < 0.6
+
+
+def test_fd_sketch_by_bigint_keys_with_null_in_batch(spark):
+    """Grouped FD build with float64-colliding bigint keys plus a NULL
+    key in the same batch: per-group sketches must not merge (pdkeys)."""
+    from tdigest_spark.fd import fd_sketch_by
+
+    big = 1 << 53
+    rows = [
+        (big, [1.0, 0.0]),
+        (big + 1, [0.0, 1.0]),
+        (big + 1, [0.0, 2.0]),
+        (None, [3.0, 3.0]),
+    ]
+    df = spark.createDataFrame(rows, "g long, v array<double>").coalesce(1)
+    out = {r["g"]: r["n_rows"] for r in fd_sketch_by(df, "v", by=["g"], ell=4).collect()}
+    assert out == {big: 1, big + 1: 2, None: 1}

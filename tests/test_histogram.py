@@ -162,3 +162,16 @@ def test_golden_log_fit_csv():
 
     ours = np.abs(approx_log2(x) - true_log2)
     assert ours.max() <= 0.01 < lower_bound          # pin 3
+
+
+def test_histogram_by_bigint_keys_with_null_in_batch(spark):
+    """Grouped histogram with float64-colliding bigint keys plus a NULL
+    key in the same batch: groups must stay distinct (pdkeys)."""
+    from tdigest_spark.operators.histogram_ops import histogram_by
+
+    big = 1 << 53
+    rows = [(big, 1.0), (big + 1, 2.0), (big + 1, 3.0), (None, 4.0)]
+    df = spark.createDataFrame(rows, "g long, v double").coalesce(1)
+    out = {r["g"]: r["n_rows"] for r in
+           histogram_by(df, "v", 0.01, 10.0, by=["g"]).collect()}
+    assert out == {big: 1, big + 1: 2, None: 1}

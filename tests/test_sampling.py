@@ -423,3 +423,32 @@ def test_cluster_balanced_sample_caps_and_invariance(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
     # narrow output: ids + cell + rank only
     assert set(out[0].asDict()) == {"vec_id", "cell", "rk"}
+
+
+def test_deterministic_fixed_sample_boundary_tiebreak(spark):
+    """The k-boundary order is (hash, id): forcing identical hash keys
+    (same id string content is impossible, so simulate via a salt where
+    two ids collide is impractical — instead assert the plan-level
+    contract: two runs over different partitionings pick the identical
+    set, and the sort key includes the id)."""
+    from tdigest_spark.operators.sampling import deterministic_fixed_sample
+
+    rows = [(i,) for i in range(200)]
+    a = spark.createDataFrame(rows, "doc_id long").repartition(7)
+    b = spark.createDataFrame(rows, "doc_id long").coalesce(1)
+    ka = sorted(r["doc_id"] for r in deterministic_fixed_sample(a, "doc_id", 23).collect())
+    kb = sorted(r["doc_id"] for r in deterministic_fixed_sample(b, "doc_id", 23).collect())
+    assert ka == kb and len(ka) == 23
+
+
+def test_pack_sequences_null_length_counts_as_zero(spark):
+    """NULL len_col must not crash the packer: the row is packed with
+    length 0 and consumes no budget."""
+    from tdigest_spark.operators.sampling import pack_sequences
+
+    rows = [(1, 5), (2, None), (3, 7), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = pack_sequences(df, "doc_id", "n_tok", budget=8, n_buckets=1)
+    got = {r["doc_id"]: (r["pack_id"], r["n_tok"]) for r in out.collect()}
+    assert set(got) == {1, 2, 3, 4}          # totality: every row packed
+    assert got[2][1] == 0 and got[4][1] == 0  # NULL -> length 0

@@ -838,3 +838,94 @@ def test_semantic_contamination_numpy_lane_validation(spark):
         semantic_contamination(corpus, empty, lane="numpy")
     with _pt.raises(ValueError, match="unknown lane"):
         semantic_contamination(corpus, corpus.withColumnRenamed("vec_id", "bench_id"), lane="bogus")
+
+
+# -------------------------------------------------------- zero-norm contract
+
+
+class TestZeroNormContract:
+    """A zero embedding must score cosine exactly 0.0 everywhere (never
+    NaN, which Spark sorts above every real similarity, and never an
+    ANSI 0/0 abort) — the repo-wide `safe_norm` contract."""
+
+    def _emb(self, spark):
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 0.0]),  # zero vector
+            (3, [0.0, 1.0]),
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_cosine_topk_zero_corpus_and_query(self, spark):
+        from tdigest_spark.operators.similarity import cosine_topk
+
+        emb = self._emb(spark)
+        out = cosine_topk(emb, emb, k=3).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], {})[r["neighbor_id"]] = r
+        # zero corpus vector scores exactly 0.0 for every query and never
+        # outranks a strictly-positive neighbor (ties at 0.0 break by id)
+        for qid in (0, 1, 3):
+            assert by_q[qid][2]["cosine"] == 0.0
+            for r in by_q[qid].values():
+                if r["cosine"] > 0.0:
+                    assert r["rank"] < by_q[qid][2]["rank"]
+        # vs query 1 every other neighbor is strictly positive -> last
+        assert by_q[1][2]["rank"] == 3
+        # zero QUERY: all-0.0 scores, deterministic id tie-break ordering
+        zq = sorted(by_q[2].values(), key=lambda r: r["rank"])
+        assert [r["cosine"] for r in zq] == [0.0, 0.0, 0.0]
+        assert [r["neighbor_id"] for r in zq] == [0, 1, 3]
+
+    def test_embedding_near_dup_zero_vector_never_pairs(self, spark):
+        from tdigest_spark.operators.dedup import embedding_near_dup
+
+        emb = self._emb(spark).withColumn("label", F.lit("b"))
+        pairs = embedding_near_dup(
+            emb, "vec_id", "embedding", block_col="label", threshold=0.5
+        ).collect()
+        ids_in_pairs = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+        assert 2 not in ids_in_pairs  # the zero vector pairs with nothing
+        assert any(r["id_a"] == 0 and r["id_b"] == 1 for r in pairs)
+
+    def test_ivf_search_zero_vector_ranks_last(self, spark):
+        from tdigest_spark.operators.similarity import ivf_topk
+
+        emb = self._emb(spark)
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+            "centroid_id int, centroid array<double>",
+        )
+        out = ivf_topk(emb, emb.filter(F.col("vec_id") == 0), cents,
+                       k=4, nprobe=2).collect()
+        zero_rows = [r for r in out if r["neighbor_id"] == 2]
+        assert zero_rows and zero_rows[0]["cosine"] == 0.0
+        # never above a strictly-positive neighbor (orthogonal 0.0 ties
+        # break by id)
+        for r in out:
+            if r["cosine"] > 0.0:
+                assert r["rank"] < zero_rows[0]["rank"]
+
+    def test_semantic_dedup_zero_vectors_dont_mass_delete(self, spark):
+        from tdigest_spark.operators.similarity import semantic_dedup
+
+        # one zero vector sharing a cell with distinct real vectors: the
+        # real vectors must survive (cosine vs zero is 0.0, not NaN)
+        rows = [
+            (0, [0.0, 0.0]),
+            (1, [1.0, 0.0]),
+            (2, [0.70710678, 0.70710678]),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).withColumn("cell", F.lit(7))
+        cents = spark.createDataFrame(
+            [(7, [1.0, 0.0])], "centroid_id int, centroid array<double>"
+        )
+        kept = semantic_dedup(
+            emb, cents, "vec_id", "embedding", threshold=0.9
+        )
+        kept_ids = {r["vec_id"] for r in kept.collect()}
+        assert kept_ids == {0, 1, 2}  # nothing within 0.9 of anything

@@ -330,3 +330,25 @@ def test_hll_countmin_ignore_nulls(spark):
     cm = {r["g"]: r["counts"] for r in SK.countmin_by(df, "v", by=["g"]).collect()}
     assert set(cm) == {"a"}
     assert sum(cm["a"]) == 2 * 4  # 2 non-null rows x depth=4 positions
+
+
+def test_heavy_hitters_bigint_keys_with_null_in_batch(spark):
+    """Grouped heavy hitters with float64-colliding bigint group keys and
+    a NULL-key group in the same batch: the Misra-Gries candidates must
+    carry exact keys or the exact-recount semi-join silently drops those
+    groups (pdkeys)."""
+    from tdigest_spark.sketches import heavy_hitters
+
+    big = 1 << 53
+    rows = (
+        [(big, "x")] * 6 + [(big, "y")]
+        + [(big + 1, "z")] * 5
+        + [(None, "w")] * 4
+    )
+    df = spark.createDataFrame(rows, "g long, item string").coalesce(1)
+    out = heavy_hitters(df, "item", by=["g"], threshold=0.5).collect()
+    got = {(r["g"], r["item"]): r["freq"] for r in out}
+    assert got[(big, "x")] == 6
+    assert got[(big + 1, "z")] == 5
+    assert got[(None, "w")] == 4
+    assert (big, "y") not in got  # below threshold within its group

@@ -529,3 +529,29 @@ def test_percentile_enrich_bigint_keys_with_null_in_batch(spark):
     }
     assert got[1] == 0.25 and got[2] == 0.75   # the big-key group works
     assert got[3] == 0.5 and got[4] == 0.5     # NULL group + neighbor key
+
+
+def test_build_partials_multi_bigint_keys_with_null_in_batch(spark):
+    """build_partials_multi groups pandas-side: bigint keys above 2^53
+    colliding under float64, sharing a batch with a NULL key, must stay
+    distinct groups (the pdkeys string-helper discipline)."""
+    from tdigest_spark.operators.digest import (
+        build_partials_multi, merge_partials,
+    )
+
+    big = 1 << 53  # big and big+1 collide in float64
+    rows = [
+        (big, 1.0, 10.0),
+        (big + 1, 2.0, 20.0),
+        (big + 1, 3.0, 30.0),
+        (None, 4.0, 40.0),
+    ]
+    df = spark.createDataFrame(rows, "g long, a double, b double").coalesce(1)
+    parts = build_partials_multi(df, ["a", "b"], by=["g"])
+    merged = merge_partials(parts, by=["g", "col"])
+    got = {
+        (r["g"], r["col"]): r["n_rows"] for r in merged.collect()
+    }
+    assert got[(big, "a")] == 1 and got[(big + 1, "a")] == 2
+    assert got[(None, "a")] == 1
+    assert got[(big, "b")] == 1 and got[(big + 1, "b")] == 2

@@ -647,3 +647,48 @@ def test_percentile_enrich_streams_against_frozen_digests(spark, tmp_path):
     }
     assert len(streamed) == 60
     assert streamed == batch  # exact float equality, chunking-invariant
+
+
+def test_streaming_semantic_dedup_zero_vector_in_index(spark, tmp_path):
+    """A zero-norm vector in the standing index must not NaN-poison its
+    cell: later batch vectors score cosine exactly 0.0 against it (the
+    safe_norm contract) and survive instead of being dropped forever."""
+    import numpy as np
+
+    src = str(tmp_path / "z_src")
+    index_dir = str(tmp_path / "z_index")
+    output_dir = str(tmp_path / "z_out")
+
+    dim = 4
+    e = np.eye(dim)
+    cents = spark.createDataFrame(
+        [(0, e[0].tolist())], "centroid_id int, centroid array<double>"
+    )
+
+    def write_file(rows):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: the zero vector lands in cell 0 and enters the index
+    write_file([(1, [0.0] * dim)])
+    sdf = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(src)
+    writer = ST.streaming_semantic_dedup(
+        sdf, cents, index_dir, output_dir, threshold=0.9
+    )
+    q = writer.option("checkpointLocation", str(tmp_path / "z_ckpt")).start()
+    try:
+        q.processAllAvailable()
+        # batch 2: a real vector in the same cell — must be KEPT (cosine
+        # vs the zero index vector is 0.0, not NaN >= threshold), plus a
+        # second zero vector — also kept (0.0 < threshold)
+        write_file([(2, e[0].tolist()), (3, [0.0] * dim)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(f"{output_dir}/*__dir")
+    kept = sorted(r["vec_id"] for r in out.collect())
+    assert kept == [1, 2, 3]
