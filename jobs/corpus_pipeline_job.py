@@ -118,6 +118,10 @@ def main() -> None:
         # fail BEFORE the Spark session: the operator rejects k < 2, and
         # hitting that at stage 3.4 would discard an hour of upstream work
         ap.error("--span-dedup-k must be 0 (off) or >= 2")
+    if args.distill_classifier and not args.score:
+        # same argparse-time rule: this used to fire at stage 3.8, after
+        # extract/quality/dedup/decon had already run for hours
+        ap.error("--distill-classifier requires --score")
 
     spark = (
         SparkSession.builder.appName("tdigest-corpus-pipeline")
@@ -418,8 +422,6 @@ def main() -> None:
     #     on the disjoint mod-5==1 holdout, save the model blob beside
     #     the output for downstream corpora.
     if args.distill_classifier:
-        if not args.score:
-            raise SystemExit("--distill-classifier requires --score")
         from tdigest_spark.operators.digest import percentile_enrich
         from tdigest_spark.operators.scoring import (
             apply_hashed_logit,

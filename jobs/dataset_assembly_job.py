@@ -212,8 +212,12 @@ def run_assembly(
     ).collect()[0]
     report["n_packs"] = stats["n_packs"]
     report["tokens_packed"] = stats["tok"]
-    report["pack_fill"] = round(
-        stats["tok"] / float(stats["n_packs"] * pack_budget), 4
+    # an aggressive gate/quota/budget combination can leave zero packs;
+    # emit the (empty) report rather than dying on 0/None at the finish
+    report["pack_fill"] = (
+        round(stats["tok"] / float(stats["n_packs"] * pack_budget), 4)
+        if stats["n_packs"]
+        else 0.0
     )
     mark("pack")
 

@@ -56,8 +56,10 @@ def main() -> None:
                     "(batch=*__dir layout); created if absent")
     ap.add_argument("--output", required=True)
     ap.add_argument("--batch-tag", default=None,
-                    help="index subdirectory tag (default: next integer "
-                    "after the largest existing batch id)")
+                    help="index subdirectory tag (default: a hash of "
+                    "--new-snapshot, so resubmitting the same increment "
+                    "replaces its own batch instead of self-deduping "
+                    "to an empty output)")
     ap.add_argument("--jaccard", type=float, default=0.8)
     ap.add_argument("--n-hashes", type=int, default=8)
     ap.add_argument("--shingle-k", type=int, default=3)
@@ -120,18 +122,55 @@ def main() -> None:
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sig_type = dict(sigs.dtypes)["minhash_sig"]
 
-    from pyspark.errors import AnalysisException
+    # Index discovery goes through the Hadoop FS API (os.listdir would
+    # raise on hdfs://s3a:// index dirs, and swallowing that would
+    # silently skip dedup-vs-index AND reset the batch counter onto an
+    # existing batch).  Non-numeric batch stems (e.g. a hand-seeded
+    # batch=seed__dir per the streaming docstring) are valid index
+    # batches — they are read for dedup but skip id assignment.
+    def _index_dir_names() -> list[str]:
+        jp = spark._jvm.org.apache.hadoop.fs.Path(args.index_dir)
+        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jp):
+            return []
+        return [st.getPath().getName() for st in fs.listStatus(jp)]
 
-    try:
+    batch_names = [
+        d for d in _index_dir_names()
+        if d.startswith("batch=") and d.endswith("__dir")
+    ]
+    existing_ids = []
+    for d in batch_names:
+        stem = d.split("batch=")[1].split("c")[0].split("__")[0]
+        if stem.isdigit():
+            existing_ids.append(int(stem))
+
+    # The batch id is the rerun-idempotence key: the DEFAULT derives it
+    # from the snapshot identity, so resubmitting the same increment
+    # (crash after the index append, operator retry) maps to the SAME
+    # batch — its previously-written signatures are excluded from the
+    # dedup read below (the streaming face's batch_id != current rule)
+    # instead of matching the increment against itself and overwriting
+    # the good output with an empty one.
+    if args.batch_tag is not None:
+        batch_id = int(args.batch_tag)
+    else:
+        import hashlib
+
+        batch_id = int(
+            hashlib.md5(args.new_snapshot.encode()).hexdigest()[:12], 16
+        )
+
+    if batch_names:
         index = spark.read.parquet(f"{args.index_dir}/*__dir")
-        existing_ids = [
-            int(d.split("batch=")[1].split("c")[0].split("__")[0])
-            for d in os.listdir(args.index_dir)
-            if d.startswith("batch=") and d.endswith("__dir")
-        ]
-    except (AnalysisException, FileNotFoundError):
+        if "batch_id" in index.columns:
+            # null-safe: seed batches written without a batch_id column
+            # (or with nulls) must stay in the dedup read
+            index = index.filter(
+                ~F.col("batch_id").eqNullSafe(F.lit(batch_id))
+            )
+    else:
         index = spark.createDataFrame([], f"url string, minhash_sig {sig_type}")
-        existing_ids = []
 
     vs_index = dedup_against_index(
         increment, index.select("url", "minhash_sig"), "text", "url",
@@ -165,11 +204,6 @@ def main() -> None:
     t = time.perf_counter()
     manifest = write_observed(kept, args.output)
     report["manifest_rows"] = manifest["rows"]
-    batch_id = (
-        args.batch_tag
-        if args.batch_tag is not None
-        else str(max(existing_ids, default=-1) + 1)
-    )
     tag = f"batch={int(batch_id):020d}__dir"
     (
         sigs.join(kept.select("url"), "url", "left_semi")

@@ -99,9 +99,17 @@ def main() -> None:
         "word_table_sec": round(t_words, 1),
         "train_sec": round(t_train, 1),
     }
-    os.makedirs(args.out, exist_ok=True)
-    with open(os.path.join(args.out, "report.json"), "w") as fh:
-        json.dump(report, fh, indent=2)
+    # Hadoop FS, not builtin open(): --out may be hdfs://, s3a://, ... —
+    # os.makedirs would create a literal local "./hdfs:/..." dir and the
+    # artifact dir on the cluster store would silently lack its report
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(args.out.rstrip("/") + "/report.json")
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.create(jp, True)
+    try:
+        stream.write(json.dumps(report, indent=2).encode("utf-8"))
+    finally:
+        stream.close()
     print(json.dumps(report))
     spark.stop()
 

@@ -57,14 +57,31 @@ def main() -> None:
     df = spark.read.parquet(args.input)
     if args.value not in df.columns:
         # stage the derived column once; re-staging would rewrite part
-        # files under new names and defeat the split-identity resume
-        staged = args.checkpoint.rstrip("/") + "__staged_value"
-        try:
-            spark.read.parquet(staged).schema
-        except Exception:
-            df.select(F.expr(args.value).cast("double").alias("v")).write.mode(
-                "errorifexists"
-            ).parquet(staged)
+        # files under new names and defeat the split-identity resume.
+        # The staged dir is KEYED BY THE VALUE EXPRESSION (a different
+        # --value must never silently reuse another expression's staged
+        # values), and completeness is the _SUCCESS marker: a kill
+        # mid-staging leaves a dir without it, which the next run
+        # deletes and re-stages instead of resuming over partial data
+        # (or wedging on errorifexists).  All probes go through the
+        # Hadoop FS API so hdfs://s3a:// checkpoints work.
+        import hashlib
+
+        staged = (
+            args.checkpoint.rstrip("/")
+            + "__staged_value_"
+            + hashlib.md5(args.value.encode()).hexdigest()[:8]
+        )
+        jvm = spark._jvm
+        jp = jvm.org.apache.hadoop.fs.Path(staged)
+        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+        done = jvm.org.apache.hadoop.fs.Path(staged + "/_SUCCESS")
+        if fs.exists(jp) and not fs.exists(done):
+            fs.delete(jp, True)  # partial staging from a killed run
+        if not fs.exists(jp):
+            df.select(
+                F.expr(args.value).cast("double").alias("v")
+            ).write.mode("overwrite").parquet(staged)
         input_path, value_col = staged, "v"
     else:
         input_path, value_col = args.input, args.value

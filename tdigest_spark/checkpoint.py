@@ -191,22 +191,32 @@ def checkpointed_build(
     # files share the partition or which run built it.  Trade-off: one
     # very large file = one long task (IO granularity, not memory — the
     # digest streams over Arrow batches in O(delta) space).
-    def _local_size(p: str) -> int:
+    def _file_size(p: str) -> int:
         from urllib.parse import urlparse
 
         u = urlparse(p)
-        if u.scheme not in ("", "file"):
-            return -1
+        if u.scheme in ("", "file"):
+            try:
+                return os.path.getsize(u.path or p)
+            except OSError:
+                return -1
+        # remote fs (hdfs://, s3a://, ...): one getFileStatus per
+        # pending file — without a real size, a file larger than any
+        # fixed fallback bound would SPLIT across partitions, emit two
+        # partial manifest rows under one split_id, and final_digest's
+        # rerun-race dedup would silently drop the second half
         try:
-            return os.path.getsize(u.path or p)
-        except OSError:
+            jp = spark._jvm.org.apache.hadoop.fs.Path(p)  # type: ignore[union-attr]
+            fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
+            return int(fs.getFileStatus(jp).getLen())
+        except Exception:
             return -1
 
-    sizes = [_local_size(f) for f in pending]
+    sizes = [_file_size(f) for f in pending]
     if sizes and all(s >= 0 for s in sizes):
         bound = max(max(sizes) + (4 << 20), 128 << 20)
     else:
-        bound = 8 << 30  # non-local fs: generous whole-file bound
+        bound = 8 << 30  # size unknown: generous whole-file bound
     old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(bound))
     try:
@@ -250,10 +260,22 @@ def final_digest(spark: SparkSession, checkpoint_dir: str) -> MergingDigest:
     seen: set[str] = set()
     out: MergingDigest | None = None
     params: tuple[float, str] | None = None
+    first_sha: dict[str, str] = {}
     for r in rows:
-        if r["split_id"] in seen:  # duplicate append from a rerun race: skip
+        if r["split_id"] in seen:
+            # duplicate append from a rerun race carries IDENTICAL bytes
+            # (the build is deterministic) — skip it.  A DIFFERENT sha
+            # means the split was built in pieces (a file split across
+            # partitions); skipping would silently drop rows.
+            if r["digest_sha"] != first_sha[r["split_id"]]:
+                raise ValueError(
+                    f"conflicting checkpoint records for {r['split_id']}: "
+                    "split was built across partitions (file larger than "
+                    "the whole-file bound?) — rebuild this checkpoint"
+                )
             continue
         seen.add(r["split_id"])
+        first_sha[r["split_id"]] = r["digest_sha"]
         blob = bytes(r["digest"])
         if hashlib.sha256(blob).hexdigest() != r["digest_sha"]:
             raise ValueError(f"corrupt checkpoint record for {r['split_id']}")

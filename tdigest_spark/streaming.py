@@ -428,12 +428,19 @@ def compact_stream_index(
         if m is not None:
             victims.append((int(m.group(1)), int(m.group(2) or 0), d))
     victims.sort()
+    all_parsed = list(victims)
     if keep_last:
         victims = victims[:-keep_last] if keep_last < len(victims) else []
     if len(victims) < 2:
         return 0
     max_id = max(i for i, _, _ in victims)
-    gen = 1 + max(g for _, g, _ in victims)
+    # the generation must clear EVERY existing dir, not just the
+    # victims: after a crash-between-rename-and-delete, the previous
+    # consolidated dir survives alongside its victims, and with
+    # keep_last >= 1 it can fall OUTSIDE the victim set — computing gen
+    # from victims alone would re-produce its exact name and wedge on
+    # the rename (ENOTEMPTY) instead of incrementing past it
+    gen = 1 + max(g for _, g, _ in all_parsed)
     paths = [d for _, _, d in victims]
     out = f"{index_dir}/batch={max_id:020d}c{gen}__dir"
     tmp = f"{index_dir}/__compacting_tmp"

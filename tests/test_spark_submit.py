@@ -169,6 +169,18 @@ def test_incremental_crawl_job_two_months(spark, tmp_path):
     )
     assert out1 == ["u1", "u3"]
 
+    # rerun idempotence: resubmitting the SAME increment must not dedup
+    # against its own previously-appended signatures (that would emit an
+    # empty output over the good one) — the snapshot-derived batch id
+    # self-excludes on the index read
+    r1b = run(m1, None, "out1b")
+    assert r1b["n_emitted"] == 2 == r1b["manifest_rows"]
+    out1b = sorted(
+        r["url"]
+        for r in spark.read.parquet(str(tmp_path / "out1b")).collect()
+    )
+    assert out1b == ["u1", "u3"]
+
     r2 = run(m2, m1, "out2")
     assert r2["diff_counts"] == {"same": 1, "changed": 1, "new": 2, "gone": 1}
     assert r2["n_increment"] == 3               # u3 changed, u9 + u5 new
@@ -181,7 +193,16 @@ def test_incremental_crawl_job_two_months(spark, tmp_path):
 
     idx = spark.read.parquet(f"{index_dir}/*__dir")
     rows = {(r["url"], r["batch_id"]) for r in idx.collect()}
-    assert rows == {("u1", 0), ("u3", 0), ("u3", 1), ("u5", 1)}
+    # batch ids are snapshot-identity hashes (rerun-idempotence keys),
+    # so assert the batch STRUCTURE: month 1 holds {u1, u3}, month 2
+    # {u3, u5}, in two distinct batches
+    by_batch: dict[int, set[str]] = {}
+    for url, bid in rows:
+        by_batch.setdefault(bid, set()).add(url)
+    assert sorted(by_batch.values(), key=sorted) == [
+        {"u1", "u3"},
+        {"u3", "u5"},
+    ]
 
 
 @pytest.mark.slow

@@ -692,3 +692,43 @@ def test_streaming_semantic_dedup_zero_vector_in_index(spark, tmp_path):
     out = spark.read.parquet(f"{output_dir}/*__dir")
     kept = sorted(r["vec_id"] for r in out.collect())
     assert kept == [1, 2, 3]
+
+
+def test_compact_stream_index_recompaction_after_partial_crash(spark, tmp_path):
+    """Crash-between-rename-and-delete leaves the consolidated dir
+    BESIDE its victims; the next compaction with keep_last >= 1 must
+    pick a generation past the survivor (not collide on os.rename) and
+    keep every row visible throughout."""
+    import glob
+
+    idx = str(tmp_path / "crash_idx")
+    # victims 3, 4, 5 ...
+    for b in (3, 4, 5):
+        spark.createDataFrame(
+            [(b * 10 + i, b) for i in range(2)], "doc_id long, batch_id long"
+        ).write.mode("overwrite").parquet(f"{idx}/batch={b:020d}__dir")
+    # ... plus the consolidated dir a crashed compaction already renamed
+    spark.read.parquet(f"{idx}/batch=*__dir").write.mode("overwrite").parquet(
+        f"{idx}/batch={5:020d}c1__dir"
+    )
+
+    rows_before = sorted(
+        set(
+            (r["doc_id"], r["batch_id"])
+            for r in spark.read.parquet(f"{idx}/*__dir").collect()
+        )
+    )
+    # keep_last=1 keeps the c1 survivor OUT of the victim set — the old
+    # victims-only generation computation would regenerate batch=5c1
+    # and wedge on ENOTEMPTY
+    n = ST.compact_stream_index(spark, idx, keep_last=1)
+    assert n == 3
+    dirs = sorted(glob.glob(f"{idx}/batch=*__dir"))
+    assert any(d.endswith("c2__dir") for d in dirs)
+    rows_after = sorted(
+        set(
+            (r["doc_id"], r["batch_id"])
+            for r in spark.read.parquet(f"{idx}/*__dir").collect()
+        )
+    )
+    assert rows_after == rows_before  # EXISTS semantics: no row lost

@@ -56,10 +56,10 @@ def main() -> None:
     n_clusters = max(1, args.rows // 100)
     rng = np.random.default_rng(7)
     centers = rng.standard_normal((n_clusters, dim))
-    X = (
-        np.repeat(centers, args.rows // n_clusters, axis=0)
-        + rng.standard_normal((args.rows, dim)) * 0.25
-    )
+    # tile cluster assignments to EXACTLY args.rows (np.repeat with the
+    # integer quotient breaks on any --rows not divisible by n_clusters)
+    assign = np.arange(args.rows) % n_clusters
+    X = centers[assign] + rng.standard_normal((args.rows, dim)) * 0.25
 
     spark = get_spark(
         master="local[16]", shuffle_partitions=16,
