@@ -726,15 +726,19 @@ def _weighted_average_sorted(x1: float, w1: float, x2: float, w2: float) -> floa
     return max(x1, min(x, x2))
 
 
-def merge_all(digests, compression=None, scale=None) -> MergingDigest:
+def merge_all(
+    digests, compression=None, scale=None, canonical: bool = False
+) -> MergingDigest:
     """Merge an iterable of digests into a fresh one, deterministically.
 
-    The result digest adopts the first digest's parameters unless overridden.
-    While total centroids stay within the buffer bound this is a pure multiset
-    union (associative, order-insensitive after the forced query-time sort);
-    beyond that the caller should fix a canonical order (we sort inputs by
-    their serialized bytes when `canonical=True` semantics are needed).
-    """
+    The result digest adopts the first input's parameters (pre-sort)
+    unless overridden.  While total centroids stay within the buffer
+    bound this is a pure multiset union (associative, order-insensitive
+    after the forced query-time sort); beyond that the merge order
+    matters for byte-determinism — `canonical=True` fixes it by sorting
+    the inputs by their serialized bytes, so any permutation of the same
+    digests merges byte-identically (the distributed paths instead sort
+    by split/salt id, same idea)."""
     digests = list(digests)
     if not digests:
         return MergingDigest(compression or 100.0, scale=scale or K_3)
@@ -742,6 +746,8 @@ def merge_all(digests, compression=None, scale=None) -> MergingDigest:
         compression or digests[0].public_compression,
         scale=scale or digests[0].scale,
     )
+    if canonical:
+        digests = sorted(digests, key=lambda d: d.to_bytes())
     for d in digests:
         out.merge(d)
     return out

@@ -90,7 +90,10 @@ def tdigest_trimmed_mean_udf(
     cache = _digest_cache(digest)
     out = np.full(len(digest), np.nan)
     for i, (b, a, c) in enumerate(zip(digest, q1, q2)):
-        if b is not None:
+        # NULL q1/q2 arrive as NaN: yield NULL like the sibling UDFs
+        # (_apply2's a == a skip) — trimmed_mean(nan, nan) would raise
+        # and abort the whole job
+        if b is not None and a == a and c == c:
             out[i] = cache[bytes(b)].trimmed_mean(float(a), float(c))
     return pd.Series(out)
 

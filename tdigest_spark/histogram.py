@@ -84,10 +84,18 @@ class LogHistogram:
         return np.clip(idx, 0, len(self.counts) - 1)
 
     def add(self, values) -> None:
-        """Vectorized fit! (LogHistogram.jl:66): counts[bucket(v)] += 1."""
+        """Vectorized fit! (LogHistogram.jl:66): counts[bucket(v)] += 1.
+
+        NaN is rejected like `KLL.add` (and like the reference, where
+        the NaN-derived bucket index raises an InexactError): silently
+        accepted, NaN's IEEE exponent (0x7FF) reads as a huge log2 and
+        each NaN would increment the TOP bin, skewing cdf/quantile
+        toward max with no signal."""
         v = np.asarray(values, dtype=np.float64).ravel()
         if v.size == 0:
             return
+        if np.isnan(v).any():
+            raise ValueError("Cannot add NaN to LogHistogram")
         np.add.at(self.counts, self.bucket(v), 1)
 
     def lower_bound(self, k) -> np.ndarray:
@@ -147,6 +155,10 @@ class SignedLogHistogram:
 
     def add(self, values) -> None:
         v = np.asarray(values, dtype=np.float64).ravel()
+        # explicit: NaN fails BOTH sign comparisons and would silently
+        # vanish; reject like LogHistogram.add / KLL.add
+        if np.isnan(v).any():
+            raise ValueError("Cannot add NaN to SignedLogHistogram")
         self.positive.add(v[v >= 0])
         neg = v[v < 0]
         if neg.size:

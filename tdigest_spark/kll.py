@@ -30,6 +30,8 @@ from typing import Iterable, Sequence
 import numpy as np
 import pandas as pd
 
+from .pdkeys import emit_key_column, unhelp_key, with_string_key_helpers
+
 _C = 2.0 / 3.0
 
 
@@ -270,6 +272,8 @@ def kll_by(
 
     if combine == "map":
         mdf = sdf.withColumn("__pid", F.spark_partition_id())
+        # lossless integer group keys across the pandas boundary (pdkeys)
+        mdf, helper, group_cols = with_string_key_helpers(mdf, keys)
 
         def build_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             sks: dict[tuple, KLL] = {}
@@ -281,7 +285,9 @@ def kll_by(
                 vals = pdf["__v"].to_numpy(dtype=np.float64)
                 ok = ~np.isnan(vals)
                 if keys:
-                    idx_by_group = pdf.groupby(keys, sort=False, dropna=False).indices
+                    idx_by_group = pdf.groupby(
+                        group_cols, sort=False, dropna=False
+                    ).indices
                 else:
                     idx_by_group = {(): np.arange(len(pdf))}
                 for g, idx in idx_by_group.items():
@@ -296,7 +302,12 @@ def kll_by(
                         sk.add(v)
                         rows[g] += int(v.size)
             if sks:
-                out = {c: [g[i] for g in sks] for i, c in enumerate(keys)}
+                out = {
+                    c: emit_key_column(
+                        helper, c, [unhelp_key(helper, c, g[i]) for g in sks]
+                    )
+                    for i, c in enumerate(keys)
+                }
                 out["__s"] = [pid] * len(sks)
                 out["kll"] = [sk.to_bytes() for sk in sks.values()]
                 out["n_rows"] = [rows[g] for g in sks]

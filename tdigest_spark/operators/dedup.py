@@ -250,6 +250,18 @@ def lsh_band_keys(
     return res
 
 
+def _rows_per_band(n_hashes: int, bands: int) -> int:
+    """Validated n_hashes/bands: bands > n_hashes makes every band slice
+    EMPTY (every doc shares one md5('') bucket, which the max_bucket
+    guard then drops — the pipeline silently reports zero duplicates),
+    and a non-divisor silently ignores trailing signature lanes."""
+    if bands < 1 or n_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide n_hashes (n_hashes={n_hashes}, bands={bands})"
+        )
+    return n_hashes // bands
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -276,7 +288,7 @@ def lsh_candidate_pairs(
     generation AND `estimated_jaccard_pairs` verification."""
     from pyspark import StorageLevel
 
-    rows_per_band = n_hashes // bands
+    rows_per_band = _rows_per_band(n_hashes, bands)
     if sigs is None:
         sigs = minhash_signatures(
             df, text_col, id_col, n_hashes, shingle_k, hash_fn
@@ -460,7 +472,7 @@ def lsh_incremental_pairs(
     standing corpus is.  (A huge bucket on the NEW side joins a bounded
     index bucket, so it needs no guard of its own.)
     """
-    r = n_hashes // bands
+    r = _rows_per_band(n_hashes, bands)
     nk = lsh_band_keys(new_sigs, id_col, bands, r).select(
         F.col(id_col).alias("new_id"), "band", "band_key"
     )

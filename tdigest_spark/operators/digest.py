@@ -530,6 +530,8 @@ def digest_drift(
     (columns: *by, digest) — e.g. this snapshot's and the previous
     snapshot's checkpointed per-lang sketches.  Groups present in only one
     snapshot are dropped (inner join): drift is defined over common keys.
+    NULL group keys match null-safely — present in both snapshots, the
+    NULL group is monitored like any other.
 
     Returns (by..., cdf_drift); `per_point=True` instead returns the full
     (by..., x, cdf_a, cdf_b, cdf_gap) grid for plotting/inspection.
@@ -547,8 +549,21 @@ def digest_drift(
     by = list(by)
     ca = cdfs_of(a, xs, by=by, value_name="cdf_a")
     cb = cdfs_of(b, xs, by=by, value_name="cdf_b")
+    # null-SAFE group-key equality: a NULL group key populated in BOTH
+    # snapshots is a group like any other (percentile_enrich /
+    # quantile_filter semantics) — a name join would silently drop it,
+    # indistinguishable from the documented one-sided-group drop
+    cbr = cb.select(
+        *[F.col(k).alias(f"__b_{k}") for k in by],
+        F.col("x").alias("__b_x"),
+        "cdf_b",
+    )
+    cond = F.col("x") == F.col("__b_x")
+    for k in by:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__b_{k}"))
     pts = (
-        ca.join(cb, [*by, "x"], "inner")
+        ca.join(cbr, cond, "inner")
+        .drop("__b_x", *[f"__b_{k}" for k in by])
         .withColumn("cdf_gap", F.abs(F.col("cdf_a") - F.col("cdf_b")))
     )
     if per_point:

@@ -50,6 +50,8 @@ def asof_join(
     direction="forward": earliest right row with right.ts >= left.ts.
 
     Unmatched left rows keep NULL payload (LEFT-join semantics).
+    Right rows with NULL `ts_col` are ignored (they cannot be an as-of
+    match); left rows with NULL ts come back unmatched.
     `tolerance_seconds` additionally nulls out matches farther than the
     tolerance from the left timestamp (pandas `tolerance=`).
 
@@ -80,7 +82,11 @@ def asof_join(
     )
     # backward: right rows must sort BEFORE a left row with equal ts so
     # last() sees them (tag 0 < 1); forward mirrors with reversed order.
-    r = right.select(
+    # right rows with NULL ts can never be a legitimate as-of match —
+    # unfiltered they sort FIRST under the ascending window order and
+    # phantom-match every left row before the first real right row
+    # (with the matched-ts column showing NULL as if unmatched)
+    r = right.filter(F.col(ts_col).isNotNull()).select(
         *keys, F.col(ts_col), F.lit(0).alias(_TAG), payload.alias(_PAYLOAD)
     )
     left_cols = left.columns
@@ -210,7 +216,12 @@ def asof_join_global(
     payload = F.struct(
         F.col(ts_col).alias("__ts"), *[F.col(c) for c in right_cols]
     )
-    r = right.select(key, F.lit(0).alias(_TAG), payload.alias(_PAYLOAD))
+    # NULL-ts right rows: same phantom-match hole as asof_join, one
+    # level up (a NULL bucket's summary would sort first in the carry
+    # window and become every early bucket's carry-in payload)
+    r = right.filter(F.col(ts_col).isNotNull()).select(
+        key, F.lit(0).alias(_TAG), payload.alias(_PAYLOAD)
+    )
     left_cols = left.columns
     l = left.select(
         *left_cols,

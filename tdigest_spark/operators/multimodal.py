@@ -104,7 +104,11 @@ def extract_features(
     Column pruning matters: only (id, media) cross the Arrow boundary.
     """
     sdf = df.select(F.col(id_col), F.col(media_col).alias("__media"))
-    out_schema = f"{id_col} long, {FEATURE_SCHEMA}"
+    # the id column passes through with the CALLER'S type (string chunk
+    # ids are as valid as numeric doc ids) — a hardcoded `long` schema
+    # plus int(i) coercion crashed on non-integer ids
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, {FEATURE_SCHEMA}"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -113,17 +117,16 @@ def extract_features(
                     "real media decoding requires PIL/ffmpeg; use decoder='fake' "
                     "or plug a codec here"
                 )
-            ids, ws, hs, frs, mps = [], [], [], [], []
-            for i, blob in zip(pdf[id_col], pdf["__media"]):
+            ws, hs, frs, mps = [], [], [], []
+            for blob in pdf["__media"]:
                 w, h, fr, payload = decode_fake(bytes(blob))
-                ids.append(int(i))
                 ws.append(w)
                 hs.append(h)
                 frs.append(fr)
                 mps.append(float(payload.mean()) if payload.size else float("nan"))
             yield pd.DataFrame(
                 {
-                    id_col: pd.Series(ids, dtype="int64"),
+                    id_col: pdf[id_col].reset_index(drop=True),
                     "width": pd.Series(ws, dtype="int32"),
                     "height": pd.Series(hs, dtype="int32"),
                     "n_frames": pd.Series(frs, dtype="int32"),
@@ -146,13 +149,14 @@ def resize_images(
     FAKE1 blob — demonstrating binary-in/binary-out batch transforms."""
     sdf = df.select(F.col(id_col), F.col(media_col).alias("__media"))
     tw, th = target
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decoder == "strict":
                 raise NotImplementedError("plug a real resize kernel here")
-            ids, blobs = [], []
-            for i, blob in zip(pdf[id_col], pdf["__media"]):
+            blobs = []
+            for blob in pdf["__media"]:
                 w, h, fr, payload = decode_fake(bytes(blob))
                 if fr == 1 and payload.size == w * h:
                     img = payload.reshape(h, w)
@@ -163,17 +167,18 @@ def resize_images(
                     blobs.append(head + small.tobytes())
                 else:
                     blobs.append(bytes(blob))
-                ids.append(int(i))
             yield pd.DataFrame(
                 {
-                    id_col: pd.Series(ids, dtype="int64"),
-                    "width": pd.Series([tw] * len(ids), dtype="int32"),
-                    "height": pd.Series([th] * len(ids), dtype="int32"),
+                    id_col: pdf[id_col].reset_index(drop=True),
+                    "width": pd.Series([tw] * len(blobs), dtype="int32"),
+                    "height": pd.Series([th] * len(blobs), dtype="int32"),
                     "media": blobs,
                 }
             )
 
-    return sdf.mapInPandas(run, schema=f"{id_col} long, width int, height int, media binary")
+    return sdf.mapInPandas(
+        run, schema=f"`{id_col}` {id_type}, width int, height int, media binary"
+    )
 
 
 def sample_frames(
@@ -187,31 +192,36 @@ def sample_frames(
     (id, frame_idx, frame binary) — the explode-shaped batch transform a
     video pipeline needs."""
     sdf = df.select(F.col(id_col), F.col(media_col).alias("__media"))
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decoder == "strict":
                 raise NotImplementedError("plug a real demuxer here")
-            ids, idxs, frames = [], [], []
-            for i, blob in zip(pdf[id_col], pdf["__media"]):
+            pos, idxs, frames = [], [], []
+            for n, blob in enumerate(pdf["__media"]):
                 w, h, fr, payload = decode_fake(bytes(blob))
                 if payload.size != w * h * fr:
                     continue
                 vid = payload.reshape(fr, h, w)
                 for f in range(0, fr, every):
                     head = struct.pack("<4sBIII", MAGIC, KIND_IMAGE, w, h, 1)
-                    ids.append(int(i))
+                    pos.append(n)
                     idxs.append(f)
                     frames.append(head + vid[f].tobytes())
             yield pd.DataFrame(
                 {
-                    id_col: pd.Series(ids, dtype="int64"),
+                    # positional gather keeps the caller's id dtype even
+                    # under the 1:many expansion / malformed-blob drops
+                    id_col: pdf[id_col].iloc[pos].reset_index(drop=True),
                     "frame_idx": pd.Series(idxs, dtype="int32"),
                     "frame": frames,
                 }
             )
 
-    return sdf.mapInPandas(run, schema=f"{id_col} long, frame_idx int, frame binary")
+    return sdf.mapInPandas(
+        run, schema=f"`{id_col}` {id_type}, frame_idx int, frame binary"
+    )
 
 
 def binary_meta(
@@ -292,19 +302,25 @@ def ahash_images(
             "strict decoding needs a real image codec; wire PIL here"
         )
     sdf = df.select(F.col(id_col), F.col(media_col).alias("__media"))
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, hashes = [], []
-            for i, blob in zip(pdf[id_col], pdf["__media"]):
+            pos, hashes = [], []
+            for n, blob in enumerate(pdf["__media"]):
                 hx = ahash64_hex(blob)
                 if hx is None:
                     continue
-                ids.append(int(i))
+                pos.append(n)
                 hashes.append(hx)
-            yield pd.DataFrame({id_col: ids, "ahash": hashes})
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].iloc[pos].reset_index(drop=True),
+                    "ahash": hashes,
+                }
+            )
 
-    return sdf.mapInPandas(run, schema=f"{id_col} long, ahash string")
+    return sdf.mapInPandas(run, schema=f"`{id_col}` {id_type}, ahash string")
 
 
 def ahash_near_pairs(

@@ -93,7 +93,11 @@ def deterministic_fixed_sample(
     nondeterminism this operator exists to avoid."""
     u = _unit_hash(F.col(id_col), salt)
     return (
+        # NULL ids hash to NULL, which ascending sort puts FIRST — they
+        # would fill the whole sample; drop them like every
+        # content-keyed operator in this module
         df.withColumn("__u", u)
+        .filter(F.col("__u").isNotNull())
         .orderBy("__u", id_col)
         .limit(int(k))
         .drop("__u")

@@ -191,6 +191,11 @@ def bigram_nll_bits(
     survive with NULL score.  The model joins are sort-merge on the
     pair key by default; prune + broadcast the model when it fits.
     """
+    if alpha <= 0:
+        raise ValueError(
+            "alpha must be > 0 (add-alpha smoothing; alpha=0 gives "
+            "log2(0) for every OOV bigram)"
+        )
     bigram_counts, prefix_counts, vocab = lm
     spine = df.select(
         F.col(id_col), tokens_col(text_col, delimiter).alias("__t")
@@ -210,13 +215,19 @@ def bigram_nll_bits(
         .join(prefix_counts, ["prefix"], "left")
         .crossJoin(F.broadcast(vocab))
     )
-    p = (F.coalesce(F.col("c_bigram"), F.lit(0)) + F.lit(alpha)).cast(
-        "double"
-    ) / (
-        F.coalesce(F.col("c_prefix"), F.lit(0))
-        + F.lit(alpha) * F.col("v")
+    denom = (
+        F.coalesce(F.col("c_prefix"), F.lit(0)) + F.lit(alpha) * F.col("v")
     ).cast("double")
-    term = F.round(-F.log2(p), term_decimals)
+    p = (
+        F.coalesce(F.col("c_bigram"), F.lit(0)) + F.lit(alpha)
+    ).cast("double") / F.when(denom > 0, denom).otherwise(F.lit(1.0))
+    # denom == 0 only against a DEGENERATE LM (empty training corpus ->
+    # v = 0, OOV prefix): the guard yields a NULL term (log2 path below
+    # sees p from denom=1 -> term finite, so force NULL explicitly) —
+    # unguarded, the 0/0 aborts the job under ANSI mode
+    term = F.when(
+        denom > 0, F.round(-F.log2(p), term_decimals)
+    ).otherwise(F.lit(None).cast("double"))
     scored = (
         e.select(
             F.col(id_col),
@@ -418,17 +429,24 @@ def gumbel_topk(
     oracle all pick the identical sample.  u is uniform on a 2^20 grid
     offset to the cell centers (never 0 or 1); the Gumbel term is
     quantized to `term_decimals` like the weights.  NULL weights
-    (no-evidence docs) never win: they sort after every scored row.
+    (no-evidence docs) are EXCLUDED — without the filter they would
+    backfill ranks whenever k exceeds the scored-row count, diverging
+    from `gumbel_sample_fraction`, which always drops them.
 
     Returns the selected rows: (id_col, weight_col, key_micro, rank).
     Top-k is a TakeOrdered at the driver for small k; for huge k use
     `gumbel_sample_fraction` (digest-thresholded) instead.
     """
     key = _gumbel_key(id_col, weight_col, seed, temperature, term_decimals)
-    ranked = scored.select(
-        F.col(id_col), F.col(weight_col), key.alias("key_micro")
-    ).orderBy(F.desc_nulls_last("key_micro"), F.asc(id_col)).limit(k)
-    w = Window.orderBy(F.desc_nulls_last("key_micro"), F.asc(id_col))
+    ranked = (
+        scored.select(
+            F.col(id_col), F.col(weight_col), key.alias("key_micro")
+        )
+        .filter(F.col("key_micro").isNotNull())
+        .orderBy(F.desc("key_micro"), F.asc(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("key_micro"), F.asc(id_col))
     return ranked.withColumn("rank", F.row_number().over(w).cast("int"))
 
 

@@ -30,6 +30,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import dot_col, norm_col, safe_norm
+from .digest import _BROADCASTS
 
 
 def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
@@ -217,11 +218,13 @@ def ivf_assign(
     NumPy matmul in mapInPandas (not engine-neutral, so not the oracle
     lane).
     """
-    cent_rows = None
-    if centroids.count() <= max_literal_cells:
-        cent_rows = centroids.select(
-            F.col(centroid_id).alias("cid"), F.col(centroid_vec).alias("cv")
-        ).collect()
+    # ONE Spark job answers both "does it fit" and "give me the rows"
+    # (limit(max+1) + collect, the percentile_enrich pattern) — a
+    # separate count() re-executed the whole centroid lineage
+    probe = centroids.select(
+        F.col(centroid_id).alias("cid"), F.col(centroid_vec).alias("cv")
+    ).limit(max_literal_cells + 1).collect()
+    cent_rows = probe if len(probe) <= max_literal_cells else None
 
     if cent_rows:
         v = F.col(vec_col)
@@ -362,7 +365,12 @@ def ivf_refine(
     src = emb.select(vec_col)
 
     for _ in range(max(0, iters)):
-        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        # zero-norm centroid guard (safe_norm contract, NumPy side): a
+        # NaN centroid row would win EVERY argmax (NaN propagates as
+        # max), assigning the whole corpus to the degenerate cell
+        _cnorm = np.linalg.norm(C, axis=1, keepdims=True)
+        _cnorm[_cnorm == 0] = 1.0
+        Cn = C / _cnorm
         bc = spark.sparkContext.broadcast(Cn)
         n_cells, dim = C.shape
 
@@ -793,6 +801,10 @@ def _pq_topk_numpy(
     bc = spark.sparkContext.broadcast(
         [(q, np.asarray(l), c) for q, l, c in probe_units]
     )
+    # the broadcast must outlive the returned frame; register it for the
+    # stage-boundary release (digest.release_broadcasts) instead of
+    # leaking LUT blocks across a long session
+    _BROADCASTS.append(bc)
 
     cols = [id_col, code_col] + ([cell_col] if cell_col else [])
 
@@ -1376,6 +1388,7 @@ def semantic_contamination(
         matn = (mat / norms[:, None]).T.copy()  # (dim, n_bench)
         sc = corpus_emb.sparkSession.sparkContext
         bc = sc.broadcast((bids, matn))
+        _BROADCASTS.append(bc)  # released at stage boundaries (see above)
         id_type = corpus_emb.schema[id_col].dataType
         bench_id_type = bench_emb.schema[bench_id].dataType
         schema = T.StructType(

@@ -94,24 +94,32 @@ def quality_score(
     - alpha_ratio     = alphabetic chars / chars
 
     Ratios are exact rationals of integers so they divide identically in
-    any IEEE engine.
+    any IEEE engine.  Zero-token / zero-char documents (empty or
+    whitespace-only text) get NULL ratios — unguarded, the 0/0 double
+    division ABORTS the whole job under Spark 4's default ANSI mode,
+    so one empty-extraction page would kill a corpus run.
     """
     out = token_stats(df, text_col, stopwords)
     nch = F.length(text_col).cast("long")
     alpha = (
         F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", "")).cast("long")
     )
+    ntok = F.col("n_tokens")
     return (
         out.withColumn("n_chars_text", nch)
         .withColumn(
             "stopword_ratio",
-            (F.col("n_stopwords").cast("double") / F.col("n_tokens")),
+            F.when(ntok > 0, F.col("n_stopwords").cast("double") / ntok),
         )
-        .withColumn("alpha_ratio", alpha.cast("double") / nch)
+        .withColumn(
+            "alpha_ratio", F.when(nch > 0, alpha.cast("double") / nch)
+        )
         .withColumn(
             "mean_token_len",
-            (nch - (F.col("n_tokens") - F.lit(1))).cast("double")
-            / F.col("n_tokens"),
+            F.when(
+                ntok > 0,
+                (nch - (ntok - F.lit(1))).cast("double") / ntok,
+            ),
         )
     )
 
@@ -300,10 +308,13 @@ def repetition_stats(
     with_toks = narrow.withColumn("__rs_toks", tokens_col(text_col))
     base = with_toks.select(
         F.col(id_col),
-        (
+        # zero-token docs (empty/whitespace text) get NULL, not an
+        # ANSI-mode 0/0 job abort
+        F.when(
+            F.size("__rs_toks") > 0,
             F.lit(1.0)
             - F.size(F.array_distinct("__rs_toks")).cast("double")
-            / F.size("__rs_toks")
+            / F.size("__rs_toks"),
         ).alias("__dtr"),
         shingles_from_tokens(F.col("__rs_toks"), 2).alias("__rs_bi"),
     )
@@ -781,7 +792,10 @@ _URL_SCHEME_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 _URL_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)"
 _URL_PORT_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]*:([0-9]+)"
 _URL_PATH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
-_URL_QUERY_RE = "\\?([^#]*)"
+# anchored + lazy so a '?' INSIDE the fragment can't resurrect fragment
+# content as a query ('http://h/p#sec?a=1' has no query): the match must
+# reach the '?' without crossing a '#'
+_URL_QUERY_RE = "^[^#]*?\\?([^#]*)"
 
 
 def url_host(url_col: Column | str) -> Column:

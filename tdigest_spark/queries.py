@@ -1412,12 +1412,15 @@ SELECT doc_id,
        CAST(len(list_filter(toks, tk -> list_contains({sw}, tk))) AS BIGINT)
          AS n_stopwords,
        CAST(length(text) AS BIGINT) AS n_chars_text,
-       CAST(len(list_filter(toks, tk -> list_contains({sw}, tk))) AS DOUBLE)
-         / len(toks) AS stopword_ratio,
-       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-         / length(text) AS alpha_ratio,
-       CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks)
-         AS mean_token_len
+       CASE WHEN len(toks) > 0 THEN
+         CAST(len(list_filter(toks, tk -> list_contains({sw}, tk))) AS DOUBLE)
+           / len(toks) END AS stopword_ratio,
+       CASE WHEN length(text) > 0 THEN
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+           / length(text) END AS alpha_ratio,
+       CASE WHEN len(toks) > 0 THEN
+         CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks)
+         END AS mean_token_len
 FROM t
 """
 
@@ -1468,8 +1471,9 @@ WITH t AS (
   FROM t
 ), m AS (
   SELECT doc_id,
-         1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
-           AS dup_token_ratio,
+         CASE WHEN len(toks) > 0 THEN
+           1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+           END AS dup_token_ratio,
          CAST(list_max(list_transform(list_distinct(bi),
                                       x -> len(list_filter(bi, y -> y = x))))
               AS DOUBLE) / len(bi) AS top_bigram_frac
@@ -1652,7 +1656,7 @@ p AS (
     regexp_extract(url,
       '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]*:([0-9]+)', 1) AS port,
     regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-    regexp_extract(url, '\?([^#]*)', 1) AS query
+    regexp_extract(url, '^[^#]*?\?([^#]*)', 1) AS query
   FROM u
 )
 SELECT doc_id,
@@ -2337,7 +2341,8 @@ keyed AS (
 SELECT doc_id, llr_micro, key_micro,
        CAST(row_number() OVER (ORDER BY key_micro DESC, doc_id ASC) AS INTEGER)
          AS rank
-FROM keyed ORDER BY key_micro DESC, doc_id ASC LIMIT {DSIR_K}
+FROM keyed WHERE key_micro IS NOT NULL
+ORDER BY key_micro DESC, doc_id ASC LIMIT {DSIR_K}
 """
 )
 

@@ -263,12 +263,15 @@ def extract_digest_partials(
     """
     from ..core import MergingDigest
     from ..operators.digest import DIGEST_FIELDS, _SALT
+    from ..pdkeys import emit_key_column, unhelp_key, with_string_key_helpers
     from ..scale import get_scale
 
     keys = list(by)
     sdf = df.select(*keys, F.col(html_col).alias("__html")).withColumn(
         "__pid", F.spark_partition_id()
     )
+    # lossless integer group keys across the pandas boundary (pdkeys)
+    sdf, helper, group_cols = with_string_key_helpers(sdf, keys)
     key_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
         for f in sdf.schema.fields
@@ -290,7 +293,9 @@ def extract_digest_partials(
                 else np.nan
             ).to_numpy(dtype=np.float64)
             ok = ~np.isnan(lens)
-            idx_by_group = pdf.groupby(keys, sort=False, dropna=False).indices
+            idx_by_group = pdf.groupby(
+                group_cols, sort=False, dropna=False
+            ).indices
             for g, idx in idx_by_group.items():
                 g = g if isinstance(g, tuple) else (g,)
                 d = digests.get(g)
@@ -303,7 +308,12 @@ def extract_digest_partials(
                     d.add(v)
                     rows[g] += int(v.size)
         if digests:
-            out = {k: [g[i] for g in digests] for i, k in enumerate(keys)}
+            out = {
+                k: emit_key_column(
+                    helper, k, [unhelp_key(helper, k, g[i]) for g in digests]
+                )
+                for i, k in enumerate(keys)
+            }
             out[_SALT] = [pid] * len(digests)
             out["digest"] = [d.to_bytes() for d in digests.values()]
             out["n_rows"] = [rows[g] for g in digests]

@@ -568,3 +568,29 @@ class TestCdfBatch:
         with pytest.raises(ValueError):
             d.cdf_batch(np.array([np.inf]))
         assert d.cdf_batch(np.array([])).size == 0
+
+
+def test_merge_all_canonical_is_permutation_invariant():
+    """canonical=True sorts inputs by serialized bytes: any permutation
+    of the same digests merges byte-identically, even past the buffer
+    bound where plain merge order matters."""
+    import itertools
+
+    import numpy as np
+
+    from tdigest_spark.core import MergingDigest, merge_all
+
+    rng = np.random.default_rng(3)
+    parts = []
+    for i in range(4):
+        d = MergingDigest(50.0)
+        d.add(rng.normal(i, 1.0, 2000))
+        d.compress()
+        parts.append(d)
+    ref = None
+    for perm in itertools.permutations(range(4)):
+        m = merge_all([parts[i] for i in perm], canonical=True)
+        b = m.to_bytes()
+        if ref is None:
+            ref = b
+        assert b == ref

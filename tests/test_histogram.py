@@ -175,3 +175,20 @@ def test_histogram_by_bigint_keys_with_null_in_batch(spark):
     out = {r["g"]: r["n_rows"] for r in
            histogram_by(df, "v", 0.01, 10.0, by=["g"]).collect()}
     assert out == {big: 1, big + 1: 2, None: 1}
+
+
+def test_histogram_rejects_nan_like_kll():
+    """NaN would silently land in the TOP bin (IEEE exponent 0x7FF reads
+    as a huge log2); both histogram classes reject it like KLL.add, and
+    like the reference where the NaN bucket index is an InexactError."""
+    import numpy as np
+    import pytest
+
+    from tdigest_spark.histogram import LogHistogram, SignedLogHistogram
+
+    h = LogHistogram(0.01, 100.0)
+    with pytest.raises(ValueError, match="NaN"):
+        h.add([1.0, float("nan")])
+    sh = SignedLogHistogram(0.01, 100.0)
+    with pytest.raises(ValueError, match="NaN"):
+        sh.add(np.array([-1.0, float("nan")]))

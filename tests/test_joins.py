@@ -150,3 +150,30 @@ def test_asof_global_bucketed_equals_single_window(spark, frames, direction):
         )
         assert got["y_right"].fillna(-1).tolist() == base["y_right"].fillna(-1).tolist(), (direction, tol)
         assert got["ts_right"].fillna(0).tolist() == base["ts_right"].fillna(0).tolist()
+
+
+def test_asof_join_ignores_null_ts_right_rows(spark):
+    """A right row with NULL timestamp must never match (it used to sort
+    first under the window order and phantom-match every left row before
+    the first real right row) — in both the grouped and global lanes."""
+    from datetime import datetime
+
+    from tdigest_spark.operators.joins import asof_join, asof_join_global
+
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t("2024-01-01 00:00:10")), (2, t("2024-01-01 00:00:20"))],
+        "event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(None, 99.0), (t("2024-01-01 00:00:15"), 42.0)],
+        "ts timestamp, value double",
+    )
+    out = {r["event_id"]: (r["value_right"], r["ts_right"])
+           for r in asof_join(left, right, "ts").collect()}
+    assert out[1] == (None, None)            # before the first REAL right row
+    assert out[2][0] == 42.0                 # matches the real row
+
+    outg = {r["event_id"]: r["value_right"]
+            for r in asof_join_global(left, right, "ts", bucket="1 hour").collect()}
+    assert outg[1] is None and outg[2] == 42.0

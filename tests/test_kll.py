@@ -95,3 +95,16 @@ def test_kll_by_spark(spark):
     assert got["a"]["n_rows"] == 3000 and got["b"]["n_rows"] == 1500
     assert abs(got["a"]["p50"] - 50) < 5
     assert abs(got["b"]["p50"] - 150) < 5
+
+
+def test_kll_by_bigint_keys_with_null_in_batch(spark):
+    """Map-lane grouped KLL with float64-colliding bigint keys plus a
+    NULL key in the same Arrow batch: groups must stay distinct
+    (the pdkeys string-helper discipline)."""
+    from tdigest_spark.kll import kll_by
+
+    big = (1 << 53) + 1
+    rows = [(big, 1.0), (big + 1, 2.0), (big + 1, 3.0), (None, 4.0)]
+    df = spark.createDataFrame(rows, "g long, v double").coalesce(1)
+    out = {r["g"]: r["n_rows"] for r in kll_by(df, "v", by=("g",)).collect()}
+    assert out == {big: 1, big + 1: 2, None: 1}

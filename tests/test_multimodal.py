@@ -144,3 +144,28 @@ def test_ahash_near_dup_images(spark):
         (a, b) for a, b in pairs if a < 1000 and b < 1000
     }
     assert not false_pairs
+
+
+def test_string_ids_pass_through_all_batch_transforms(spark):
+    """The id column keeps the CALLER'S type: string chunk ids must
+    survive extract_features / resize_images / sample_frames /
+    ahash_images (the old hardcoded `long` schema crashed on them)."""
+    rows = [
+        (f"doc-{i}", M.fake_media_bytes(i, M.KIND_IMAGE if i % 2 else M.KIND_VIDEO))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, media binary")
+
+    feats = M.extract_features(df).collect()
+    assert {r["doc_id"] for r in feats} == {f"doc-{i}" for i in range(6)}
+    assert all(isinstance(r["doc_id"], str) for r in feats)
+
+    imgs = df.filter(F.length("media") > 0)
+    resized = M.resize_images(imgs, target=(8, 8)).collect()
+    assert all(isinstance(r["doc_id"], str) for r in resized)
+
+    frames = M.sample_frames(df, every=1).collect()
+    assert frames and all(isinstance(r["doc_id"], str) for r in frames)
+
+    hashed = M.ahash_images(df).collect()
+    assert hashed and all(isinstance(r["doc_id"], str) for r in hashed)

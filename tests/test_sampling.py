@@ -452,3 +452,14 @@ def test_pack_sequences_null_length_counts_as_zero(spark):
     got = {r["doc_id"]: (r["pack_id"], r["n_tok"]) for r in out.collect()}
     assert set(got) == {1, 2, 3, 4}          # totality: every row packed
     assert got[2][1] == 0 and got[4][1] == 0  # NULL -> length 0
+
+
+def test_deterministic_fixed_sample_drops_null_ids(spark):
+    """NULL-id rows hash to NULL and must be excluded — ascending sort
+    would otherwise rank them FIRST and fill the whole sample."""
+    from tdigest_spark.operators.sampling import deterministic_fixed_sample
+
+    rows = [(i,) for i in range(10)] + [(None,)] * 5
+    df = spark.createDataFrame(rows, "doc_id long")
+    got = [r["doc_id"] for r in deterministic_fixed_sample(df, "doc_id", 4).collect()]
+    assert len(got) == 4 and None not in got

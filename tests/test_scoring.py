@@ -621,3 +621,32 @@ class TestBM25:
 
         with pytest.raises(ValueError):
             bm25_score(bm25_docs, [])
+
+
+def test_gumbel_topk_excludes_null_weight_docs(spark):
+    """k larger than the scored-row count must NOT backfill with
+    NULL-weight no-evidence docs (matches gumbel_sample_fraction)."""
+    from tdigest_spark.operators.scoring import gumbel_topk
+
+    rows = [(1, 100), (2, 200), (3, None), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, llr_micro long")
+    got = {r["doc_id"] for r in gumbel_topk(df, k=10).collect()}
+    assert got == {1, 2}
+
+
+def test_bigram_nll_degenerate_lm_and_alpha_guard(spark):
+    """An LM trained on an empty slice (v = 0) scores every doc NULL
+    instead of aborting the job under ANSI mode; alpha <= 0 is rejected
+    up front."""
+    from pyspark.sql import functions as F
+
+    from tdigest_spark.operators.scoring import bigram_nll_bits, train_bigram_lm
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "x y")], "doc_id long, text string"
+    )
+    lm = train_bigram_lm(docs.filter(F.lit(False)))
+    out = {r["doc_id"]: r["nll_bits"] for r in bigram_nll_bits(docs, lm).collect()}
+    assert out == {0: None, 1: None}
+    with pytest.raises(ValueError, match="alpha"):
+        bigram_nll_bits(docs, lm, alpha=0.0)

@@ -332,3 +332,34 @@ def test_chunk_tokens_rejects_bad_params(spark):
         T.chunk_tokens(df, budget=0)
     with pytest.raises(ValueError):
         T.chunk_tokens(df, budget=4, overlap=4)
+
+
+def test_quality_and_repetition_survive_empty_text(spark):
+    """Zero-token / zero-char docs get NULL ratios instead of an
+    ANSI-mode 0/0 job abort (one empty-extraction page must not kill a
+    corpus run)."""
+    from tdigest_spark.operators.text import quality_score, repetition_stats
+
+    rows = [(0, "the cat sat"), (1, ""), (2, "   "), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    q = {
+        r["doc_id"]: (r["stopword_ratio"], r["alpha_ratio"], r["mean_token_len"])
+        for r in quality_score(df).collect()
+    }
+    assert q[0][0] is not None
+    assert q[1] == (None, None, None)
+    assert q[2][0] is None and q[2][2] is None  # whitespace: 0 tokens
+    rep = {r["doc_id"]: r["dup_token_ratio"] for r in repetition_stats(df).collect()}
+    assert rep[0] == 0.0 and rep[1] is None and rep[2] is None
+
+
+def test_url_canonical_fragment_question_mark(spark):
+    """A '?' INSIDE the fragment must not resurrect fragment content as
+    a query string — both URLs canonicalize fragment-free."""
+    from tdigest_spark.operators.text import url_canonical
+
+    rows = [("http://h/path#sec?a=1",), ("http://h/path#sec",), ("http://h/p?a=1#sec",)]
+    df = spark.createDataFrame(rows, "url string")
+    got = [r["c"] for r in df.select(url_canonical("url").alias("c")).collect()]
+    assert got[0] == got[1] == "http://h/path"
+    assert got[2] == "http://h/p?a=1"
