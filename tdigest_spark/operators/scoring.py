@@ -851,6 +851,43 @@ def _eq_lit(term: str):
     return lambda x: x == lit
 
 
+def bm25_stats(
+    df: DataFrame,
+    terms: "list[str]",
+    text_col: str = "text",
+    delimiter: str = " ",
+) -> dict:
+    """Collect BM25 collection statistics for `terms` over a reference
+    corpus — ONE partial-aggregated job, KBs to the driver.  Feed the
+    returned dict to `bm25_score(stats=)` for frozen-snapshot scoring
+    (the streaming face).  Returns {"n_docs", "total_tokens",
+    "df": {term: doc_frequency}}."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    toks = tokens_col(text_col, delimiter)
+    base = df.select(toks.alias("__t"))
+    has = F.col("__t").isNotNull()
+    aggs = [
+        F.count(F.when(has, 1)).cast("long").alias("__nd"),
+        F.sum(F.when(has, F.size("__t")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("__tt"),
+    ]
+    for i, t in enumerate(terms):
+        aggs.append(
+            F.count(F.when(F.array_contains("__t", F.lit(t)), 1))
+            .cast("long")
+            .alias(f"__df{i}")
+        )
+    row = base.agg(*aggs).collect()[0]
+    return {
+        "n_docs": int(row["__nd"]),
+        "total_tokens": int(row["__tt"]),
+        "df": {t: int(row[f"__df{i}"]) for i, t in enumerate(terms)},
+    }
+
+
 def bm25_score(
     df: DataFrame,
     terms: "list[str]",
@@ -860,6 +897,7 @@ def bm25_score(
     b: float = 0.75,
     delimiter: str = " ",
     idf_decimals: int = 6,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Okapi BM25 relevance of every document to ONE literal query.
 
@@ -891,6 +929,14 @@ def bm25_score(
     evidence", like `bigram_nll_bits`); they do not count toward N or
     avgdl.  Duplicate query terms are collapsed (first occurrence kept)
     so a term can't double-score.
+
+    FROZEN mode (`stats=` from `bm25_stats`): the collection statistics
+    come from a reference snapshot instead of the scored frame — the
+    operator then touches only the current rows (no aggregation, no
+    join: pure scan-stage algebra), so it is stateless and runs
+    UNCHANGED on a structured stream, exactly like
+    `percentile_enrich(digests=)`.  Bit-identical to the two-pass lane
+    when the stats match (same integer-valued doubles, same op order).
     """
     if not terms:
         raise ValueError("terms must be non-empty")
@@ -898,30 +944,43 @@ def bm25_score(
     toks = tokens_col(text_col, delimiter)
     base = df.select(F.col(id_col), toks.alias("__t"))
     has = F.col("__t").isNotNull()
-    aggs = [
-        F.count(F.when(has, 1)).cast("long").alias("__nd"),
-        F.sum(F.when(has, F.size("__t")).otherwise(F.lit(0)))
-        .cast("long")
-        .alias("__tt"),
-    ]
-    for i, t in enumerate(terms):
-        aggs.append(
-            F.count(F.when(F.array_contains("__t", F.lit(t)), 1))
+    if stats is None:
+        aggs = [
+            F.count(F.when(has, 1)).cast("long").alias("__nd"),
+            F.sum(F.when(has, F.size("__t")).otherwise(F.lit(0)))
             .cast("long")
-            .alias(f"__df{i}")
-        )
-    stats = base.agg(*aggs)
-    e = base.crossJoin(F.broadcast(stats))
-    nd = F.col("__nd").cast("double")
+            .alias("__tt"),
+        ]
+        for i, t in enumerate(terms):
+            aggs.append(
+                F.count(F.when(F.array_contains("__t", F.lit(t)), 1))
+                .cast("long")
+                .alias(f"__df{i}")
+            )
+        e = base.crossJoin(F.broadcast(base.agg(*aggs)))
+        nd_long = F.col("__nd")
+        tt_long = F.col("__tt")
+        df_longs = [F.col(f"__df{i}") for i in range(len(terms))]
+    else:
+        missing = [t for t in terms if t not in stats["df"]]
+        if missing:
+            raise ValueError(f"stats['df'] missing terms: {missing}")
+        e = base
+        nd_long = F.lit(int(stats["n_docs"])).cast("long")
+        tt_long = F.lit(int(stats["total_tokens"])).cast("long")
+        df_longs = [
+            F.lit(int(stats["df"][t])).cast("long") for t in terms
+        ]
+    nd = nd_long.cast("double")
     # ANSI-safe: an all-NULL-text corpus has __nd == 0; the guard value
     # is never read (every row takes the NULL-text branch below)
-    avgdl = F.when(
-        F.col("__nd") > 0, F.col("__tt").cast("double") / nd
-    ).otherwise(F.lit(1.0))
+    avgdl = F.when(nd_long > 0, tt_long.cast("double") / nd).otherwise(
+        F.lit(1.0)
+    )
     dl = F.size("__t").cast("double")
     score = None
     for i, t in enumerate(terms):
-        dfc = F.col(f"__df{i}").cast("double")
+        dfc = df_longs[i].cast("double")
         idf = F.round(
             F.log((nd - dfc + 0.5) / (dfc + 0.5) + 1.0), idf_decimals
         )

@@ -650,3 +650,64 @@ def test_bigram_nll_degenerate_lm_and_alpha_guard(spark):
     assert out == {0: None, 1: None}
     with pytest.raises(ValueError, match="alpha"):
         bigram_nll_bits(docs, lm, alpha=0.0)
+
+
+class TestBM25Frozen:
+    def test_frozen_stats_bit_identical_to_two_pass(self, spark, bm25_docs):
+        from tdigest_spark.operators.scoring import bm25_score, bm25_stats
+
+        terms = ["merge", "spark", "vector"]
+        st = bm25_stats(bm25_docs, terms)
+        live = {tuple(r) for r in bm25_score(bm25_docs, terms).collect()}
+        frozen = {
+            tuple(r)
+            for r in bm25_score(bm25_docs, terms, stats=st).collect()
+        }
+        assert frozen == live  # same integer stats -> bit-identical
+
+    def test_frozen_plan_is_pure_scan_stage(self, spark, bm25_docs):
+        from tdigest_spark.operators.scoring import bm25_score, bm25_stats
+        from tdigest_spark.plans import explain_str
+
+        st = bm25_stats(bm25_docs, ["spark"])
+        plan = explain_str(bm25_score(bm25_docs, ["spark"], stats=st))
+        assert "Exchange" not in plan and "Join" not in plan
+        assert "MapInPandas" not in plan
+
+    def test_frozen_runs_on_a_stream(self, spark, tmp_path, bm25_docs):
+        """Stateless scan-stage algebra: the frozen scorer applies to a
+        readStream frame unchanged, and per-row results equal batch."""
+        from tdigest_spark.operators.scoring import bm25_score, bm25_stats
+
+        src = str(tmp_path / "bm25_src")
+        bm25_docs.coalesce(1).write.mode("overwrite").parquet(src)
+        st = bm25_stats(bm25_docs, ["merge", "spark"])
+        sdf = spark.readStream.schema("doc_id long, text string").parquet(src)
+        scored = bm25_score(sdf, ["merge", "spark"], stats=st)
+        out = str(tmp_path / "bm25_out")
+        q = (
+            scored.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "bm25_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["doc_id"]: r["bm25"] for r in spark.read.parquet(out).collect()
+        }
+        want = {
+            r["doc_id"]: r["bm25"]
+            for r in bm25_score(bm25_docs, ["merge", "spark"], stats=st).collect()
+        }
+        assert got == want
+
+    def test_frozen_missing_term_raises(self, spark, bm25_docs):
+        from tdigest_spark.operators.scoring import bm25_score
+
+        with pytest.raises(ValueError, match="missing terms"):
+            bm25_score(
+                bm25_docs,
+                ["spark", "vector"],
+                stats={"n_docs": 5, "total_tokens": 20, "df": {"spark": 3}},
+            )
