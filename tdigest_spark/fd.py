@@ -267,7 +267,9 @@ def fd_sketch_by(
         rows["n_rows"] = [sk.n_rows for sk in sketches.values()]
         yield pd.DataFrame(rows, columns=[*by, "fd", "n_rows"])
 
-    partials = sdf.mapInPandas(build, schema=part_schema)
+    partials = sdf.select(*group_cols, vec_col).mapInPandas(
+        build, schema=part_schema
+    )
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         acc = None

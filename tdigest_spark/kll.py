@@ -313,7 +313,9 @@ def kll_by(
                 out["n_rows"] = [rows[g] for g in sks]
                 yield pd.DataFrame(out)
 
-        partials = mdf.mapInPandas(build_partition, schema=part_schema)
+        partials = mdf.select(*group_cols, "__v", "__pid").mapInPandas(
+            build_partition, schema=part_schema
+        )
     else:
         if salt and salt > 1:
             sdf = sdf.withColumn(

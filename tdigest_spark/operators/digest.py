@@ -223,7 +223,12 @@ def build_partials_grouped(
             out["n_rows"] = [rows[g] for g in digests]
             yield pd.DataFrame(out)
 
-    return sdf.mapInPandas(build_partition, schema=out_schema)
+    # ship ONLY what the builder reads: the original integer key
+    # columns ride along as string helpers, so re-sending them over
+    # Arrow would double the key bytes per row
+    return sdf.select(*group_cols, _VALUE, "__pid").mapInPandas(
+        build_partition, schema=out_schema
+    )
 
 
 def build_partials_per_partition(
@@ -355,7 +360,9 @@ def build_partials_multi(
             out["n_rows"] = [ns[key] for key in ds]
             yield pd.DataFrame(out)
 
-    return sdf.mapInPandas(per_partition, schema=out_schema)
+    return sdf.select(*group_cols, *cols, "__pid").mapInPandas(
+        per_partition, schema=out_schema
+    )
 
 
 def digest_profile(

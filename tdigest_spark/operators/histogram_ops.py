@@ -99,7 +99,10 @@ def histogram_by(
             yield pd.DataFrame(out)
 
     # stage 1: per (group, input-partition) partial vectors via mapInPandas
-    partials = sdf.mapInPandas(build_partition, schema=part_schema)
+    # ship only (group helpers, value): see pdkeys note in digest.py
+    partials = sdf.select(*group_cols, _VALUE).mapInPandas(
+        build_partition, schema=part_schema
+    )
 
     # stage 2: JVM-side vector sum via posexplode + re-assembly.  n_rows
     # is counted exactly once per partial (at pos 0) — summing the

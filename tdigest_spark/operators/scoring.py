@@ -1060,10 +1060,13 @@ def bm25_topk(
         F.count(F.lit(1)).cast("long").alias("__nd"),
         F.sum(F.size("__t")).cast("long").alias("__tt"),
     )
+    # distinct over (query, term) PAIRS: array_distinct only dedups
+    # within one row — a query_id spanning multiple rows of `queries`
+    # would otherwise double-count its shared terms in the score fold
     qterms = queries.select(
         F.col(query_col),
         F.explode(F.array_distinct(F.col(terms_col))).alias("__term"),
-    )
+    ).distinct()
     term_table = qterms.select("__term").distinct()
     tf = (
         base.select(

@@ -44,8 +44,19 @@ def with_string_key_helpers(
 
     int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     ftypes = {f.name: f.dataType for f in sdf.schema.fields}
+    taken = set(sdf.columns)
+
+    def _fresh(i: int) -> str:
+        # collision-safe: a data column already named __gk_N would
+        # otherwise duplicate the label and break the pandas groupby
+        name = f"{prefix}{i}"
+        while name in taken:
+            name += "_"
+        taken.add(name)
+        return name
+
     helper = {
-        k: f"{prefix}{i}"
+        k: _fresh(i)
         for i, k in enumerate(keys)
         if isinstance(ftypes.get(k), int_types)
     }

@@ -521,7 +521,11 @@ def heavy_hitters(
         rows["__item"] = items
         yield _pd.DataFrame(rows)
 
-    candidates = sdf.mapInPandas(mg_partition, schema=cand_schema).distinct()
+    candidates = (
+        sdf.select(*group_cols, "__item")
+        .mapInPandas(mg_partition, schema=cand_schema)
+        .distinct()
+    )
 
     # candidate cardinality <= n_partitions x counters; broadcast is right
     # for normal thresholds (hundreds of survivors/partition, KBs), but a

@@ -319,7 +319,9 @@ def extract_digest_partials(
             out["n_rows"] = [rows[g] for g in digests]
             yield pd.DataFrame(out)
 
-    return sdf.mapInPandas(fused, schema=out_schema)
+    return sdf.select(*group_cols, "__html", "__pid").mapInPandas(
+        fused, schema=out_schema
+    )
 
 
 WRAPPER_SUFFIX = "</p></body></html>"  # fixed tail emitted by the generator

@@ -192,3 +192,15 @@ def test_histogram_rejects_nan_like_kll():
     sh = SignedLogHistogram(0.01, 100.0)
     with pytest.raises(ValueError, match="NaN"):
         sh.add(np.array([-1.0, float("nan")]))
+
+
+def test_histogram_by_helper_name_collision(spark):
+    """A data column already named __gk_0 must not collide with the
+    pdkeys string-helper names."""
+    from tdigest_spark.operators.histogram_ops import histogram_by
+
+    rows = [(1, "a", 1.0), (1, "a", 2.0), (2, "b", 3.0)]
+    df = spark.createDataFrame(rows, "g long, __gk_0 string, v double")
+    out = {(r["g"], r["__gk_0"]): r["n_rows"]
+           for r in histogram_by(df, "v", 0.01, 10.0, by=["g", "__gk_0"]).collect()}
+    assert out == {(1, "a"): 2, (2, "b"): 1}

@@ -711,3 +711,21 @@ class TestBM25Frozen:
                 ["spark", "vector"],
                 stats={"n_docs": 5, "total_tokens": 20, "df": {"spark": 3}},
             )
+
+
+def test_bm25_topk_multirow_query_terms_dedup(spark, bm25_docs):
+    """One query_id split across multiple rows must not double-count a
+    term shared between the rows."""
+    from tdigest_spark.operators.scoring import bm25_topk
+
+    one = spark.createDataFrame(
+        [("q1", ["spark", "merge"]), ("q1", ["spark", "vector"])],
+        "query_id string, terms array<string>",
+    )
+    flat = spark.createDataFrame(
+        [("q1", ["spark", "merge", "vector"])],
+        "query_id string, terms array<string>",
+    )
+    a = {r["doc_id"]: r["bm25"] for r in bm25_topk(bm25_docs, one, k=50).collect()}
+    b = {r["doc_id"]: r["bm25"] for r in bm25_topk(bm25_docs, flat, k=50).collect()}
+    assert a == b
