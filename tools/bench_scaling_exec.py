@@ -191,6 +191,37 @@ def worker(
                 F.count("*").alias("n"), F.sum("percentile").alias("s")
             ).collect()
             return int(r[0]["n"])
+    elif jobname == "bm25":
+        # frozen-stats BM25 scoring (the keyword data-selection pass):
+        # pure scan-stage JVM algebra — per-term tf array scans against
+        # LITERAL collection stats (the frozen dict is a per-job
+        # constant, hoisted like the enrich digests; on a cluster the
+        # driver computes it once from a reference snapshot).
+        # Embarrassingly parallel per slice; the agg folds every score
+        # so nothing prunes.  The slice self-unions so hi-level walls
+        # clear the >= 15 s floor (see spanroll note).
+        from functools import reduce
+
+        from tdigest_spark.operators.scoring import bm25_score
+
+        bm_terms = ["spark", "merge", "vector", "customer"]
+        bm_stats = {
+            "n_docs": 4_000_000,
+            "total_tokens": 120_000_000,
+            "df": {t: 1_000_000 for t in bm_terms},
+        }
+        bm_union = int(os.environ.get("BM25_UNION", "4"))
+
+        def job() -> int:
+            base = spark.read.parquet(*files).select(
+                F.col("url").alias("doc_id"), "text"
+            )
+            df = reduce(lambda a, b: a.unionAll(b), [base] * bm_union)
+            out = bm25_score(df, bm_terms, stats=bm_stats)
+            r = out.agg(
+                F.count("*").alias("n"), F.sum("bm25").alias("s")
+            ).collect()
+            return int(r[0]["n"])
     elif jobname in ("minhash", "minhashroll"):
         # LSH dedup stage 1: the MinHash signature build (the
         # pipeline-dominant stage in the 4M-doc curation run) — md5 JVM
@@ -313,7 +344,7 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument(
         "--job", default="digest",
-        choices=("digest", "minhash", "minhashroll", "decon", "spanroll", "pqencode", "enrich"),
+        choices=("digest", "minhash", "minhashroll", "decon", "spanroll", "pqencode", "enrich", "bm25"),
         help="digest: grouped t-digest partial build over the _lens table; "
         "minhash: LSH dedup stage-1 signature build over the text corpus; "
         "decon: eval-set n-gram decontamination flags over the text corpus "
@@ -323,7 +354,9 @@ def main() -> None:
         "pqencode: PQ index encode (arrow lane, ksub=256) over the "
         "self-bootstrapping 12.8M-vector corpus; "
         "enrich: frozen-digest per-row percentile scoring over the _lens "
-        "table (the query side of the north metric)",
+        "table (the query side of the north metric); "
+        "bm25: frozen-stats keyword relevance scoring over the text "
+        "corpus (scan-stage literal lane; slice self-unions via $BM25_UNION)",
     )
     ap.add_argument(
         "--files-cap", type=int, default=0,
@@ -344,7 +377,7 @@ def main() -> None:
     if args.job == "pqencode":
         ensure_vec_corpus()
         files = glob.glob(os.path.join(VECS, "*.parquet"))
-    elif args.job in ("minhash", "minhashroll", "decon", "spanroll"):
+    elif args.job in ("minhash", "minhashroll", "decon", "spanroll", "bm25"):
         files = glob.glob(os.path.join(CORPUS, "*", "*.parquet"))
         if not files:
             raise SystemExit(f"no corpus at {CORPUS}; run bench_scaling.py once")
