@@ -145,24 +145,50 @@ def main() -> None:
         if stem.isdigit():
             existing_ids.append(int(stem))
 
-    # The batch id is the rerun-idempotence key: the DEFAULT derives it
-    # from the snapshot identity, so resubmitting the same increment
-    # (crash after the index append, operator retry) maps to the SAME
-    # batch — its previously-written signatures are excluded from the
-    # dedup read below (the streaming face's batch_id != current rule)
-    # instead of matching the increment against itself and overwriting
-    # the good output with an empty one.
+    # The batch id is the rerun-idempotence key AND must sort in
+    # increment order: compact_stream_index's keep_last treats the
+    # HIGHEST ids as most recent, so a pure content hash would make
+    # compaction retain arbitrary batches.  Layout: monotone sequence
+    # number in the high 16 bits above a 48-bit snapshot-identity hash.
+    # Resubmitting the same increment (crash after the index append,
+    # operator retry) finds its own hash suffix among the existing ids
+    # and reuses the FULL id — its previously-written signatures are
+    # excluded from the dedup read below (the streaming face's
+    # batch_id != current rule) instead of matching the increment
+    # against itself and overwriting the good output with an empty one;
+    # a genuinely new increment takes max(existing high parts) + 1.
+    _HASH_BITS = 48
     if args.batch_tag is not None:
         batch_id = int(args.batch_tag)
     else:
         import hashlib
 
-        batch_id = int(
+        suffix = int(
             hashlib.md5(args.new_snapshot.encode()).hexdigest()[:12], 16
         )
+        same_snapshot = [
+            i for i in existing_ids if i % (1 << _HASH_BITS) == suffix
+        ]
+        if same_snapshot:
+            batch_id = max(same_snapshot)
+        else:
+            nxt = 1 + max(
+                (i >> _HASH_BITS for i in existing_ids), default=0
+            )
+            batch_id = (nxt << _HASH_BITS) | suffix
 
-    if batch_names:
-        index = spark.read.parquet(f"{args.index_dir}/*__dir")
+    # Path-level exclusion of the current batch's own directory: the
+    # rerun path must not READ a directory it is about to OVERWRITE —
+    # with only a row-level filter, a cache eviction or executor loss
+    # after the overwrite starts would recompute from a dir mid-delete.
+    # The row-level batch_id filter below still covers rows of this
+    # batch that a compaction folded into a consolidated dir.
+    cur_tag = f"batch={int(batch_id):020d}__dir"
+    read_dirs = [
+        f"{args.index_dir}/{d}" for d in batch_names if d != cur_tag
+    ]
+    if read_dirs:
+        index = spark.read.parquet(*read_dirs)
         if "batch_id" in index.columns:
             # null-safe: seed batches written without a batch_id column
             # (or with nulls) must stay in the dedup read
@@ -204,7 +230,7 @@ def main() -> None:
     t = time.perf_counter()
     manifest = write_observed(kept, args.output)
     report["manifest_rows"] = manifest["rows"]
-    tag = f"batch={int(batch_id):020d}__dir"
+    tag = cur_tag
     (
         sigs.join(kept.select("url"), "url", "left_semi")
         .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))

@@ -1599,10 +1599,17 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     block_col: str | None = "label",
     threshold: float = 0.95,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Cosine near-duplicate pairs, blocked by `block_col` (e.g. a cluster
     or coarse-quantizer id) so the pair space is sum of per-block squares,
     not global n².  Returns (id_a, id_b, cosine).
+
+    `block_col=None` is a global crossJoin — O(n²) pairs, sane only for
+    small probe tables — and therefore requires an explicit
+    `allow_quadratic=True` (raises ValueError otherwise).  For unblocked
+    corpora at scale use `semantic_dedup` (scan-stage cell assignment)
+    instead.
 
     Zero-norm vectors follow the repo-wide contract (`safe_norm`): their
     cosine against anything is exactly 0.0, so they never pair — without
@@ -1610,6 +1617,12 @@ def embedding_near_dup(
     and a single zero embedding would mark its ENTIRE block as its
     near-dups (mass false deletion through semantic_dedup's keep rule),
     or abort the job under ANSI mode."""
+    if not block_col and not allow_quadratic:
+        raise ValueError(
+            "embedding_near_dup(block_col=None) is an all-pairs crossJoin "
+            "(O(n^2)); pass allow_quadratic=True to opt in, or use "
+            "semantic_dedup for unblocked corpora"
+        )
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))

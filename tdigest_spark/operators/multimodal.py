@@ -65,6 +65,32 @@ def decode_fake(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     return w, h, fr, payload
 
 
+def encode_fake(img: np.ndarray) -> bytes:
+    """Inverse of decode_fake for a single grayscale frame (h, w)."""
+    h, w = img.shape
+    head = struct.pack("<4sBIII", MAGIC, KIND_IMAGE, w, h, 1)
+    return head + np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+
+
+#: Decoder contract for every operator below: callable(blob: bytes) ->
+#: (width, height, n_frames, payload uint8 ndarray of w*h*n_frames).
+#: A PIL/ffmpeg-equipped cluster injects its real codec as this callable
+#: (it is cloudpickled into the Arrow-batch closure like any other UDF
+#: capture) without touching library code; CI keeps using FAKE1.
+def _resolve_decoder(decoder, what: str):
+    if callable(decoder):
+        return decoder
+    if decoder == "fake":
+        return decode_fake
+    if decoder == "strict":
+        raise NotImplementedError(
+            f"real {what} requires PIL/ffmpeg (absent from this container); "
+            "pass decoder=<callable blob -> (w, h, n_frames, uint8 payload)> "
+            "to plug a codec in, or decoder='fake' for FAKE1 blobs"
+        )
+    raise ValueError(f"decoder must be 'fake', 'strict', or a callable: {decoder!r}")
+
+
 def with_media_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
     """Typed metadata via JVM built-ins only — no decode, no Python:
     magic sniff + header field extraction with substring/conv.  At scale
@@ -94,15 +120,18 @@ def extract_features(
     df: DataFrame,
     media_col: str = "media",
     id_col: str = "doc_id",
-    decoder: str = "fake",
+    decoder="fake",
 ) -> DataFrame:
     """Decode + feature-extract over Arrow batches (`mapInPandas`).
 
     Output: (id_col, width, height, n_frames, mean_pixel).  `decoder=`
     "strict" is the production wiring point for a real codec (PIL etc.)
-    and raises NotImplementedError here; "fake" parses FAKE1 blobs.
+    and raises NotImplementedError; "fake" parses FAKE1 blobs; a
+    CALLABLE with the `_resolve_decoder` contract plugs a real codec in
+    (raises at call time on the driver, not mid-job on an executor).
     Column pruning matters: only (id, media) cross the Arrow boundary.
     """
+    dec = _resolve_decoder(decoder, "media decoding")
     sdf = df.select(F.col(id_col), F.col(media_col).alias("__media"))
     # the id column passes through with the CALLER'S type (string chunk
     # ids are as valid as numeric doc ids) — a hardcoded `long` schema
@@ -112,14 +141,9 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder == "strict":
-                raise NotImplementedError(
-                    "real media decoding requires PIL/ffmpeg; use decoder='fake' "
-                    "or plug a codec here"
-                )
             ws, hs, frs, mps = [], [], [], []
             for blob in pdf["__media"]:
-                w, h, fr, payload = decode_fake(bytes(blob))
+                w, h, fr, payload = dec(bytes(blob))
                 ws.append(w)
                 hs.append(h)
                 frs.append(fr)
@@ -142,29 +166,29 @@ def resize_images(
     media_col: str = "media",
     id_col: str = "doc_id",
     target: tuple[int, int] = (32, 32),
-    decoder: str = "fake",
+    decoder="fake",
+    encoder=encode_fake,
 ) -> DataFrame:
-    """Nearest-neighbor resize of fake images: real Arrow plumbing, fake
-    pixels.  Output (id, width, height, media binary) with a re-encoded
-    FAKE1 blob — demonstrating binary-in/binary-out batch transforms."""
+    """Nearest-neighbor resize: real Arrow plumbing, pluggable pixels.
+    Output (id, width, height, media binary) with a re-encoded blob —
+    the binary-in/binary-out batch transform shape.  `decoder`/`encoder`
+    follow the `_resolve_decoder` contract (encoder: (h, w) uint8 frame
+    -> bytes; default re-encodes FAKE1)."""
+    dec = _resolve_decoder(decoder, "image resize")
     sdf = df.select(F.col(id_col), F.col(media_col).alias("__media"))
     tw, th = target
     id_type = df.schema[id_col].dataType.simpleString()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder == "strict":
-                raise NotImplementedError("plug a real resize kernel here")
             blobs = []
             for blob in pdf["__media"]:
-                w, h, fr, payload = decode_fake(bytes(blob))
+                w, h, fr, payload = dec(bytes(blob))
                 if fr == 1 and payload.size == w * h:
                     img = payload.reshape(h, w)
                     ry = (np.arange(th) * h // th).astype(np.int64)
                     rx = (np.arange(tw) * w // tw).astype(np.int64)
-                    small = img[np.ix_(ry, rx)]
-                    head = struct.pack("<4sBIII", MAGIC, KIND_IMAGE, tw, th, 1)
-                    blobs.append(head + small.tobytes())
+                    blobs.append(encoder(img[np.ix_(ry, rx)]))
                 else:
                     blobs.append(bytes(blob))
             yield pd.DataFrame(
@@ -186,29 +210,29 @@ def sample_frames(
     media_col: str = "media",
     id_col: str = "doc_id",
     every: int = 2,
-    decoder: str = "fake",
+    decoder="fake",
+    encoder=encode_fake,
 ) -> DataFrame:
-    """Frame sampling for fake videos: one output row per sampled frame
+    """Frame sampling for videos: one output row per sampled frame
     (id, frame_idx, frame binary) — the explode-shaped batch transform a
-    video pipeline needs."""
+    video pipeline needs.  `decoder`/`encoder` follow the
+    `_resolve_decoder` contract (a real demuxer plugs in as decoder)."""
+    dec = _resolve_decoder(decoder, "video demuxing")
     sdf = df.select(F.col(id_col), F.col(media_col).alias("__media"))
     id_type = df.schema[id_col].dataType.simpleString()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder == "strict":
-                raise NotImplementedError("plug a real demuxer here")
             pos, idxs, frames = [], [], []
             for n, blob in enumerate(pdf["__media"]):
-                w, h, fr, payload = decode_fake(bytes(blob))
+                w, h, fr, payload = dec(bytes(blob))
                 if payload.size != w * h * fr:
                     continue
                 vid = payload.reshape(fr, h, w)
                 for f in range(0, fr, every):
-                    head = struct.pack("<4sBIII", MAGIC, KIND_IMAGE, w, h, 1)
                     pos.append(n)
                     idxs.append(f)
-                    frames.append(head + vid[f].tobytes())
+                    frames.append(encoder(vid[f]))
             yield pd.DataFrame(
                 {
                     # positional gather keeps the caller's id dtype even
@@ -237,17 +261,18 @@ def binary_meta(
     )
 
 
-def ahash64_hex(blob: bytes) -> str | None:
-    """Pure-Python aHash of ONE FAKE1 image blob: resize to 8x8 by block
+def ahash64_hex(blob: bytes, dec=decode_fake) -> str | None:
+    """Pure-Python aHash of ONE image blob: resize to 8x8 by block
     mean (integer block edges; edge blocks absorb the remainder),
     threshold at the mean, pack 64 bits as a 16-hex string.  Returns
-    None for malformed/truncated blobs.
+    None for malformed/truncated blobs.  `dec` follows the
+    `_resolve_decoder` contract (default FAKE1).
 
     Shared by `ahash_images` (inside its Arrow batch loop) and by oracle
     generators that need the identical value without a Spark session —
     the hash is a pure function of the blob bytes."""
     try:
-        w, h, _fr, payload = decode_fake(bytes(blob))
+        w, h, _fr, payload = dec(bytes(blob))
     except (ValueError, struct.error):
         return None
     img = payload[: w * h].astype(np.float64)
@@ -285,7 +310,7 @@ def ahash_images(
     df: DataFrame,
     media_col: str = "media",
     id_col: str = "doc_id",
-    decoder: str = "fake",
+    decoder="fake",
 ) -> DataFrame:
     """Perceptual average-hash (aHash) per image — see `ahash64_hex` for
     the hash itself; visually-near-identical images land within a few
@@ -295,12 +320,10 @@ def ahash_images(
     NumPy over decoded pixel arrays); everything downstream is JVM:
     the returned (id, ahash) frame plugs straight into
     `dedup.simhash_near_pairs`-style 16-bit-chunk blocking via
-    `ahash_near_pairs`.  `decoder="strict"` is the real-codec wiring
-    point (PIL/ffmpeg absent in this container) and raises."""
-    if decoder == "strict":
-        raise NotImplementedError(
-            "strict decoding needs a real image codec; wire PIL here"
-        )
+    `ahash_near_pairs`.  `decoder` follows the `_resolve_decoder`
+    contract — "strict" raises (real-codec wiring point), a callable
+    plugs a PIL-style decoder in."""
+    dec = _resolve_decoder(decoder, "image decoding")
     sdf = df.select(F.col(id_col), F.col(media_col).alias("__media"))
     id_type = df.schema[id_col].dataType.simpleString()
 
@@ -308,7 +331,7 @@ def ahash_images(
         for pdf in batches:
             pos, hashes = [], []
             for n, blob in enumerate(pdf["__media"]):
-                hx = ahash64_hex(blob)
+                hx = ahash64_hex(blob, dec)
                 if hx is None:
                     continue
                 pos.append(n)

@@ -965,6 +965,24 @@ def bm25_score(
         missing = [t for t in terms if t not in stats["df"]]
         if missing:
             raise ValueError(f"stats['df'] missing terms: {missing}")
+        # consistency: df > n_docs makes the idf log argument
+        # non-positive -> silent NULL scores; fail loudly instead
+        # (mismatched snapshot, e.g. stats from a smaller corpus)
+        if int(stats["n_docs"]) < 0 or int(stats["total_tokens"]) < 0:
+            raise ValueError(
+                f"inconsistent stats: n_docs={stats['n_docs']} "
+                f"total_tokens={stats['total_tokens']} must be >= 0"
+            )
+        over = {
+            t: int(stats["df"][t])
+            for t in terms
+            if int(stats["df"][t]) > int(stats["n_docs"])
+        }
+        if over:
+            raise ValueError(
+                f"inconsistent stats snapshot: df > n_docs="
+                f"{stats['n_docs']} for terms {over}"
+            )
         e = base
         nd_long = F.lit(int(stats["n_docs"])).cast("long")
         tt_long = F.lit(int(stats["total_tokens"])).cast("long")

@@ -1251,7 +1251,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    max_cell: int | None = None,
+    max_cell: int | None = 20_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication"): cluster the embedding
@@ -1290,7 +1290,9 @@ def semantic_dedup(
     counted per cell BEFORE any pair materializes, same philosophy as
     the LSH `max_bucket` guard — and their rows come back keep=True
     (a cell that big is a pathology to handle separately, not a
-    neighborhood to self-join).
+    neighborhood to self-join).  The default cap (20k, the paper's
+    target cell size order) makes the pathology opt-OUT: pass
+    `max_cell=None` only when the quantizer is known to balance.
     """
     assigned = ivf_assign(
         emb.select(F.col(id_col), F.col(vec_col)), centroids, id_col, vec_col

@@ -1274,7 +1274,7 @@ WITH q AS (
   FROM (SELECT vec_id, embedding, unnest(range(1, {GRAM_DIMS + 1})) AS i
         FROM embeddings WHERE embedding IS NOT NULL)
 )
-SELECT a.i AS i, b.i AS j, SUM(a.qv * b.qv) AS g
+SELECT a.i AS i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS g
 FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
 GROUP BY a.i, b.i
 """
@@ -1321,7 +1321,11 @@ pairs AS (
   UNION ALL
   SELECT substr(w, length(w), 1), '</w>', c FROM wc
 ), agg AS (
-  SELECT lhs, rhs, SUM(c) AS cnt FROM pairs GROUP BY lhs, rhs
+  -- CAST: DuckDB sum(BIGINT) yields HUGEINT (int128); a driver that
+  -- fetches via Arrow/pandas mangles int128 (fetchall() does not) —
+  -- this was the round-3 hash_match=false.  Keep every FINAL oracle
+  -- output column at width <= 64 bits (tests/test_oracle_types.py).
+  SELECT lhs, rhs, CAST(SUM(c) AS BIGINT) AS cnt FROM pairs GROUP BY lhs, rhs
 )
 SELECT lhs, rhs, cnt, row_number() OVER (ORDER BY cnt DESC, lhs, rhs) AS rk
 FROM agg QUALIFY rk <= {BPE_TOPK}
@@ -4015,57 +4019,7 @@ WHERE bit_count(xor(('0x' || a.ahash)::UBIGINT,
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "tdigest_quantiles_by_lang": q_tdigest_quantiles_by_lang,
-        "tdigest_cdf_by_lang": q_tdigest_cdf_by_lang,
-        "tdigest_drift_by_lang": q_tdigest_drift_by_lang,
-        "percentile_enrich_docs": q_percentile_enrich_docs,
-        "tdigest_trimmed_mean_by_lang": q_tdigest_trimmed_mean_by_lang,
-        "tdigest_stats_by_lang": q_tdigest_stats_by_lang,
-        "tdigest_events_by_type": q_tdigest_events_by_type,
-        "tdigest_daily_events": q_tdigest_hourly_events,
-        "tdigest_rollup_events": q_tdigest_rollup_events,
-        "tdigest_sql_surface": q_tdigest_sql_surface,
-        "tdigest_agg_sql": q_tdigest_agg_sql,
-        "tdigest_lineitem_global": q_tdigest_lineitem_global,
-        "tdigest_profile_lineitem": q_tdigest_profile_lineitem,
-        "kll_quantiles_by_lang": q_kll_quantiles_by_lang,
-        "kll_rank_check": q_kll_rank_check,
-        "hll_distinct_users": q_hll_distinct_users,
-        "countmin_user_freq": q_countmin_user_freq,
-        "theta_users_setops": q_theta_users_setops,
-        "theta_capacity_est": q_theta_capacity_est,
-        "loghistogram_events": q_loghistogram_events,
-        "lineitem_pricing_summary": q_lineitem_pricing_summary,
-        "orders_by_segment": q_orders_by_segment,
-        "events_last_by_user": q_events_last_by_user,
-        "events_sessions": q_events_sessions,
-        "events_asof_join": q_events_asof_join,
-        "events_range_join": q_events_range_join,
-        "events_asof_global": q_events_asof_global,
-        "heavy_hitter_tokens": q_heavy_hitter_tokens,
-        "doc_split_sample": q_doc_split_sample,
-        "weighted_sample_docs": q_weighted_sample_docs,
-        "mixture_epochs": q_mixture_epochs,
-        "token_budget_freeze": q_token_budget_freeze,
-        "adaptive_quantile_filter": q_adaptive_quantile_filter,
-        "doc_token_stats": q_doc_token_stats,
-        "doc_quality": q_doc_quality,
-        "doc_fingerprint": q_doc_fingerprint,
-        "doc_repetition": q_doc_repetition,
-        "gopher_repetition": q_gopher_repetition,
-        "bpe_token_stats": q_bpe_token_stats,
         "bpe_merge_candidates": q_bpe_merge_candidates,
-        "language_id": q_language_id,
-        "url_normalize": q_url_normalize,
-        "pii_redact": q_pii_redact,
-        "clean_lines": q_clean_lines,
-        "host_quota_topk": q_host_quota_topk,
-        "doc_chunking": q_doc_chunking,
-        "boilerplate_ngram_flags": q_boilerplate_ngram_flags,
-        "source_set_ops": q_source_set_ops,
-        "bucketed_join": q_bucketed_join,
-        "token_freq_udtf": q_token_freq_udtf,
-        "dedup_exact": q_dedup_exact,
         "line_dedup_corpus": q_line_dedup_corpus,
         "span_dedup_corpus": q_span_dedup_corpus,
         "dsir_weights": q_dsir_weights,
@@ -4075,84 +4029,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_doc_scores": q_bm25_doc_scores,
         "bm25_topk_docs": q_bm25_topk_docs,
         "decontaminate_docs": q_decontaminate_docs,
-        "minhash_signatures": q_minhash_signatures,
-        "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
-        "lsh_est_jaccard_pairs": q_lsh_est_jaccard_pairs,
         "lsh_incremental_dedup": q_lsh_incremental_dedup,
-        "simhash": q_simhash,
-        "simhash_near_pairs": q_simhash_near_pairs,
-        "bloom_membership": q_bloom_membership,
-        "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
         "semantic_contamination": q_semantic_contamination,
         "cluster_balanced_sample": q_cluster_balanced_sample,
-        "ann_bruteforce_topk": q_ann_bruteforce_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ivf_topk": q_ivf_topk,
         "pq_adc_topk": q_pq_adc_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
         "ivf_pq_residual_topk": q_ivf_pq_residual_topk,
         "random_project": q_random_project,
         "gram_embeddings": q_gram_embeddings,
         "crawl_diff": q_crawl_diff,
-        "binary_meta": q_binary_meta,
         "ahash_near_pairs": q_ahash_near_pairs,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
+        "lsh_est_jaccard_pairs": q_lsh_est_jaccard_pairs,
+        "simhash": q_simhash,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "bloom_membership": q_bloom_membership,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_bruteforce_topk": q_ann_bruteforce_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "binary_meta": q_binary_meta,
+        "tdigest_quantiles_by_lang": q_tdigest_quantiles_by_lang,
+        "tdigest_rollup_events": q_tdigest_rollup_events,
+        "tdigest_agg_sql": q_tdigest_agg_sql,
+        "percentile_enrich_docs": q_percentile_enrich_docs,
+        "kll_quantiles_by_lang": q_kll_quantiles_by_lang,
+        "hll_distinct_users": q_hll_distinct_users,
+        "countmin_user_freq": q_countmin_user_freq,
+        "theta_users_setops": q_theta_users_setops,
+        "loghistogram_events": q_loghistogram_events,
+        "lineitem_pricing_summary": q_lineitem_pricing_summary,
+        "events_asof_join": q_events_asof_join,
+        "events_sessions": q_events_sessions,
+        "heavy_hitter_tokens": q_heavy_hitter_tokens,
+        "doc_quality": q_doc_quality,
+        "gopher_repetition": q_gopher_repetition,
+        "host_quota_topk": q_host_quota_topk,
+        "token_freq_udtf": q_token_freq_udtf,
+        "tdigest_cdf_by_lang": q_tdigest_cdf_by_lang,
+        "tdigest_drift_by_lang": q_tdigest_drift_by_lang,
+        "tdigest_trimmed_mean_by_lang": q_tdigest_trimmed_mean_by_lang,
+        "tdigest_stats_by_lang": q_tdigest_stats_by_lang,
+        "tdigest_events_by_type": q_tdigest_events_by_type,
+        "tdigest_daily_events": q_tdigest_hourly_events,
+        "tdigest_sql_surface": q_tdigest_sql_surface,
+        "tdigest_lineitem_global": q_tdigest_lineitem_global,
+        "tdigest_profile_lineitem": q_tdigest_profile_lineitem,
+        "kll_rank_check": q_kll_rank_check,
+        "theta_capacity_est": q_theta_capacity_est,
+        "orders_by_segment": q_orders_by_segment,
+        "events_last_by_user": q_events_last_by_user,
+        "events_range_join": q_events_range_join,
+        "events_asof_global": q_events_asof_global,
+        "doc_split_sample": q_doc_split_sample,
+        "weighted_sample_docs": q_weighted_sample_docs,
+        "mixture_epochs": q_mixture_epochs,
+        "token_budget_freeze": q_token_budget_freeze,
+        "adaptive_quantile_filter": q_adaptive_quantile_filter,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_repetition": q_doc_repetition,
+        "bpe_token_stats": q_bpe_token_stats,
+        "language_id": q_language_id,
+        "url_normalize": q_url_normalize,
+        "pii_redact": q_pii_redact,
+        "clean_lines": q_clean_lines,
+        "doc_chunking": q_doc_chunking,
+        "boilerplate_ngram_flags": q_boilerplate_ngram_flags,
+        "source_set_ops": q_source_set_ops,
+        "bucketed_join": q_bucketed_join,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "tdigest_quantiles_by_lang": _SQL_QUANTILES_BY_LANG,
-        "tdigest_cdf_by_lang": _SQL_CDF_BY_LANG,
-        "tdigest_drift_by_lang": _SQL_DRIFT_BY_LANG,
-        "percentile_enrich_docs": _SQL_PERCENTILE_ENRICH_DOCS,
-        "tdigest_trimmed_mean_by_lang": _SQL_TRIMMED_MEAN_BY_LANG,
-        "tdigest_stats_by_lang": _SQL_STATS_BY_LANG,
-        "tdigest_events_by_type": _SQL_EVENTS_BY_TYPE,
-        "tdigest_daily_events": _SQL_HOURLY_EVENTS,
-        "tdigest_rollup_events": _SQL_ROLLUP_EVENTS,
-        "tdigest_sql_surface": _SQL_SQL_SURFACE,
-        "tdigest_agg_sql": _SQL_AGG_SQL,
-        "tdigest_lineitem_global": _SQL_TDIGEST_GLOBAL,
-        "tdigest_profile_lineitem": _SQL_TDIGEST_PROFILE,
-        "kll_quantiles_by_lang": _SQL_KLL_QUANTILES,
-        "kll_rank_check": _SQL_KLL_RANK_CHECK,
-        "hll_distinct_users": _sql_hll_distinct_users(),
-        "countmin_user_freq": _sql_countmin_user_freq(),
-        "theta_users_setops": _SQL_THETA_USERS_SETOPS,
-        "theta_capacity_est": _SQL_THETA_CAPACITY_EST,
-        "loghistogram_events": _sql_loghistogram_events(),
-        "lineitem_pricing_summary": _SQL_PRICING_SUMMARY,
-        "orders_by_segment": _SQL_ORDERS_BY_SEGMENT,
-        "events_last_by_user": _SQL_EVENTS_LAST_BY_USER,
-        "events_sessions": _SQL_EVENTS_SESSIONS,
-        "events_asof_join": _SQL_EVENTS_ASOF_JOIN,
-        "events_range_join": _SQL_EVENTS_RANGE_JOIN,
-        "events_asof_global": _SQL_EVENTS_ASOF_GLOBAL,
-        "heavy_hitter_tokens": _SQL_HEAVY_HITTER_TOKENS,
-        "doc_split_sample": _sql_doc_split_sample(),
-        "weighted_sample_docs": _sql_weighted_sample_docs(),
-        "mixture_epochs": _sql_mixture_epochs(),
-        "token_budget_freeze": _SQL_TOKEN_BUDGET_FREEZE,
-        "adaptive_quantile_filter": _SQL_ADAPTIVE_QUANTILE_FILTER,
-        "doc_token_stats": _sql_doc_token_stats(),
-        "doc_quality": _sql_doc_quality(),
-        "doc_fingerprint": _SQL_DOC_FINGERPRINT,
-        "doc_repetition": _SQL_DOC_REPETITION,
-        "gopher_repetition": _sql_gopher_repetition(),
-        "bpe_token_stats": _sql_bpe_token_stats(),
         "bpe_merge_candidates": _sql_bpe_merge_candidates(),
-        "language_id": _sql_language_id(),
-        "url_normalize": _SQL_URL_NORMALIZE,
-        "pii_redact": _sql_pii_redact(),
-        "clean_lines": _sql_clean_lines(),
-        "host_quota_topk": _SQL_HOST_QUOTA_TOPK,
-        "doc_chunking": _sql_doc_chunking(),
-        "boilerplate_ngram_flags": _sql_boilerplate_ngram_flags(),
-        "source_set_ops": _SQL_SOURCE_SET_OPS,
-        "bucketed_join": _SQL_BUCKETED_JOIN,
-        "token_freq_udtf": _SQL_TOKEN_FREQ_UDTF,
-        "dedup_exact": _SQL_DEDUP_EXACT,
         "line_dedup_corpus": _SQL_LINE_DEDUP_CORPUS,
         "span_dedup_corpus": _SQL_SPAN_DEDUP_CORPUS,
         "dsir_weights": _SQL_DSIR_WEIGHTS,
@@ -4162,28 +4116,78 @@ def oracle_sql() -> dict[str, str]:
         "bm25_doc_scores": _sql_bm25_doc_scores(),
         "bm25_topk_docs": _sql_bm25_topk_docs(),
         "decontaminate_docs": _sql_decontaminate_docs(),
-        "minhash_signatures": _sql_minhash(),
-        "lsh_near_dup_pairs": _sql_lsh_near_dup_pairs(),
-        "lsh_est_jaccard_pairs": _sql_lsh_est_jaccard_pairs(),
         "lsh_incremental_dedup": _sql_lsh_incremental_dedup(),
-        "simhash": _sql_simhash(),
-        "simhash_near_pairs": _sql_simhash_near_pairs(),
-        "bloom_membership": _sql_bloom_membership(),
-        "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "semantic_contamination": _SQL_SEMANTIC_CONTAMINATION,
         "cluster_balanced_sample": _SQL_CLUSTER_BALANCED_SAMPLE,
-        "ann_bruteforce_topk": _SQL_ANN_BRUTEFORCE,
-        "ann_lsh_topk": _sql_ann_lsh(),
-        "ivf_topk": _SQL_IVF_TOPK,
         "pq_adc_topk": _sql_pq_adc_topk(),
         "ivf_pq_topk": _sql_ivf_pq_topk(),
         "ivf_pq_residual_topk": _sql_ivf_pq_residual_topk(),
         "random_project": _sql_random_project(),
         "gram_embeddings": _sql_gram_embeddings(),
         "crawl_diff": _SQL_CRAWL_DIFF,
-        "binary_meta": _SQL_BINARY_META,
         "ahash_near_pairs": _sql_ahash_near_pairs(),
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "minhash_signatures": _sql_minhash(),
+        "lsh_near_dup_pairs": _sql_lsh_near_dup_pairs(),
+        "lsh_est_jaccard_pairs": _sql_lsh_est_jaccard_pairs(),
+        "simhash": _sql_simhash(),
+        "simhash_near_pairs": _sql_simhash_near_pairs(),
+        "bloom_membership": _sql_bloom_membership(),
+        "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
+        "ann_bruteforce_topk": _SQL_ANN_BRUTEFORCE,
+        "ann_lsh_topk": _sql_ann_lsh(),
+        "ivf_topk": _SQL_IVF_TOPK,
+        "binary_meta": _SQL_BINARY_META,
+        "tdigest_quantiles_by_lang": _SQL_QUANTILES_BY_LANG,
+        "tdigest_rollup_events": _SQL_ROLLUP_EVENTS,
+        "tdigest_agg_sql": _SQL_AGG_SQL,
+        "percentile_enrich_docs": _SQL_PERCENTILE_ENRICH_DOCS,
+        "kll_quantiles_by_lang": _SQL_KLL_QUANTILES,
+        "hll_distinct_users": _sql_hll_distinct_users(),
+        "countmin_user_freq": _sql_countmin_user_freq(),
+        "theta_users_setops": _SQL_THETA_USERS_SETOPS,
+        "loghistogram_events": _sql_loghistogram_events(),
+        "lineitem_pricing_summary": _SQL_PRICING_SUMMARY,
+        "events_asof_join": _SQL_EVENTS_ASOF_JOIN,
+        "events_sessions": _SQL_EVENTS_SESSIONS,
+        "heavy_hitter_tokens": _SQL_HEAVY_HITTER_TOKENS,
+        "doc_quality": _sql_doc_quality(),
+        "gopher_repetition": _sql_gopher_repetition(),
+        "host_quota_topk": _SQL_HOST_QUOTA_TOPK,
+        "token_freq_udtf": _SQL_TOKEN_FREQ_UDTF,
+        "tdigest_cdf_by_lang": _SQL_CDF_BY_LANG,
+        "tdigest_drift_by_lang": _SQL_DRIFT_BY_LANG,
+        "tdigest_trimmed_mean_by_lang": _SQL_TRIMMED_MEAN_BY_LANG,
+        "tdigest_stats_by_lang": _SQL_STATS_BY_LANG,
+        "tdigest_events_by_type": _SQL_EVENTS_BY_TYPE,
+        "tdigest_daily_events": _SQL_HOURLY_EVENTS,
+        "tdigest_sql_surface": _SQL_SQL_SURFACE,
+        "tdigest_lineitem_global": _SQL_TDIGEST_GLOBAL,
+        "tdigest_profile_lineitem": _SQL_TDIGEST_PROFILE,
+        "kll_rank_check": _SQL_KLL_RANK_CHECK,
+        "theta_capacity_est": _SQL_THETA_CAPACITY_EST,
+        "orders_by_segment": _SQL_ORDERS_BY_SEGMENT,
+        "events_last_by_user": _SQL_EVENTS_LAST_BY_USER,
+        "events_range_join": _SQL_EVENTS_RANGE_JOIN,
+        "events_asof_global": _SQL_EVENTS_ASOF_GLOBAL,
+        "doc_split_sample": _sql_doc_split_sample(),
+        "weighted_sample_docs": _sql_weighted_sample_docs(),
+        "mixture_epochs": _sql_mixture_epochs(),
+        "token_budget_freeze": _SQL_TOKEN_BUDGET_FREEZE,
+        "adaptive_quantile_filter": _SQL_ADAPTIVE_QUANTILE_FILTER,
+        "doc_token_stats": _sql_doc_token_stats(),
+        "doc_fingerprint": _SQL_DOC_FINGERPRINT,
+        "doc_repetition": _SQL_DOC_REPETITION,
+        "bpe_token_stats": _sql_bpe_token_stats(),
+        "language_id": _sql_language_id(),
+        "url_normalize": _SQL_URL_NORMALIZE,
+        "pii_redact": _sql_pii_redact(),
+        "clean_lines": _sql_clean_lines(),
+        "doc_chunking": _sql_doc_chunking(),
+        "boilerplate_ngram_flags": _sql_boilerplate_ngram_flags(),
+        "source_set_ops": _SQL_SOURCE_SET_OPS,
+        "bucketed_join": _SQL_BUCKETED_JOIN,
     }
 
 

@@ -93,12 +93,24 @@ def _fs_path(spark: SparkSession, path: str):
 
 
 def _fs_write_bytes(spark: SparkSession, path: str, data: bytes) -> None:
+    """Atomic write: temp file + rename, so the file is either absent or
+    complete.  The manifest's whole contract is "presence certifies a
+    complete write" — an in-place create() that dies mid-stream would
+    leave a partial JSON that read_manifest raises on instead of
+    returning None (resume would hard-fail rather than redo the stage)."""
     fs, jp = _fs_path(spark, path)
-    stream = fs.create(jp, True)
+    tmp = spark._jvm.org.apache.hadoop.fs.Path(  # type: ignore[union-attr]
+        path + ".inprogress"
+    )
+    stream = fs.create(tmp, True)
     try:
         stream.write(data)
     finally:
         stream.close()
+    if fs.exists(jp):
+        fs.delete(jp, False)
+    if not fs.rename(tmp, jp):
+        raise IOError(f"rename {tmp} -> {jp} failed")
 
 
 def _fs_read_bytes(spark: SparkSession, path: str) -> bytes | None:

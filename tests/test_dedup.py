@@ -164,6 +164,25 @@ def test_embedding_near_dup(spark):
     assert all(c > 0.999999 for c in got.values())
 
 
+def test_embedding_near_dup_unblocked_requires_opt_in(spark):
+    """block_col=None is an all-pairs crossJoin — must raise without an
+    explicit allow_quadratic=True, and behave identically with it."""
+    rng = np.random.default_rng(7)
+    vecs = [(i, rng.standard_normal(8).tolist()) for i in range(6)]
+    twins = [(100 + i, [x * 1.01 for x in v]) for i, v in vecs[:2]]
+    emb = spark.createDataFrame(
+        vecs + twins, "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="allow_quadratic"):
+        D.embedding_near_dup(emb, "vec_id", "embedding", block_col=None)
+    out = D.embedding_near_dup(
+        emb, "vec_id", "embedding", block_col=None, threshold=0.95,
+        allow_quadratic=True,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(i, 100 + i) for i in range(2)}
+
+
 def test_dot_col_sequential_order(spark):
     df = spark.createDataFrame(
         [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<double>, b array<double>"

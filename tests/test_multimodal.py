@@ -75,6 +75,59 @@ def test_resize_images(media):
         assert np.array_equal(payload.reshape(8, 8), img[np.ix_(ry, rx)])
 
 
+def _toy_decode(blob: bytes):
+    """A stand-in for a real codec (PIL/ffmpeg adapter): raw container =
+    b"TOY" + w(u8) + h(u8) + fr(u8) + pixels."""
+    if blob[:3] != b"TOY":
+        raise ValueError("not a TOY container")
+    w, h, fr = blob[3], blob[4], blob[5]
+    return w, h, fr, np.frombuffer(blob, dtype=np.uint8, offset=6)
+
+
+def _toy_blob(w, h, fr, seed):
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=w * h * fr, dtype=np.int64).astype(np.uint8)
+    return bytes([ord("T"), ord("O"), ord("Y"), w, h, fr]) + px.tobytes()
+
+
+def test_injectable_decoder_end_to_end(spark):
+    """The decoder= seam: a caller-supplied codec callable drives
+    extract_features / resize_images / sample_frames / ahash_images
+    without touching library code — the contract a PIL/ffmpeg-equipped
+    cluster plugs into.  Output frames/blobs re-encode as FAKE1 via the
+    default encoder, so downstream fake-lane consumers still parse them."""
+    rows = [(1, _toy_blob(16, 12, 1, 7)), (2, _toy_blob(10, 10, 4, 8))]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+
+    feats = {r["doc_id"]: r for r in
+             M.extract_features(df, decoder=_toy_decode).collect()}
+    for i, blob in rows:
+        w, h, fr, px = _toy_decode(blob)
+        assert (feats[i]["width"], feats[i]["height"], feats[i]["n_frames"]) \
+            == (w, h, fr)
+        assert abs(feats[i]["mean_pixel"] - float(px.mean())) < 1e-12
+
+    imgs = df.filter(F.col("doc_id") == 1)
+    resized = M.resize_images(imgs, target=(4, 4), decoder=_toy_decode).collect()
+    assert len(resized) == 1
+    w, h, fr, payload = M.decode_fake(bytes(resized[0]["media"]))
+    assert (w, h, fr) == (4, 4, 1) and payload.size == 16
+
+    vids = df.filter(F.col("doc_id") == 2)
+    frames = M.sample_frames(vids, every=2, decoder=_toy_decode).collect()
+    assert [r["frame_idx"] for r in frames] == [0, 2]
+    for r in frames:
+        fw, fh, ffr, fp = M.decode_fake(bytes(r["frame"]))
+        assert (fw, fh, ffr) == (10, 10, 1) and fp.size == 100
+
+    hashed = M.ahash_images(df, decoder=_toy_decode).collect()
+    assert len(hashed) == 2
+    assert all(len(r["ahash"]) == 16 for r in hashed)
+
+    with pytest.raises(ValueError, match="decoder must be"):
+        M.extract_features(df, decoder="nope")
+
+
 def test_sample_frames(media):
     df, blobs = media
     vids = df.filter(F.col("doc_id") % 3 == 0)

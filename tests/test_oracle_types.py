@@ -1,0 +1,66 @@
+"""Guard every oracle's OUTPUT column types against driver-side fetch mangling.
+
+The driver compares Spark vs DuckDB results by value-hash.  Our local gate
+fetches DuckDB rows with ``fetchall()`` (int128 -> Python int, lossless),
+but a driver that fetches via Arrow/pandas converts HUGEINT to float64 /
+object — so an oracle whose FINAL projection is e.g. ``sum(BIGINT)``
+(DuckDB widens integer sums to HUGEINT) hashes differently on the driver
+while matching locally at every SF.  That was round 3's only red row
+(``bpe_merge_candidates``; ``gram_embeddings`` carried the same latent bug).
+
+Rule enforced here: no oracle output column may be HUGEINT/UHUGEINT —
+wrap final integer sums in ``CAST(... AS BIGINT)``.  DECIMAL/DOUBLE/BIGINT
+outputs are fine (driver-green since round 1).  Pure DuckDB ``DESCRIBE``
+— no Spark, no data scan — so the whole battery checks in milliseconds.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from tdigest_spark import queries as Q
+
+SF_DIRS = [
+    d
+    for d in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+    )
+    if os.path.isdir(d)
+]
+
+pytestmark = pytest.mark.skipif(not SF_DIRS, reason="driver testdata absent")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+BANNED = ("HUGEINT", "UHUGEINT", "INT128")
+
+
+def test_no_oracle_output_column_is_hugeint():
+    sf_dir = SF_DIRS[0]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    offenders = {}
+    for name, sql in Q.oracle_sql().items():
+        cols = con.execute("DESCRIBE " + sql).fetchall()
+        flagged = [
+            (c[0], c[1])
+            for c in cols
+            if any(b in c[1].upper() for b in BANNED)
+        ]
+        if flagged:
+            offenders[name] = flagged
+    assert not offenders, (
+        "oracle output columns wider than 64-bit integers (driver fetch "
+        f"mangles int128; CAST to BIGINT): {offenders}"
+    )

@@ -712,6 +712,24 @@ class TestBM25Frozen:
                 stats={"n_docs": 5, "total_tokens": 20, "df": {"spark": 3}},
             )
 
+    def test_frozen_inconsistent_stats_raise(self, spark, bm25_docs):
+        """df > n_docs makes the idf log argument non-positive (silent
+        NULL scores); a mismatched/smaller snapshot must fail loudly."""
+        from tdigest_spark.operators.scoring import bm25_score
+
+        with pytest.raises(ValueError, match="df > n_docs"):
+            bm25_score(
+                bm25_docs,
+                ["spark"],
+                stats={"n_docs": 2, "total_tokens": 20, "df": {"spark": 3}},
+            )
+        with pytest.raises(ValueError, match="must be >= 0"):
+            bm25_score(
+                bm25_docs,
+                ["spark"],
+                stats={"n_docs": -1, "total_tokens": 20, "df": {"spark": 0}},
+            )
+
 
 def test_bm25_topk_multirow_query_terms_dedup(spark, bm25_docs):
     """One query_id split across multiple rows must not double-count a

@@ -193,9 +193,10 @@ def test_incremental_crawl_job_two_months(spark, tmp_path):
 
     idx = spark.read.parquet(f"{index_dir}/*__dir")
     rows = {(r["url"], r["batch_id"]) for r in idx.collect()}
-    # batch ids are snapshot-identity hashes (rerun-idempotence keys),
-    # so assert the batch STRUCTURE: month 1 holds {u1, u3}, month 2
-    # {u3, u5}, in two distinct batches
+    # batch ids = monotone sequence number (high 16 bits) over a
+    # snapshot-identity hash (low 48, the rerun-idempotence key): month 1
+    # holds {u1, u3}, month 2 {u3, u5}, and month 2's id sorts HIGHER so
+    # compact_stream_index's keep_last retains the most recent batches
     by_batch: dict[int, set[str]] = {}
     for url, bid in rows:
         by_batch.setdefault(bid, set()).add(url)
@@ -203,6 +204,9 @@ def test_incremental_crawl_job_two_months(spark, tmp_path):
         {"u1", "u3"},
         {"u3", "u5"},
     ]
+    (id1, urls1), (id2, urls2) = sorted(by_batch.items())
+    assert urls1 == {"u1", "u3"} and urls2 == {"u3", "u5"}
+    assert (id2 >> 48) == (id1 >> 48) + 1
 
 
 @pytest.mark.slow
