@@ -385,6 +385,25 @@ def session_stats(
     return out
 
 
+def _index_dirs_excluding(index_dir: str, batch_id: int) -> list[str]:
+    """List the index's ``batch=*__dir`` subdirectories EXCLUDING the
+    given batch's own directory.  A replayed trigger must never READ the
+    directory its own overwrite is about to delete (a cache eviction or
+    task retry after the overwrite starts would recompute from a dir
+    mid-delete); the row-level ``batch_id != current`` filter still
+    covers rows an index compaction folded into a consolidated dir.
+    Local-FS glob, like `compact_stream_index` (this module's indexes
+    are directory-layout-on-FS by design)."""
+    import glob as _glob
+
+    own = f"{index_dir.rstrip('/')}/batch={batch_id:020d}__dir"
+    return [
+        d
+        for d in sorted(_glob.glob(f"{index_dir.rstrip('/')}/batch=*__dir"))
+        if d != own
+    ]
+
+
 def compact_stream_index(
     spark,
     index_dir: str,
@@ -487,10 +506,13 @@ def streaming_incremental_dedup(
 
     Exactly-once under restarts: both writes overwrite their own
     ``batch=<id>__dir`` subdirectory, and the index read EXCLUDES the
-    current batch's own rows (`batch_id != current`), so a replayed
-    batch never dedups against its own half-written signatures.
-    Earlier batches win ties — the arrival-order contract of an
-    incremental pipeline.
+    current batch — at the PATH level (its own dir is never listed, so
+    the replay cannot read a directory its own overwrite is about to
+    delete) and at the row level (`batch_id != current`, which also
+    covers rows a compaction folded into a consolidated dir) — so a
+    replayed batch never dedups against its own half-written
+    signatures.  Earlier batches win ties — the arrival-order contract
+    of an incremental pipeline.
 
     Seed a pre-existing corpus by writing its `minhash_signatures`
     frame (plus a `batch_id` long, e.g. -1) under
@@ -512,7 +534,6 @@ def streaming_incremental_dedup(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark import StorageLevel
-        from pyspark.errors import AnalysisException
 
         from .operators.dedup import (
             dedup_against_index,
@@ -526,9 +547,10 @@ def streaming_incremental_dedup(
             batch_df, text_col, id_col, n_hashes, shingle_k, hash_fn
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
-        try:
-            index = spark.read.parquet(f"{index_dir}/*__dir")
-        except AnalysisException:  # first batch: no index yet
+        read_dirs = _index_dirs_excluding(index_dir, batch_id)
+        if read_dirs:
+            index = spark.read.parquet(*read_dirs)
+        else:  # first batch: no index yet
             index = spark.createDataFrame(
                 [], f"`{id_col}` {id_type}, minhash_sig {sig_type}, batch_id long"
             )
@@ -635,7 +657,6 @@ def streaming_semantic_dedup(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark import StorageLevel
-        from pyspark.errors import AnalysisException
 
         from .operators.dedup import (
             dot_col,
@@ -663,9 +684,10 @@ def streaming_semantic_dedup(
             )
             pairable = assigned.join(F.broadcast(ok_cells), "ivf_cell")
 
-        try:
-            index = spark.read.parquet(f"{index_dir}/*__dir")
-        except AnalysisException:  # first batch: no index yet
+        read_dirs = _index_dirs_excluding(index_dir, batch_id)
+        if read_dirs:
+            index = spark.read.parquet(*read_dirs)
+        else:  # first batch: no index yet
             index = spark.createDataFrame(
                 [],
                 f"`{id_col}` {id_type}, ivf_cell int, "

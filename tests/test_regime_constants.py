@@ -157,3 +157,56 @@ def test_ann_constants_match_embeddings_table(sf_dir):
     assert n_queries >= 1, n_queries
     nulls = _one(con, f"SELECT count(*) FROM {emb} WHERE embedding IS NULL")
     assert nulls == 0, f"{nulls} NULL embeddings at {sf_dir}"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_bpe_segmentation_alphabet_is_engine_neutral(sf_dir):
+    """bpe_merge_candidates' oracle equates DuckDB substr/length character
+    semantics with Spark's split(w, '') code-point segmentation.  Both are
+    code-point based (fuzzed in round 4 over combining marks, astral
+    emoji, ZWJ, ligatures — all parity), but the equivalence is a DATA
+    property worth re-proving against whatever words the driver actually
+    regenerated: for every distinct word on disk, DuckDB's (length,
+    per-index substr) must equal Python's code-point view (Python strings
+    are code-point sequences, the same segmentation Spark's split('')
+    produces).  Fails loudly in pytest before the driver gate would."""
+    con = duckdb.connect()
+    words = [
+        w
+        for (w,) in con.execute(
+            "SELECT DISTINCT unnest(list_filter(string_split(text, ' '), "
+            f"tk -> tk != '')) AS w FROM '{sf_dir}/documents.parquet' "
+            "WHERE text IS NOT NULL"
+        ).fetchall()
+        if w
+    ]
+    assert words, f"no words at {sf_dir}"
+    bad = []
+    for w in words:
+        row = con.execute(
+            "SELECT length(?), list_transform(range(1, length(?) + 1), "
+            "i -> substr(?, CAST(i AS INT), 1))",
+            [w, w, w],
+        ).fetchone()
+        if row[0] != len(w) or row[1] != list(w):
+            bad.append((w, row))
+    assert not bad, f"DuckDB/code-point segmentation diverges: {bad[:5]}"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_gram_quantization_cannot_overflow_int64(sf_dir):
+    """gram_embeddings sums qv_a * qv_b over all vectors per (i, j) with
+    qv = floor(x * 2^20) as BIGINT on both engines; the oracle now CASTs
+    the final sum to BIGINT (driver fetch mangles int128), so the sum
+    must actually FIT in int64 on the data at hand: n_rows * max|qv|^2
+    < 2^63 with margin."""
+    con = duckdb.connect()
+    emb = f"'{sf_dir}/embeddings.parquet'"
+    n, amax = con.execute(
+        f"SELECT count(*), max(abs(x)) FROM (SELECT "
+        f"unnest(CAST(embedding AS DOUBLE[])) AS x FROM {emb})"
+    ).fetchone()
+    qmax = abs(int(amax * 1048576.0)) + 1
+    assert n * qmax * qmax < 2**62, (
+        f"gram sum bound {n * qmax * qmax} approaches int64 at {sf_dir}"
+    )
