@@ -48,41 +48,110 @@ def main() -> None:
     ap.add_argument("--n-cells", type=int, default=64)
     ap.add_argument("--n-sub", type=int, default=8)
     ap.add_argument("--ksub", type=int, default=256)
+    ap.add_argument("--skip-flat", action="store_true",
+                    help="skip the unpruned flat-PQ full scan (big runs)")
     args = ap.parse_args()
 
     # deterministic clustered corpus: rows/100 Gaussian clusters of 100
-    # points each (sigma 0.25 around unit-scale centers)
+    # points each (sigma 0.25 around unit-scale centers).  Above the
+    # in-memory threshold the corpus goes to PARQUET in 100k-row files
+    # (per-file RNG streams — regeneration is order-independent and the
+    # layout matches a real vector table); X stays in RAM as float32
+    # (3.3 GB at 12.8M) for ground truth + rerank only.
     dim = 64
     n_clusters = max(1, args.rows // 100)
     rng = np.random.default_rng(7)
-    centers = rng.standard_normal((n_clusters, dim))
-    # tile cluster assignments to EXACTLY args.rows (np.repeat with the
-    # integer quotient breaks on any --rows not divisible by n_clusters)
-    assign = np.arange(args.rows) % n_clusters
-    X = centers[assign] + rng.standard_normal((args.rows, dim)) * 0.25
+    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32)
+
+    ON_DISK = args.rows >= 2_000_000
+    CHUNK = 100_000
+
+    def chunk_vectors(f: int, lo: int, hi: int) -> np.ndarray:
+        crng = np.random.default_rng(9000 + f)
+        assign = np.arange(lo, hi) % n_clusters
+        return centers[assign] + crng.standard_normal(
+            (hi - lo, dim), dtype=np.float32
+        ) * np.float32(0.25)
 
     spark = get_spark(
         master="local[16]", shuffle_partitions=16,
-        extra_conf={"spark.driver.memory": "8g", "spark.ui.enabled": "false"},
+        extra_conf={
+            "spark.driver.memory": "24g" if ON_DISK else "8g",
+            "spark.ui.enabled": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     import pandas as pd
 
-    emb = spark.createDataFrame(
-        pd.DataFrame(
-            {"vec_id": np.arange(args.rows), "embedding": list(X)}
+    if ON_DISK:
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        corpus_dir = f"/tmp/tdigest_ann_recall_{args.rows}"
+        n_files = (args.rows + CHUNK - 1) // CHUNK
+        done = len(
+            [f for f in os.listdir(corpus_dir)]
+            if os.path.isdir(corpus_dir) else []
         )
-    ).select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
-    emb = emb.repartition(32).persist()
-    n = emb.count()
+        parts = []
+        for f in range(n_files):
+            lo, hi = f * CHUNK, min((f + 1) * CHUNK, args.rows)
+            Xc = chunk_vectors(f, lo, hi)
+            parts.append(Xc)
+            path = os.path.join(corpus_dir, f"part{f:04d}.parquet")
+            if done != n_files:
+                os.makedirs(corpus_dir, exist_ok=True)
+                t = pa.table({
+                    "vec_id": pa.array(np.arange(lo, hi, dtype=np.int64)),
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(Xc.reshape(-1)), dim
+                    ),
+                })
+                papq.write_table(t, path)
+        X = np.concatenate(parts)
+        del parts
+        emb = spark.read.parquet(corpus_dir).select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        n = emb.count()
+    else:
+        X = chunk_vectors(0, 0, args.rows)
+        emb = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": np.arange(args.rows), "embedding": list(X)}
+            )
+        ).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        emb = emb.repartition(32).persist()
+        n = emb.count()
+
     qids = [int(i * (args.rows // args.n_queries)) for i in range(args.n_queries)]
+    # ground truth in float64 chunks (the operators score the parquet
+    # float32 values as doubles; float32 distance sums would misrank ties)
     gt: dict[int, set[int]] = {}
-    for q in qids:
-        d2 = ((X - X[q]) ** 2).sum(axis=1)
-        d2[q] = np.inf
-        order = np.lexsort((np.arange(len(d2)), d2))
-        gt[q] = set(int(i) for i in order[: args.k])
+    Q64 = X[qids].astype(np.float64)
+    best_d = np.full((len(qids), args.k), np.inf)
+    best_i = np.full((len(qids), args.k), -1, dtype=np.int64)
+    for lo in range(0, args.rows, CHUNK):
+        hi = min(lo + CHUNK, args.rows)
+        C = X[lo:hi].astype(np.float64)
+        d2 = (
+            (C * C).sum(axis=1)[None, :]
+            - 2.0 * Q64 @ C.T
+            + (Q64 * Q64).sum(axis=1)[:, None]
+        )
+        for qi, q in enumerate(qids):
+            if lo <= q < hi:
+                d2[qi, q - lo] = np.inf
+            cd = np.concatenate([best_d[qi], d2[qi]])
+            ci = np.concatenate([best_i[qi], np.arange(lo, hi)])
+            order = np.lexsort((ci, cd))[: args.k]
+            best_d[qi], best_i[qi] = cd[order], ci[order]
+    for qi, q in enumerate(qids):
+        gt[q] = set(int(i) for i in best_i[qi])
 
     queries = emb.filter(F.col("vec_id").isin(qids))
 
@@ -100,7 +169,9 @@ def main() -> None:
             cand = [n for _, n in sorted(got.get(q, []))]
             raw.append(len(set(cand[: args.k]) & gt[q]) / args.k)
             if cand:
-                d2 = ((X[cand] - X[q]) ** 2).sum(axis=1)
+                d2 = (
+                    (X[cand].astype(np.float64) - X[q].astype(np.float64)) ** 2
+                ).sum(axis=1)
                 order = np.lexsort((np.array(cand), d2))
                 top = {cand[i] for i in order[: args.k]}
             else:
@@ -110,22 +181,23 @@ def main() -> None:
 
     results = []
 
-    def record(name, rec, secs):
+    def record(name, rec, secs, **extra):
         raw, rr = rec
         row = {"config": name, "recall_at_k": round(raw, 4),
                "recall_at_k_reranked": round(rr, 4),
-               "sec": round(secs, 2), "k": args.k, "rows": n}
+               "sec": round(secs, 2), "k": args.k, "rows": n, **extra}
         results.append(row)
         print(json.dumps(row), flush=True)
 
     # flat PQ (no pruning — quantization error only)
-    t0 = time.time()
     books = pq_train(emb, n_sub=args.n_sub, ksub=args.ksub, iters=8, seed=3)
-    codes = pq_encode(emb, books, lane="arrow").persist()
-    codes.count()
-    rec = recall(pq_topk(codes, queries, books, k=RETRIEVE, lane="numpy"))
-    record("flat_pq", rec, time.time() - t0)
-    codes.unpersist()
+    if not args.skip_flat:
+        t0 = time.time()
+        codes = pq_encode(emb, books, lane="arrow").persist()
+        codes.count()
+        rec = recall(pq_topk(codes, queries, books, k=RETRIEVE, lane="numpy"))
+        record("flat_pq", rec, time.time() - t0)
+        codes.unpersist()
 
     cents = ivf_train(emb, n_cells=args.n_cells, iters=8, seed=3)
 
@@ -155,6 +227,7 @@ def main() -> None:
             record(
                 f"ivfpq{'_residual' if residual else ''}_nprobe{nprobe}",
                 rec, time.time() - t0,
+                cells_scanned_frac=round(nprobe / args.n_cells, 4),
             )
         index.unpersist()
         print(json.dumps({"config": "index_build",
