@@ -42,6 +42,18 @@ TABLES = (
 BANNED = ("HUGEINT", "UHUGEINT", "INT128")
 
 
+# Why the ban below is a TYPE list rather than a generic fetch-path
+# differential: the driver runs BOTH engines' results through the same
+# client stack, so a divergence needs the two engines' dtypes to map
+# DIFFERENTLY into it — unobservable from DuckDB alone.  Probed on this
+# stack: HUGEINT fetches as Python int (fetchall), Decimal (arrow), and
+# float64 (pandas .df()) while Spark's BIGINT stays integral everywhere
+# — the one asymmetric pair, hence the ban.  DECIMAL/DATE/NULL-int all
+# go lossy in .df() too (float64 / Timestamp / NaN), but their SPARK
+# counterparts map the same way, which is why those queries have been
+# driver-green since round 1.
+
+
 def test_no_oracle_output_column_is_hugeint():
     sf_dir = SF_DIRS[0]
     con = duckdb.connect()
