@@ -385,22 +385,31 @@ def session_stats(
     return out
 
 
-def _index_dirs_excluding(index_dir: str, batch_id: int) -> list[str]:
+def _index_dirs_excluding(spark, index_dir: str, batch_id: int) -> list[str]:
     """List the index's ``batch=*__dir`` subdirectories EXCLUDING the
     given batch's own directory.  A replayed trigger must never READ the
     directory its own overwrite is about to delete (a cache eviction or
     task retry after the overwrite starts would recompute from a dir
     mid-delete); the row-level ``batch_id != current`` filter still
     covers rows an index compaction folded into a consolidated dir.
-    Local-FS glob, like `compact_stream_index` (this module's indexes
-    are directory-layout-on-FS by design)."""
-    import glob as _glob
-
-    own = f"{index_dir.rstrip('/')}/batch={batch_id:020d}__dir"
+    Listing goes through the Hadoop FS of the session so hdfs:///s3a://
+    index dirs resolve (a builtin glob would silently return [] there
+    and skip dedup-vs-index entirely)."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path  # type: ignore[union-attr]
+    jp = jvm_path(index_dir)
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
+    if not fs.exists(jp):
+        return []
+    own = f"batch={batch_id:020d}__dir"
+    names = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(jp)
+        if st.isDirectory()
+    )
     return [
-        d
-        for d in sorted(_glob.glob(f"{index_dir.rstrip('/')}/batch=*__dir"))
-        if d != own
+        f"{index_dir.rstrip('/')}/{d}"
+        for d in names
+        if d.startswith("batch=") and d.endswith("__dir") and d != own
     ]
 
 
@@ -547,7 +556,7 @@ def streaming_incremental_dedup(
             batch_df, text_col, id_col, n_hashes, shingle_k, hash_fn
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
-        read_dirs = _index_dirs_excluding(index_dir, batch_id)
+        read_dirs = _index_dirs_excluding(spark, index_dir, batch_id)
         if read_dirs:
             index = spark.read.parquet(*read_dirs)
         else:  # first batch: no index yet
@@ -684,7 +693,7 @@ def streaming_semantic_dedup(
             )
             pairable = assigned.join(F.broadcast(ok_cells), "ivf_cell")
 
-        read_dirs = _index_dirs_excluding(index_dir, batch_id)
+        read_dirs = _index_dirs_excluding(spark, index_dir, batch_id)
         if read_dirs:
             index = spark.read.parquet(*read_dirs)
         else:  # first batch: no index yet
