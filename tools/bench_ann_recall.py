@@ -50,6 +50,17 @@ def main() -> None:
     ap.add_argument("--ksub", type=int, default=256)
     ap.add_argument("--skip-flat", action="store_true",
                     help="skip the unpruned flat-PQ full scan (big runs)")
+    ap.add_argument("--skip-residual", action="store_true",
+                    help="skip the residual-rule index (halves big runs)")
+    ap.add_argument("--retrieve", type=int, nargs="+", default=[100],
+                    help="ADC retrieval depth(s) before exact rerank; at "
+                    "large corpora recall is retrieve- and nprobe-limited, "
+                    "sweep both")
+    ap.add_argument("--cache-index", action="store_true",
+                    help="persist/reuse the encoded IVFPQ codes parquet "
+                    "under /tmp keyed by the corpus+quantizer config "
+                    "(codes are ~30 B/vector; skips the ~25 min 12.8M "
+                    "encode on re-runs)")
     args = ap.parse_args()
 
     # deterministic clustered corpus: rows/100 Gaussian clusters of 100
@@ -155,37 +166,51 @@ def main() -> None:
 
     queries = emb.filter(F.col("vec_id").isin(qids))
 
-    RETRIEVE = 100  # ADC retrieval depth; exact rerank cuts to k
+    RETRIEVE = max(args.retrieve)  # ADC retrieval depth; rerank cuts to k
 
-    def recall(out_df) -> tuple[float, float]:
-        """(recall@k of raw ADC top-k, recall@k after exact rerank of the
-        ADC top-RETRIEVE) — the second is the deployed-system metric:
-        m-byte codes generate candidates, full vectors rerank them."""
+    def recall(out_df) -> tuple[float, dict[int, float]]:
+        """(recall@k of raw ADC top-k, {retrieve_depth: recall@k after
+        exact rerank of the ADC top-depth}) — the rerank column is the
+        deployed-system metric: m-byte codes generate candidates, full
+        vectors rerank them.  One search at depth max(retrieve) serves
+        every depth (a depth's candidate list is a prefix of a deeper
+        one's)."""
         got: dict[int, list[tuple[int, int]]] = {}
         for r in out_df.collect():
             got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
-        raw, rr = [], []
+        raw = []
+        rr: dict[int, list[float]] = {d: [] for d in args.retrieve}
         for q in qids:
             cand = [n for _, n in sorted(got.get(q, []))]
             raw.append(len(set(cand[: args.k]) & gt[q]) / args.k)
-            if cand:
-                d2 = (
-                    (X[cand].astype(np.float64) - X[q].astype(np.float64)) ** 2
-                ).sum(axis=1)
-                order = np.lexsort((np.array(cand), d2))
-                top = {cand[i] for i in order[: args.k]}
-            else:
-                top = set()
-            rr.append(len(top & gt[q]) / args.k)
-        return float(np.mean(raw)), float(np.mean(rr))
+            for depth in args.retrieve:
+                cd = cand[:depth]
+                if cd:
+                    d2 = (
+                        (X[cd].astype(np.float64) - X[q].astype(np.float64))
+                        ** 2
+                    ).sum(axis=1)
+                    order = np.lexsort((np.array(cd), d2))
+                    top = {cd[i] for i in order[: args.k]}
+                else:
+                    top = set()
+                rr[depth].append(len(top & gt[q]) / args.k)
+        return (
+            float(np.mean(raw)),
+            {d: float(np.mean(v)) for d, v in rr.items()},
+        )
 
     results = []
 
     def record(name, rec, secs, **extra):
         raw, rr = rec
         row = {"config": name, "recall_at_k": round(raw, 4),
-               "recall_at_k_reranked": round(rr, 4),
+               "recall_at_k_reranked": round(rr[RETRIEVE], 4),
                "sec": round(secs, 2), "k": args.k, "rows": n, **extra}
+        if len(args.retrieve) > 1:
+            row["reranked_by_depth"] = {
+                str(d): round(v, 4) for d, v in sorted(rr.items())
+            }
         results.append(row)
         print(json.dumps(row), flush=True)
 
@@ -202,6 +227,8 @@ def main() -> None:
     cents = ivf_train(emb, n_cells=args.n_cells, iters=8, seed=3)
 
     for residual in (False, True):
+        if residual and args.skip_residual:
+            continue
         if residual:
             rbooks = pq_train(
                 ivf_residual_frame(emb, cents),
@@ -210,9 +237,22 @@ def main() -> None:
         else:
             rbooks = books
         t0 = time.time()
-        index = ivf_pq_index(
-            emb, cents, rbooks, lane="numpy", residual=residual
-        ).persist()
+        cache_dir = (
+            f"/tmp/tdigest_ann_index_{args.rows}_{args.n_cells}_"
+            f"{args.n_sub}_{args.ksub}_{'res' if residual else 'plain'}"
+            if args.cache_index else None
+        )
+        if cache_dir and os.path.isdir(cache_dir):
+            index = spark.read.parquet(cache_dir).persist()
+        else:
+            index = ivf_pq_index(
+                emb, cents, rbooks, lane="numpy", residual=residual
+            )
+            if cache_dir:
+                index.write.mode("overwrite").parquet(cache_dir)
+                index = spark.read.parquet(cache_dir).persist()
+            else:
+                index = index.persist()
         index.count()
         build_s = time.time() - t0
         for nprobe in (1, 2, 4, 8):
