@@ -56,6 +56,8 @@ def main() -> None:
                     help="ADC retrieval depth(s) before exact rerank; at "
                     "large corpora recall is retrieve- and nprobe-limited, "
                     "sweep both")
+    ap.add_argument("--nprobes", type=int, nargs="+", default=[1, 2, 4, 8],
+                    help="IVF probe budgets to sweep")
     ap.add_argument("--cache-index", action="store_true",
                     help="persist/reuse the encoded IVFPQ codes parquet "
                     "under /tmp keyed by the corpus+quantizer config "
@@ -255,7 +257,7 @@ def main() -> None:
                 index = index.persist()
         index.count()
         build_s = time.time() - t0
-        for nprobe in (1, 2, 4, 8):
+        for nprobe in args.nprobes:
             t0 = time.time()
             rec = recall(
                 ivf_pq_topk(
