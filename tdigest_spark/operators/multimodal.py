@@ -72,6 +72,68 @@ def encode_fake(img: np.ndarray) -> bytes:
     return head + np.ascontiguousarray(img, dtype=np.uint8).tobytes()
 
 
+def decode_ppm(blob: bytes) -> tuple[int, int, int, np.ndarray]:
+    """A REAL image codec through the injectable-decoder seam: binary
+    PGM (P5, grayscale) and PPM (P6, RGB) — the stdlib-only Netpbm
+    formats every image tool can write (`convert x.png x.ppm`).  Proves
+    the seam end-to-end without PIL: header parse (whitespace + '#'
+    comments per the spec), maxval <= 255, then the raster as the
+    operator contract's (w, h, 1, uint8 payload); P6 RGB collapses to
+    integer Rec.601 luma ((299 R + 587 G + 114 B) // 1000) so a single
+    deterministic grayscale frame feeds resize/ahash/features exactly
+    like FAKE1 does.  Raises ValueError on malformed input (the
+    documented codec contract; ahash64_hex maps ANY decoder raise to
+    None)."""
+    pos = 0
+
+    def token() -> bytes:
+        nonlocal pos
+        while pos < len(blob):
+            c = blob[pos : pos + 1]
+            if c == b"#":
+                nl = blob.find(b"\n", pos)
+                if nl < 0:
+                    raise ValueError("unterminated PPM comment")
+                pos = nl + 1
+            elif c.isspace():
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        return blob[start:pos]
+
+    magic = token()
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary PGM/PPM: {magic!r}")
+    w, h, maxval = int(token()), int(token()), int(token())
+    if w <= 0 or h <= 0 or not (0 < maxval < 256):
+        raise ValueError("bad PPM dimensions/maxval")
+    pos += 1  # exactly ONE whitespace byte separates header and raster
+    ch = 3 if magic == b"P6" else 1
+    raster = np.frombuffer(blob, dtype=np.uint8, offset=pos, count=-1)
+    if raster.size < w * h * ch:
+        raise ValueError("truncated PPM raster")
+    raster = raster[: w * h * ch]
+    if ch == 3:
+        rgb = raster.reshape(-1, 3).astype(np.int64)
+        raster = (
+            (299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2]) // 1000
+        ).astype(np.uint8)
+    return w, h, 1, raster
+
+
+def encode_ppm(img: np.ndarray, comment: str | None = None) -> bytes:
+    """Binary PGM (P5) writer for one grayscale frame (h, w) — the
+    inverse of decode_ppm's grayscale path, for tests and fixtures."""
+    h, w = img.shape
+    head = f"P5\n{'# ' + comment + chr(10) if comment else ''}{w} {h}\n255\n"
+    return head.encode("ascii") + np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+
+
 #: Decoder contract for every operator below: callable(blob: bytes) ->
 #: (width, height, n_frames, payload uint8 ndarray of w*h*n_frames).
 #: A PIL/ffmpeg-equipped cluster injects its real codec as this callable
@@ -82,13 +144,18 @@ def _resolve_decoder(decoder, what: str):
         return decoder
     if decoder == "fake":
         return decode_fake
+    if decoder == "ppm":
+        return decode_ppm
     if decoder == "strict":
         raise NotImplementedError(
             f"real {what} requires PIL/ffmpeg (absent from this container); "
             "pass decoder=<callable blob -> (w, h, n_frames, uint8 payload)> "
-            "to plug a codec in, or decoder='fake' for FAKE1 blobs"
+            "to plug a codec in, decoder='ppm' for binary PGM/PPM images, "
+            "or decoder='fake' for FAKE1 blobs"
         )
-    raise ValueError(f"decoder must be 'fake', 'strict', or a callable: {decoder!r}")
+    raise ValueError(
+        f"decoder must be 'fake', 'ppm', 'strict', or a callable: {decoder!r}"
+    )
 
 
 def with_media_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
@@ -270,10 +337,16 @@ def ahash64_hex(blob: bytes, dec=decode_fake) -> str | None:
 
     Shared by `ahash_images` (inside its Arrow batch loop) and by oracle
     generators that need the identical value without a Spark session —
-    the hash is a pure function of the blob bytes."""
+    the hash is a pure function of the blob bytes.
+
+    The hash contract is "None on undecodable": an INJECTED codec is free
+    to signal malformed input with whatever its library raises (PIL's
+    UnidentifiedImageError is an OSError, ffmpeg adapters raise KeyError
+    on container probing, ...), so ANY exception from the decoder maps to
+    None here rather than aborting a whole Spark job mid-batch."""
     try:
         w, h, _fr, payload = dec(bytes(blob))
-    except (ValueError, struct.error):
+    except Exception:
         return None
     img = payload[: w * h].astype(np.float64)
     if img.size < w * h:

@@ -2897,6 +2897,172 @@ WHERE CAST(len(list_filter([la.lv[i] = lb.lv[i] FOR i IN range(1, {MINHASH_K + 1
 """
 
 
+SIMJOIN_MOD, SIMJOIN_TRUNC = 9, 30  # recrawl slice: every 9th doc, -30 chars
+
+
+def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-TABLE fuzzy join (dedup.similarity_join): a mutated recrawl
+    slice (every 9th doc, last 30 chars dropped, ids in their own
+    `query_id` namespace) is matched against the standing corpus by
+    banded MinHash-LSH candidates + lane-agreement verification.  Same
+    candidate algebra as lsh_incremental_dedup but through the public
+    two-table face — left fanout capped by the index-side bucket guard,
+    text never shuffles.  jaccard_est is a ratio of small ints."""
+    from .operators.dedup import similarity_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    recrawl = docs.filter(F.col("doc_id") % SIMJOIN_MOD == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.expr(f"substring(text, 1, n_chars - {SIMJOIN_TRUNC})").alias("text"),
+    )
+    return similarity_join(
+        recrawl,
+        docs,
+        text_col="text",
+        left_id="query_id",
+        right_id="doc_id",
+        threshold=0.5,
+        n_hashes=MINHASH_K,
+        shingle_k=SHINGLE_K,
+        bands=LSH_BANDS,
+        max_bucket=LSH_MAX_BUCKET,
+    )
+
+
+def _sql_similarity_join() -> str:
+    recrawl_sql = f"""
+  SELECT doc_id, substring(text, 1, CAST(n_chars - {SIMJOIN_TRUNC} AS INTEGER)) AS text
+  FROM documents WHERE doc_id % {SIMJOIN_MOD} = 0
+"""
+    isigs = _sql_minhash("documents")
+    nsigs = _sql_minhash(f"({recrawl_sql})")
+
+    def band_sel(src: str) -> str:
+        return "\n  UNION ALL\n  ".join(
+            f"SELECT doc_id, {b} AS band, band_{b} AS band_key FROM {src}"
+            for b in range(LSH_BANDS)
+        )
+
+    return f"""
+WITH isigs AS ({isigs}),
+nsigs AS ({nsigs}),
+ib AS (
+  {band_sel("isigs")}
+),
+nb AS (
+  {band_sel("nsigs")}
+),
+ok AS (
+  -- mirror of the Spark-side index-bucket guard
+  SELECT band, band_key FROM ib GROUP BY band, band_key
+  HAVING count(*) <= {LSH_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS query_id, i.doc_id AS doc_id
+  FROM nb n JOIN ok USING (band, band_key)
+            JOIN ib i USING (band, band_key)
+),
+nl AS (SELECT doc_id, string_split(minhash_sig, ',') AS lv FROM nsigs),
+il AS (SELECT doc_id, string_split(minhash_sig, ',') AS lv FROM isigs)
+SELECT cand.query_id, cand.doc_id,
+       CAST(len(list_filter([la.lv[i] = lb.lv[i] FOR i IN range(1, {MINHASH_K + 1})],
+                            x -> x)) AS DOUBLE) / {MINHASH_K} AS jaccard_est
+FROM cand JOIN nl la ON cand.query_id = la.doc_id
+          JOIN il lb ON cand.doc_id = lb.doc_id
+WHERE CAST(len(list_filter([la.lv[i] = lb.lv[i] FOR i IN range(1, {MINHASH_K + 1})],
+                           x -> x)) AS DOUBLE) / {MINHASH_K} >= 0.5
+"""
+
+
+def q_windowed_digest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver face of the STREAMING windowed-digest operator
+    (streaming.windowed_digest_by): runs it as a real Structured
+    Streaming query — file source over the events parquet, update-mode
+    memory sink, applyInPandasWithState with event-time timeout — then
+    reduces the update stream to each window's final state (max n_rows
+    per (window_start, event_type); update rows for a window are
+    monotone prefixes, so the final one reflects all its data whatever
+    the trigger count).  Tumbling 1-day windows keyed by event_type run
+    in the singleton-exact regime (delta=EVENTS_DAY_DELTA), so q500/q900
+    equal the rank oracle sorted[floor(q*n)] exactly — the same
+    contract the batch digest queries are driver-green on."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from . import streaming as ST
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the parquet stores TIMESTAMP_NTZ; watermarks need TIMESTAMP, and the
+    # UTC session tz (plans.get_spark) makes the cast epoch-identical to
+    # DuckDB's epoch(ts) on the naive value.  The file source wants a
+    # DIRECTORY, so point it at sf_dir with a glob filter for the one file.
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = ST.windowed_digest_by(
+        sdf,
+        "ts",
+        "value",
+        ["event_type"],
+        window="1 day",
+        watermark="10 minutes",
+        delta=EVENTS_DAY_DELTA,
+        qs=(0.5, 0.9),
+    )
+    name = "win_digest_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="win_digest_ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    upd = spark.table(name)
+    w = Window.partitionBy("window_start", "event_type").orderBy(
+        F.col("n_rows").desc(), F.col("closed").asc()
+    )
+    final = (
+        upd.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return final.select(
+        F.col("window_start").cast("long").alias("window_start"),
+        F.col("window_end").cast("long").alias("window_end"),
+        "event_type",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("q500").cast("double").alias("q500"),
+        F.col("q900").cast("double").alias("q900"),
+    )
+
+
+_SQL_WINDOWED_DIGEST_EVENTS = """
+WITH g AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS window_start,
+         list_sort(list(CAST(value AS DOUBLE))) AS xs, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start,
+       window_start + 86400 AS window_end,
+       event_type,
+       CAST(n AS BIGINT) AS n_rows,
+       xs[LEAST(CAST(floor(CAST(0.5 AS DOUBLE) * n) AS BIGINT) + 1, n)] AS q500,
+       xs[LEAST(CAST(floor(CAST(0.9 AS DOUBLE) * n) AS BIGINT) + 1, n)] AS q900
+FROM g
+"""
+
+
 DECON_N, DECON_MIN_OVERLAP, DECON_BENCH_MOD = 8, 2, 13
 
 
@@ -3539,7 +3705,13 @@ def q_random_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL random projection 64 -> 8 dims over the full embeddings table:
     the deterministic md5-derived ±1 matrix is embedded as literals in
     BOTH engines, coordinates are sequential dot folds (bit-identical to
-    DuckDB's list_sum form), elements rounded to 4 for the hash."""
+    DuckDB's list_sum form), elements rounded to 4 for the hash.
+
+    Output is FLATTENED to (vec_id, dim, value) rows — the driver's
+    canonicalizer sorts all output columns in pandas, which cannot
+    factorize ArrayType cells (round-4's only red driver row was exactly
+    this: `TypeError: unhashable type: 'list'`).  Same family as the r3
+    HUGEINT fetch mangle; tests/test_oracle_types.py bans the class."""
     from .operators.similarity import random_project
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -3550,10 +3722,11 @@ def q_random_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     # negative near-zeros, DuckDB's keeps it — both are valid, the hash
     # is not amused
     return out.select(
+        "vec_id", F.posexplode("projected").alias("dim", "value")
+    ).select(
         "vec_id",
-        F.transform("projected", lambda x: F.round(x, 4) + F.lit(0.0)).alias(
-            "projected"
-        ),
+        F.col("dim").cast("int").alias("dim"),
+        (F.round("value", 4) + F.lit(0.0)).alias("value"),
     )
 
 
@@ -3562,19 +3735,20 @@ def _sql_random_project() -> str:
 
     planes = hyperplanes(RP_OUT_DIM, EMB_DIM, seed=42)
     denom = repr(float(RP_OUT_DIM) ** 0.5)
-    coords = []
-    for p in planes:
+    parts = []
+    for d, p in enumerate(planes):
         arr = "[" + ", ".join(f"{float(x):.1f}" for x in p) + "]"
-        coords.append(
+        coord = (
             f"round(list_sum(list_transform(range(1, {EMB_DIM + 1}), "
             f"i -> v[i] * ({arr}::DOUBLE[])[i])) / {denom}, 4) + 0.0"
         )
-    proj = "[" + ",\n        ".join(coords) + "]"
+        parts.append(
+            f"SELECT vec_id, CAST({d} AS INTEGER) AS dim, {coord} AS value FROM e"
+        )
+    union = "\nUNION ALL\n".join(parts)
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-SELECT vec_id,
-       {proj} AS projected
-FROM e
+{union}
 """
 
 
@@ -4018,57 +4192,14 @@ WHERE bit_count(xor(('0x' || a.ahash)::UBIGINT,
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver verifies only the FIRST 50 entries and
+    # regenerates testdata each round — never-driver-green / new faces
+    # lead, then the 32 entries whose last driver row is r2/r3-era,
+    # then 15 r4-green refresh picks; the rest are r4-green.
     return {
-        "bpe_merge_candidates": q_bpe_merge_candidates,
-        "line_dedup_corpus": q_line_dedup_corpus,
-        "span_dedup_corpus": q_span_dedup_corpus,
-        "dsir_weights": q_dsir_weights,
-        "dsir_select": q_dsir_select,
-        "quality_classifier": q_quality_classifier,
-        "lm_nll_bits": q_lm_nll_bits,
-        "bm25_doc_scores": q_bm25_doc_scores,
-        "bm25_topk_docs": q_bm25_topk_docs,
-        "decontaminate_docs": q_decontaminate_docs,
-        "lsh_incremental_dedup": q_lsh_incremental_dedup,
-        "semantic_dedup": q_semantic_dedup,
-        "semantic_contamination": q_semantic_contamination,
-        "cluster_balanced_sample": q_cluster_balanced_sample,
-        "pq_adc_topk": q_pq_adc_topk,
-        "ivf_pq_topk": q_ivf_pq_topk,
-        "ivf_pq_residual_topk": q_ivf_pq_residual_topk,
         "random_project": q_random_project,
-        "gram_embeddings": q_gram_embeddings,
-        "crawl_diff": q_crawl_diff,
-        "ahash_near_pairs": q_ahash_near_pairs,
-        "dedup_exact": q_dedup_exact,
-        "minhash_signatures": q_minhash_signatures,
-        "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
-        "lsh_est_jaccard_pairs": q_lsh_est_jaccard_pairs,
-        "simhash": q_simhash,
-        "simhash_near_pairs": q_simhash_near_pairs,
-        "bloom_membership": q_bloom_membership,
-        "embedding_near_dup": q_embedding_near_dup,
-        "ann_bruteforce_topk": q_ann_bruteforce_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ivf_topk": q_ivf_topk,
-        "binary_meta": q_binary_meta,
-        "tdigest_quantiles_by_lang": q_tdigest_quantiles_by_lang,
-        "tdigest_rollup_events": q_tdigest_rollup_events,
-        "tdigest_agg_sql": q_tdigest_agg_sql,
-        "percentile_enrich_docs": q_percentile_enrich_docs,
-        "kll_quantiles_by_lang": q_kll_quantiles_by_lang,
-        "hll_distinct_users": q_hll_distinct_users,
-        "countmin_user_freq": q_countmin_user_freq,
-        "theta_users_setops": q_theta_users_setops,
-        "loghistogram_events": q_loghistogram_events,
-        "lineitem_pricing_summary": q_lineitem_pricing_summary,
-        "events_asof_join": q_events_asof_join,
-        "events_sessions": q_events_sessions,
-        "heavy_hitter_tokens": q_heavy_hitter_tokens,
-        "doc_quality": q_doc_quality,
-        "gopher_repetition": q_gopher_repetition,
-        "host_quota_topk": q_host_quota_topk,
-        "token_freq_udtf": q_token_freq_udtf,
+        "similarity_join": q_similarity_join,
+        "windowed_digest_events": q_windowed_digest_events,
         "tdigest_cdf_by_lang": q_tdigest_cdf_by_lang,
         "tdigest_drift_by_lang": q_tdigest_drift_by_lang,
         "tdigest_trimmed_mean_by_lang": q_tdigest_trimmed_mean_by_lang,
@@ -4101,61 +4232,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngram_flags": q_boilerplate_ngram_flags,
         "source_set_ops": q_source_set_ops,
         "bucketed_join": q_bucketed_join,
+        "tdigest_quantiles_by_lang": q_tdigest_quantiles_by_lang,
+        "tdigest_rollup_events": q_tdigest_rollup_events,
+        "tdigest_agg_sql": q_tdigest_agg_sql,
+        "percentile_enrich_docs": q_percentile_enrich_docs,
+        "lineitem_pricing_summary": q_lineitem_pricing_summary,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
+        "dedup_exact": q_dedup_exact,
+        "semantic_dedup": q_semantic_dedup,
+        "pq_adc_topk": q_pq_adc_topk,
+        "ivf_pq_topk": q_ivf_pq_topk,
+        "bm25_topk_docs": q_bm25_topk_docs,
+        "decontaminate_docs": q_decontaminate_docs,
+        "gram_embeddings": q_gram_embeddings,
+        "bpe_merge_candidates": q_bpe_merge_candidates,
+        "line_dedup_corpus": q_line_dedup_corpus,
+        "span_dedup_corpus": q_span_dedup_corpus,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
+        "quality_classifier": q_quality_classifier,
+        "lm_nll_bits": q_lm_nll_bits,
+        "bm25_doc_scores": q_bm25_doc_scores,
+        "lsh_incremental_dedup": q_lsh_incremental_dedup,
+        "semantic_contamination": q_semantic_contamination,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
+        "ivf_pq_residual_topk": q_ivf_pq_residual_topk,
+        "crawl_diff": q_crawl_diff,
+        "ahash_near_pairs": q_ahash_near_pairs,
+        "lsh_est_jaccard_pairs": q_lsh_est_jaccard_pairs,
+        "simhash": q_simhash,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "bloom_membership": q_bloom_membership,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_bruteforce_topk": q_ann_bruteforce_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "binary_meta": q_binary_meta,
+        "kll_quantiles_by_lang": q_kll_quantiles_by_lang,
+        "hll_distinct_users": q_hll_distinct_users,
+        "countmin_user_freq": q_countmin_user_freq,
+        "theta_users_setops": q_theta_users_setops,
+        "loghistogram_events": q_loghistogram_events,
+        "events_asof_join": q_events_asof_join,
+        "events_sessions": q_events_sessions,
+        "heavy_hitter_tokens": q_heavy_hitter_tokens,
+        "doc_quality": q_doc_quality,
+        "gopher_repetition": q_gopher_repetition,
+        "host_quota_topk": q_host_quota_topk,
+        "token_freq_udtf": q_token_freq_udtf,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "bpe_merge_candidates": _sql_bpe_merge_candidates(),
-        "line_dedup_corpus": _SQL_LINE_DEDUP_CORPUS,
-        "span_dedup_corpus": _SQL_SPAN_DEDUP_CORPUS,
-        "dsir_weights": _SQL_DSIR_WEIGHTS,
-        "dsir_select": _SQL_DSIR_SELECT,
-        "quality_classifier": _SQL_QUALITY_CLASSIFIER,
-        "lm_nll_bits": _SQL_LM_NLL_BITS,
-        "bm25_doc_scores": _sql_bm25_doc_scores(),
-        "bm25_topk_docs": _sql_bm25_topk_docs(),
-        "decontaminate_docs": _sql_decontaminate_docs(),
-        "lsh_incremental_dedup": _sql_lsh_incremental_dedup(),
-        "semantic_dedup": _SQL_SEMANTIC_DEDUP,
-        "semantic_contamination": _SQL_SEMANTIC_CONTAMINATION,
-        "cluster_balanced_sample": _SQL_CLUSTER_BALANCED_SAMPLE,
-        "pq_adc_topk": _sql_pq_adc_topk(),
-        "ivf_pq_topk": _sql_ivf_pq_topk(),
-        "ivf_pq_residual_topk": _sql_ivf_pq_residual_topk(),
         "random_project": _sql_random_project(),
-        "gram_embeddings": _sql_gram_embeddings(),
-        "crawl_diff": _SQL_CRAWL_DIFF,
-        "ahash_near_pairs": _sql_ahash_near_pairs(),
-        "dedup_exact": _SQL_DEDUP_EXACT,
-        "minhash_signatures": _sql_minhash(),
-        "lsh_near_dup_pairs": _sql_lsh_near_dup_pairs(),
-        "lsh_est_jaccard_pairs": _sql_lsh_est_jaccard_pairs(),
-        "simhash": _sql_simhash(),
-        "simhash_near_pairs": _sql_simhash_near_pairs(),
-        "bloom_membership": _sql_bloom_membership(),
-        "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
-        "ann_bruteforce_topk": _SQL_ANN_BRUTEFORCE,
-        "ann_lsh_topk": _sql_ann_lsh(),
-        "ivf_topk": _SQL_IVF_TOPK,
-        "binary_meta": _SQL_BINARY_META,
-        "tdigest_quantiles_by_lang": _SQL_QUANTILES_BY_LANG,
-        "tdigest_rollup_events": _SQL_ROLLUP_EVENTS,
-        "tdigest_agg_sql": _SQL_AGG_SQL,
-        "percentile_enrich_docs": _SQL_PERCENTILE_ENRICH_DOCS,
-        "kll_quantiles_by_lang": _SQL_KLL_QUANTILES,
-        "hll_distinct_users": _sql_hll_distinct_users(),
-        "countmin_user_freq": _sql_countmin_user_freq(),
-        "theta_users_setops": _SQL_THETA_USERS_SETOPS,
-        "loghistogram_events": _sql_loghistogram_events(),
-        "lineitem_pricing_summary": _SQL_PRICING_SUMMARY,
-        "events_asof_join": _SQL_EVENTS_ASOF_JOIN,
-        "events_sessions": _SQL_EVENTS_SESSIONS,
-        "heavy_hitter_tokens": _SQL_HEAVY_HITTER_TOKENS,
-        "doc_quality": _sql_doc_quality(),
-        "gopher_repetition": _sql_gopher_repetition(),
-        "host_quota_topk": _SQL_HOST_QUOTA_TOPK,
-        "token_freq_udtf": _SQL_TOKEN_FREQ_UDTF,
+        "similarity_join": _sql_similarity_join(),
+        "windowed_digest_events": _SQL_WINDOWED_DIGEST_EVENTS,
         "tdigest_cdf_by_lang": _SQL_CDF_BY_LANG,
         "tdigest_drift_by_lang": _SQL_DRIFT_BY_LANG,
         "tdigest_trimmed_mean_by_lang": _SQL_TRIMMED_MEAN_BY_LANG,
@@ -4188,6 +4321,55 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_ngram_flags": _sql_boilerplate_ngram_flags(),
         "source_set_ops": _SQL_SOURCE_SET_OPS,
         "bucketed_join": _SQL_BUCKETED_JOIN,
+        "tdigest_quantiles_by_lang": _SQL_QUANTILES_BY_LANG,
+        "tdigest_rollup_events": _SQL_ROLLUP_EVENTS,
+        "tdigest_agg_sql": _SQL_AGG_SQL,
+        "percentile_enrich_docs": _SQL_PERCENTILE_ENRICH_DOCS,
+        "lineitem_pricing_summary": _SQL_PRICING_SUMMARY,
+        "minhash_signatures": _sql_minhash(),
+        "lsh_near_dup_pairs": _sql_lsh_near_dup_pairs(),
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "semantic_dedup": _SQL_SEMANTIC_DEDUP,
+        "pq_adc_topk": _sql_pq_adc_topk(),
+        "ivf_pq_topk": _sql_ivf_pq_topk(),
+        "bm25_topk_docs": _sql_bm25_topk_docs(),
+        "decontaminate_docs": _sql_decontaminate_docs(),
+        "gram_embeddings": _sql_gram_embeddings(),
+        "bpe_merge_candidates": _sql_bpe_merge_candidates(),
+        "line_dedup_corpus": _SQL_LINE_DEDUP_CORPUS,
+        "span_dedup_corpus": _SQL_SPAN_DEDUP_CORPUS,
+        "dsir_weights": _SQL_DSIR_WEIGHTS,
+        "dsir_select": _SQL_DSIR_SELECT,
+        "quality_classifier": _SQL_QUALITY_CLASSIFIER,
+        "lm_nll_bits": _SQL_LM_NLL_BITS,
+        "bm25_doc_scores": _sql_bm25_doc_scores(),
+        "lsh_incremental_dedup": _sql_lsh_incremental_dedup(),
+        "semantic_contamination": _SQL_SEMANTIC_CONTAMINATION,
+        "cluster_balanced_sample": _SQL_CLUSTER_BALANCED_SAMPLE,
+        "ivf_pq_residual_topk": _sql_ivf_pq_residual_topk(),
+        "crawl_diff": _SQL_CRAWL_DIFF,
+        "ahash_near_pairs": _sql_ahash_near_pairs(),
+        "lsh_est_jaccard_pairs": _sql_lsh_est_jaccard_pairs(),
+        "simhash": _sql_simhash(),
+        "simhash_near_pairs": _sql_simhash_near_pairs(),
+        "bloom_membership": _sql_bloom_membership(),
+        "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
+        "ann_bruteforce_topk": _SQL_ANN_BRUTEFORCE,
+        "ann_lsh_topk": _sql_ann_lsh(),
+        "ivf_topk": _SQL_IVF_TOPK,
+        "binary_meta": _SQL_BINARY_META,
+        "kll_quantiles_by_lang": _SQL_KLL_QUANTILES,
+        "hll_distinct_users": _sql_hll_distinct_users(),
+        "countmin_user_freq": _sql_countmin_user_freq(),
+        "theta_users_setops": _SQL_THETA_USERS_SETOPS,
+        "loghistogram_events": _sql_loghistogram_events(),
+        "events_asof_join": _SQL_EVENTS_ASOF_JOIN,
+        "events_sessions": _SQL_EVENTS_SESSIONS,
+        "heavy_hitter_tokens": _SQL_HEAVY_HITTER_TOKENS,
+        "doc_quality": _sql_doc_quality(),
+        "gopher_repetition": _sql_gopher_repetition(),
+        "host_quota_topk": _SQL_HOST_QUOTA_TOPK,
+        "token_freq_udtf": _SQL_TOKEN_FREQ_UDTF,
     }
 
 

@@ -76,3 +76,37 @@ def test_no_oracle_output_column_is_hugeint():
         "oracle output columns wider than 64-bit integers (driver fetch "
         f"mangles int128; CAST to BIGINT): {offenders}"
     )
+
+
+def test_no_oracle_output_column_is_nested():
+    """Round 4's only red driver row: the driver canonicalizes results by
+    sorting all output columns in pandas, and ``sort_values`` cannot
+    factorize list cells (``TypeError: unhashable type: 'list'``) — so an
+    ArrayType/Struct/Map output column is local-green / driver-red even
+    when values are identical (``random_project``, since flattened to
+    (vec_id, dim, value) rows).  Ban the CLASS: no oracle output column
+    may be a LIST (``T[]`` / ``T[n]``), STRUCT, MAP, or UNION type.
+    Every queries() entry has an oracle and must column-match it, so the
+    DuckDB-side DESCRIBE covers the Spark side too — in milliseconds."""
+    sf_dir = SF_DIRS[0]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    offenders = {}
+    for name, sql in Q.oracle_sql().items():
+        cols = con.execute("DESCRIBE " + sql).fetchall()
+        flagged = [
+            (c[0], c[1])
+            for c in cols
+            if "[" in c[1]
+            or any(k in c[1].upper() for k in ("STRUCT", "MAP(", "UNION("))
+        ]
+        if flagged:
+            offenders[name] = flagged
+    assert not offenders, (
+        "nested oracle output columns (driver pandas sort_values cannot "
+        f"hash list/struct/map cells; flatten the query face): {offenders}"
+    )

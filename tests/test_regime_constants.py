@@ -210,3 +210,69 @@ def test_gram_quantization_cannot_overflow_int64(sf_dir):
     assert n * qmax * qmax < 2**62, (
         f"gram sum bound {n * qmax * qmax} approaches int64 at {sf_dir}"
     )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_semantic_dedup_cells_stay_under_max_cell(sf_dir):
+    """q_semantic_dedup leaves the operator's max_cell safety guard at its
+    default (20k), and its DuckDB oracle has NO corresponding cap — so the
+    two diverge the moment a regenerated embeddings table grows a cell
+    past the cap (over-cap cells come back keep=True on the Spark side
+    only).  Recompute per-cell counts with the oracle's own assignment CTE
+    and assert the biggest cell clears the cap with the 2x margin."""
+    import inspect
+
+    from tdigest_spark.operators.similarity import semantic_dedup
+
+    default_cap = inspect.signature(semantic_dedup).parameters["max_cell"].default
+    if default_cap is None:
+        return
+    emb = f"'{sf_dir}/embeddings.parquet'"
+    con = duckdb.connect()
+    max_cell_n = _one(
+        con,
+        f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {emb}
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.01)
+  FROM {emb} WHERE vec_id % {Q.EMB_SCALE_MOD} = 0
+),
+cents AS (SELECT CAST(vec_id AS INTEGER) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          FROM {emb} WHERE vec_id % {Q.IVF_CENT_MOD} = 1),
+assigned AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT base.vec_id, cents.cid,
+           row_number() OVER (PARTITION BY base.vec_id
+                              ORDER BY list_cosine_similarity(base.v, cents.cv) DESC,
+                                       cents.cid ASC) AS rk
+    FROM base CROSS JOIN cents
+  ) WHERE rk = 1
+)
+SELECT max(c) FROM (SELECT count(*) AS c FROM assigned GROUP BY cell)
+""",
+    )
+    assert default_cap >= MARGIN * max_cell_n, (
+        f"semantic_dedup max_cell={default_cap} vs biggest actual cell "
+        f"{max_cell_n} at {sf_dir} — the oracle has no cap, fix the query"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_truncation_constants_stay_below_min_doc_length(sf_dir):
+    """lsh_incremental_dedup (n_chars - 20) and similarity_join
+    (n_chars - SIMJOIN_TRUNC) build their recrawl slices by truncating
+    text; a regenerated corpus with a doc SHORTER than the truncation
+    yields an empty-string slice whose shingle/minhash path is the one
+    spot the Spark and DuckDB formulations were never proven equal on.
+    Keep a small absolute slack above the largest truncation."""
+    con = duckdb.connect()
+    min_chars = _one(
+        con, f"SELECT min(n_chars) FROM '{sf_dir}/documents.parquet'"
+    )
+    biggest_trunc = max(20, Q.SIMJOIN_TRUNC)
+    assert min_chars >= biggest_trunc + 5, (
+        f"min n_chars {min_chars} at {sf_dir} within {biggest_trunc}+5 of "
+        "the recrawl truncation — empty-slice parity is unproven"
+    )

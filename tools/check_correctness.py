@@ -5,7 +5,28 @@ matching oracle_sql() in DuckDB over the same parquet, then compares
 row count, column names, and an order-insensitive value hash (columns
 sorted by name, rows sorted, floats via repr).
 
-Usage: python scripts/check_oracle.py [query_name ...]
+In addition to the exact fetchall() compare, every query also goes
+through a DRIVER-PARITY pass that canonicalizes through the driver's
+fetch path — pandas frames + ``sort_values`` over all columns — because
+both historical local-green/driver-red rows were fetch-path divergences
+invisible to fetchall():
+
+- round 3 ``bpe_merge_candidates``: DuckDB widens integer sums to
+  HUGEINT (int128); ``fetchall()`` yields exact Python ints, but the
+  pandas fetch mangles int128 to float64/object while Spark's BIGINT
+  stays integral -> silent value-hash mismatch on the driver only.
+- round 4 ``random_project``: ArrayType output; pandas ``sort_values``
+  cannot factorize list cells -> driver ``err`` while local tuples
+  compare fine.
+
+The parity pass fetches DuckDB via ``res.df()`` (the real lossy path)
+and rebuilds the Spark side as a pandas frame from the already-collected
+rows (pandas applies the same ints-with-None -> float64 inference the
+driver's Arrow fetch does, and list cells break ``sort_values``
+identically — without re-running the Spark job).  Pass ``--no-parity``
+to skip it.
+
+Usage: python tools/check_correctness.py [--no-parity] [query_name ...]
 """
 
 from __future__ import annotations
@@ -45,11 +66,88 @@ def canon(rows, cols):
     return sorted(out)
 
 
+def _canon_pandas(pdf):
+    """The driver's canonicalization: reorder columns by name, sort rows
+    by ALL columns (raises TypeError on list/struct cells — exactly like
+    the driver did on round 4's ArrayType output), then normalize cells
+    through the pandas dtypes the lossy fetch produced."""
+    import pandas as pd
+
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    out = []
+    for row in pdf.itertuples(index=False, name=None):
+        out.append(tuple(_norm_pandas_cell(v) for v in row))
+    return out
+
+
+def _norm_pandas_cell(v):
+    import datetime as dt
+    from decimal import Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
+        return "NULL"
+    # DATE columns: Spark rows carry datetime.date, DuckDB's .df() carries
+    # midnight datetime64 — on the real driver BOTH sides go through the
+    # same Arrow/pandas mapping, so fold them to one form here
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, dt.datetime):
+        if (
+            v.tzinfo is None
+            and v.hour == v.minute == v.second == v.microsecond == 0
+        ):
+            return v.date().isoformat()
+        return v.isoformat(sep=" ")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    # DECIMAL: Spark-side rows carry Decimal objects, DuckDB .df() carries
+    # float64 — the driver treats the pair as equal (decimal queries have
+    # been driver-green since round 1), so float both.  Exactness is still
+    # enforced by the fetchall() compare; parity only hunts dtype mangles.
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "NaN" if f != f else repr(f)
+    if isinstance(v, (bool, np.bool_)):
+        return str(int(v))
+    if isinstance(v, np.integer):
+        return str(int(v))
+    return str(v)
+
+
+def driver_parity_check(spark_rows, spark_cols, duck_res):
+    """Compare through the driver's fetch path; returns a problem string
+    or None.  Spark side: pandas frame built from the collected rows
+    (same ints-with-None -> float64 inference as the driver's Arrow
+    fetch).  DuckDB side: ``res.df()`` — the path that turns HUGEINT
+    into float64/object and NULL-able ints into float64."""
+    import pandas as pd
+
+    try:
+        spdf = pd.DataFrame(spark_rows, columns=spark_cols)
+        ddf = duck_res.df()
+        a = _canon_pandas(spdf)
+        b = _canon_pandas(ddf)
+    except Exception as e:
+        return f"parity canonicalization error ({type(e).__name__}: {e})"
+    if a != b:
+        diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+        return f"parity values differ; first diffs={diffs}"
+    return None
+
+
 def main():
     import __spark_entry__ as se
     from tdigest_spark.plans import get_spark
 
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    parity = "--no-parity" not in args
+    only = {a for a in args if not a.startswith("--")}
     spark = get_spark(master="local[8]", app_name="oracle-check", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -100,6 +198,12 @@ def main():
                 extra_b = [r for r in b if r not in set(a)][:2]
                 problems.append(f"values differ; first diffs={diffs} "
                                 f"spark-only={extra_a} duck-only={extra_b}")
+        if not problems and parity:
+            p = driver_parity_check(
+                spark_rows, spark_cols, con.execute(oracles[name])
+            )
+            if p:
+                problems.append(p)
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             failures.append(name)
