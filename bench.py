@@ -537,6 +537,21 @@ def main() -> None:
         ).count(),
     )
 
+    # 15. two-table fuzzy similarity join (recrawl slice vs corpus; the
+    #     round-5 driver face of dedup.similarity_join)
+    bench(
+        "similarity_join",
+        lambda: Q.q_similarity_join(spark, SF_DIR).count(),
+    )
+
+    # 16. streaming windowed-digest face: a REAL streaming query (file
+    #     source -> applyInPandasWithState -> update-mode memory sink)
+    #     timed end-to-end including stream startup + checkpoint cost
+    bench(
+        "windowed_digest_stream",
+        lambda: Q.q_windowed_digest_events(spark, SF_DIR).count(),
+    )
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_suite_sec",

@@ -80,7 +80,11 @@ def main() -> None:
         minhash_signatures,
     )
     from tdigest_spark.plans import get_spark
-    from tdigest_spark.sources.manifest import write_observed
+    from tdigest_spark.sources.manifest import (
+        _fs_read_bytes,
+        _fs_write_bytes,
+        write_observed,
+    )
 
     spark = get_spark(app_name="incremental-crawl")
     spark.sparkContext.setLogLevel("ERROR")
@@ -169,13 +173,52 @@ def main() -> None:
         same_snapshot = [
             i for i in existing_ids if i % (1 << _HASH_BITS) == suffix
         ]
-        if same_snapshot:
-            batch_id = max(same_snapshot)
-        else:
+
+        def _fresh_id() -> int:
             nxt = 1 + max(
                 (i >> _HASH_BITS for i in existing_ids), default=0
             )
-            batch_id = (nxt << _HASH_BITS) | suffix
+            return (nxt << _HASH_BITS) | suffix
+
+        if same_snapshot:
+            # Identity is only a 48-bit hash prefix; before reusing the
+            # id (and thereby excluding that batch's signatures from the
+            # dedup read + overwriting its dir) verify the FULL snapshot
+            # string against the batch's _snapshot sidecar.  A suffix
+            # collision between two different snapshots (~2^-48 per pair
+            # but SILENT data loss when it fires) allocates a fresh
+            # sequence id instead; a pre-sidecar batch logs the reuse
+            # decision with both strings.
+            cand = max(same_snapshot)
+            side = _fs_read_bytes(
+                spark, f"{args.index_dir}/batch={cand:020d}__dir/_snapshot"
+            )
+            if side is not None and side.decode("utf-8") != args.new_snapshot:
+                print(
+                    json.dumps({
+                        "warn": "snapshot id-suffix collision; allocating "
+                                "a fresh batch id",
+                        "existing_snapshot": side.decode("utf-8"),
+                        "new_snapshot": args.new_snapshot,
+                        "batch_id_not_reused": cand,
+                    }),
+                    file=sys.stderr,
+                )
+                batch_id = _fresh_id()
+            else:
+                if side is None:
+                    print(
+                        json.dumps({
+                            "info": "reusing batch id by 48-bit suffix "
+                                    "(no _snapshot sidecar to verify)",
+                            "new_snapshot": args.new_snapshot,
+                            "batch_id": cand,
+                        }),
+                        file=sys.stderr,
+                    )
+                batch_id = cand
+        else:
+            batch_id = _fresh_id()
 
     # Path-level exclusion of the current batch's own directory: the
     # rerun path must not READ a directory it is about to OVERWRITE —
@@ -236,6 +279,13 @@ def main() -> None:
         .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
         .write.mode("overwrite")
         .parquet(f"{args.index_dir}/{tag}")
+    )
+    # full-snapshot identity sidecar, written AFTER the overwrite (the
+    # overwrite deletes the dir) and via the Hadoop FS API (hdfs/s3a
+    # outputs); underscore-prefixed so parquet readers ignore it
+    _fs_write_bytes(
+        spark, f"{args.index_dir}/{tag}/_snapshot",
+        args.new_snapshot.encode("utf-8"),
     )
     report["index_batch"] = tag
     report["sec_write"] = round(time.perf_counter() - t, 1)

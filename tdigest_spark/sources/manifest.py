@@ -98,9 +98,15 @@ def _fs_write_bytes(spark: SparkSession, path: str, data: bytes) -> None:
     complete write" — an in-place create() that dies mid-stream would
     leave a partial JSON that read_manifest raises on instead of
     returning None (resume would hard-fail rather than redo the stage)."""
+    import uuid
+
     fs, jp = _fs_path(spark, path)
+    # uuid-suffixed temp name: two concurrent writers to the same path
+    # each rename THEIR OWN complete temp file into place (last rename
+    # wins whole) instead of cross-renaming each other's partial
+    # .inprogress; the rename stays the commit point
     tmp = spark._jvm.org.apache.hadoop.fs.Path(  # type: ignore[union-attr]
-        path + ".inprogress"
+        f"{path}.inprogress.{uuid.uuid4().hex[:12]}"
     )
     stream = fs.create(tmp, True)
     try:

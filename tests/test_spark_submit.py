@@ -208,6 +208,15 @@ def test_incremental_crawl_job_two_months(spark, tmp_path):
     assert urls1 == {"u1", "u3"} and urls2 == {"u3", "u5"}
     assert (id2 >> 48) == (id1 >> 48) + 1
 
+    # full-snapshot identity sidecars: batch-id reuse is verified against
+    # the complete snapshot string, not just its 48-bit hash (a suffix
+    # collision between different snapshots would otherwise silently
+    # reuse/overwrite the earlier batch)
+    for bid, snap in ((id1, m1), (id2, m2)):
+        side = os.path.join(index_dir, f"batch={bid:020d}__dir", "_snapshot")
+        assert os.path.isfile(side), side
+        assert open(side).read() == snap
+
 
 @pytest.mark.slow
 def test_corpus_pipeline_distill_classifier(spark, tmp_path):

@@ -103,17 +103,39 @@ def main() -> None:
 
         corpus_dir = f"/tmp/tdigest_ann_recall_{args.rows}"
         n_files = (args.rows + CHUNK - 1) // CHUNK
-        done = len(
-            [f for f in os.listdir(corpus_dir)]
-            if os.path.isdir(corpus_dir) else []
+        # cache validity = commit marker, not a bare file count: a crashed
+        # prior generation can leave n_files with a truncated tail part,
+        # and stray files over-count.  Pre-marker corpora are adopted only
+        # after a metadata-level row-count audit (cheap: parquet footers).
+        marker = os.path.join(corpus_dir, "_SUCCESS")
+        part_files = (
+            sorted(
+                f for f in os.listdir(corpus_dir)
+                if f.startswith("part") and f.endswith(".parquet")
+            )
+            if os.path.isdir(corpus_dir)
+            else []
         )
+        complete = os.path.isfile(marker) and len(part_files) == n_files
+        if not complete and len(part_files) == n_files:
+            try:
+                total = sum(
+                    papq.ParquetFile(os.path.join(corpus_dir, f)).metadata.num_rows
+                    for f in part_files
+                )
+                if total == args.rows:
+                    with open(marker, "w"):
+                        pass
+                    complete = True
+            except Exception:
+                complete = False
         parts = []
         for f in range(n_files):
             lo, hi = f * CHUNK, min((f + 1) * CHUNK, args.rows)
             Xc = chunk_vectors(f, lo, hi)
             parts.append(Xc)
             path = os.path.join(corpus_dir, f"part{f:04d}.parquet")
-            if done != n_files:
+            if not complete:
                 os.makedirs(corpus_dir, exist_ok=True)
                 t = pa.table({
                     "vec_id": pa.array(np.arange(lo, hi, dtype=np.int64)),
@@ -122,6 +144,9 @@ def main() -> None:
                     ),
                 })
                 papq.write_table(t, path)
+        if not complete:
+            with open(marker, "w"):
+                pass
         X = np.concatenate(parts)
         del parts
         emb = spark.read.parquet(corpus_dir).select(
