@@ -40,7 +40,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession, functions as F
 
 
-def main() -> None:
+def build_parser():
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
@@ -113,7 +113,10 @@ def main() -> None:
                          "instead of re-scanning the corpus (stage-level "
                          "counterpart of tdigest_spark.checkpoint's "
                          "split-level resume)")
-    args = ap.parse_args()
+    return ap
+
+
+def validate_args(ap, args) -> None:
     if args.span_dedup_k == 1:
         # fail BEFORE the Spark session: the operator rejects k < 2, and
         # hitting that at stage 3.4 would discard an hour of upstream work
@@ -123,15 +126,12 @@ def main() -> None:
         # extract/quality/dedup/decon had already run for hours
         ap.error("--distill-classifier requires --score")
 
-    spark = (
-        SparkSession.builder.appName("tdigest-corpus-pipeline")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.adaptive.enabled", "true")
-        # local-mode default; a cluster submit overrides via --conf/--driver-memory
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
-        .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
-        .getOrCreate()
-    )
+
+def run(spark, args) -> dict:
+    """The whole pipeline on a CALLER-provided session; returns the
+    report dict main() prints.  Importable so a driver program (or a
+    test) can run/resume the pipeline without a spark-submit JVM
+    launch: ``run(spark, build_parser().parse_args([...]))``."""
     from pyspark import StorageLevel
 
     from tdigest_spark import sketches as SK
@@ -538,6 +538,23 @@ def main() -> None:
     _mark("write")
     report["sec_total"] = round(_time.perf_counter() - _t0, 1)
     report["output"] = args.output
+    return report
+
+
+def main() -> None:
+    ap = build_parser()
+    args = ap.parse_args()
+    validate_args(ap, args)
+    spark = (
+        SparkSession.builder.appName("tdigest-corpus-pipeline")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        # local-mode default; a cluster submit overrides via --conf/--driver-memory
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
+        .getOrCreate()
+    )
+    report = run(spark, args)
     print(json.dumps(report))
     spark.stop()
 

@@ -45,7 +45,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
+def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser()
     ap.add_argument("--prev-snapshot", default=None,
                     help="previous crawl parquet (url, text, ...); omit on "
@@ -67,8 +67,14 @@ def main() -> None:
     ap.add_argument("--max-bucket", type=int, default=1000)
     ap.add_argument("--minhash-lane", default="md5",
                     choices=("md5", "xxhash64", "rolling"))
-    args = ap.parse_args()
+    return ap
 
+
+def run(spark, args) -> dict:
+    """The whole job on a CALLER-provided session; returns the report
+    dict main() prints.  Importable so a driver program (or a test) can
+    fold increments programmatically without a spark-submit round-trip:
+    ``run(spark, build_parser().parse_args([...]))``."""
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
@@ -79,15 +85,12 @@ def main() -> None:
         lsh_candidate_pairs,
         minhash_signatures,
     )
-    from tdigest_spark.plans import get_spark
     from tdigest_spark.sources.manifest import (
         _fs_read_bytes,
         _fs_write_bytes,
         write_observed,
     )
 
-    spark = get_spark(app_name="incremental-crawl")
-    spark.sparkContext.setLogLevel("ERROR")
     report: dict = {}
     t0 = time.perf_counter()
 
@@ -291,6 +294,16 @@ def main() -> None:
     report["sec_write"] = round(time.perf_counter() - t, 1)
     report["sec_total"] = round(time.perf_counter() - t0, 1)
     report["output"] = args.output
+    return report
+
+
+def main() -> None:
+    from tdigest_spark.plans import get_spark
+
+    args = build_parser().parse_args()
+    spark = get_spark(app_name="incremental-crawl")
+    spark.sparkContext.setLogLevel("ERROR")
+    report = run(spark, args)
     print(json.dumps(report))
     spark.stop()
 

@@ -16,6 +16,21 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def load_job(name):
+    """Import a jobs/<name>.py module by path (jobs/ is not a package);
+    gives tests the importable run(spark, args) face so job LOGIC runs
+    on the shared session while the CLI shape is proven once per file
+    by a real subprocess."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REPO, "jobs", f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 @pytest.mark.slow
 def test_spark_submit_py_files_zip(spark, tmp_path):
     # tiny deterministic webpages table
@@ -75,6 +90,7 @@ def test_corpus_pipeline_stage_resume(spark, tmp_path):
     resume = str(tmp_path / "resume")
 
     def run(outdir, extra=()):
+        """CLI subprocess — proves the spark-submit entry shape."""
         env = dict(os.environ)
         env["SPARK_DRIVER_MEM"] = "2g"
         proc = subprocess.run(
@@ -88,15 +104,24 @@ def test_corpus_pipeline_stage_resume(spark, tmp_path):
         )
         return proc
 
+    def run_inproc(outdir, extra=()):
+        """Same pipeline via the importable run(spark, args) face on the
+        shared session — resume-logic coverage without a JVM launch."""
+        job = load_job("corpus_pipeline_job")
+        args = job.build_parser().parse_args([
+            "--input", inp, "--output", str(tmp_path / outdir),
+            "--verify", "estimate", "--span-dedup-k", "6",
+            "--resume-dir", resume, *extra,
+        ])
+        return job.run(spark, args)
+
     p1 = run("out1")
     assert p1.returncode == 0, p1.stderr[-3000:]
     r1 = json.loads(p1.stdout.strip().splitlines()[-1])
     assert r1["checkpointed_stages"] == ["quality", "curated"]
     assert "resumed_stages" not in r1
 
-    p2 = run("out2")
-    assert p2.returncode == 0, p2.stderr[-3000:]
-    r2 = json.loads(p2.stdout.strip().splitlines()[-1])
+    r2 = run_inproc("out2")
     assert r2["resumed_stages"] == ["quality", "curated"]
     # skipped sections never ran: their counters are absent from run 2
     assert "n_exact_unique" not in r2 and "n_near_dup_pairs" not in r2
@@ -108,9 +133,8 @@ def test_corpus_pipeline_stage_resume(spark, tmp_path):
     assert len(ids(a)) > 0
 
     # changed upstream args must refuse the stale checkpoint
-    p3 = run("out3", extra=("--min-tokens", "25"))
-    assert p3.returncode != 0
-    assert "different args" in (p3.stderr + p3.stdout)
+    with pytest.raises(SystemExit, match="different args"):
+        run_inproc("out3", extra=("--min-tokens", "25"))
 
 
 @pytest.mark.slow
@@ -144,6 +168,7 @@ def test_incremental_crawl_job_two_months(spark, tmp_path):
     index_dir = str(tmp_path / "idx")
 
     def run(new, prev, outdir):
+        """CLI subprocess — proves the spark-submit entry shape."""
         env = dict(os.environ)
         env["SPARK_DRIVER_MEM"] = "2g"
         env["SPARK_GRAFT_CPUS"] = "8"
@@ -160,6 +185,18 @@ def test_incremental_crawl_job_two_months(spark, tmp_path):
         assert proc.returncode == 0, proc.stderr[-3000:]
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
+    def run_inproc(new, prev, outdir):
+        """Same job via the importable run(spark, args) face on the shared
+        session — job LOGIC coverage without a ~12 s JVM launch each."""
+        job = load_job("incremental_crawl_job")
+        argv = [
+            "--new-snapshot", new, "--index-dir", index_dir,
+            "--output", str(tmp_path / outdir),
+        ]
+        if prev:
+            argv += ["--prev-snapshot", prev]
+        return job.run(spark, job.build_parser().parse_args(argv))
+
     r1 = run(m1, None, "out1")
     assert r1["n_increment"] == 3
     assert r1["n_dropped_within"] == 1          # u2 dups u1 (min url wins)
@@ -173,7 +210,7 @@ def test_incremental_crawl_job_two_months(spark, tmp_path):
     # against its own previously-appended signatures (that would emit an
     # empty output over the good one) — the snapshot-derived batch id
     # self-excludes on the index read
-    r1b = run(m1, None, "out1b")
+    r1b = run_inproc(m1, None, "out1b")
     assert r1b["n_emitted"] == 2 == r1b["manifest_rows"]
     out1b = sorted(
         r["url"]
@@ -181,7 +218,7 @@ def test_incremental_crawl_job_two_months(spark, tmp_path):
     )
     assert out1b == ["u1", "u3"]
 
-    r2 = run(m2, m1, "out2")
+    r2 = run_inproc(m2, m1, "out2")
     assert r2["diff_counts"] == {"same": 1, "changed": 1, "new": 2, "gone": 1}
     assert r2["n_increment"] == 3               # u3 changed, u9 + u5 new
     assert r2["n_dropped_vs_index"] == 1        # u9 dups indexed u1
@@ -228,19 +265,14 @@ def test_corpus_pipeline_distill_classifier(spark, tmp_path):
     inp = str(tmp_path / "wp")
     write_webpages(spark, 400, inp)
     outdir = str(tmp_path / "out")
-    env = dict(os.environ)
-    env["SPARK_DRIVER_MEM"] = "2g"
-    proc = subprocess.run(
-        [
-            "python", os.path.join(REPO, "jobs", "corpus_pipeline_job.py"),
-            "--input", inp, "--output", outdir,
-            "--verify", "estimate", "--score", "--distill-classifier",
-            "--distill-buckets", "4096", "--distill-epochs", "2",
-        ],
-        capture_output=True, text=True, timeout=420, cwd=REPO, env=env,
-    )
-    assert proc.returncode == 0, proc.stderr[-3000:]
-    rep = json.loads(proc.stdout.strip().splitlines()[-1])
+    # in-process via run(spark, args): the pipeline's CLI subprocess shape
+    # is proven by test_corpus_pipeline_stage_resume's first run
+    job = load_job("corpus_pipeline_job")
+    rep = job.run(spark, job.build_parser().parse_args([
+        "--input", inp, "--output", outdir,
+        "--verify", "estimate", "--score", "--distill-classifier",
+        "--distill-buckets", "4096", "--distill-epochs", "2",
+    ]))
     assert rep["distill_n_train"] > 0 and rep["distill_n_holdout"] > 0
     # at 400-doc test scale the loss delta can vanish in the 4-decimal
     # report rounding; non-increase is the honest invariant here (the
@@ -255,14 +287,10 @@ def test_corpus_pipeline_distill_classifier(spark, tmp_path):
     blob = open(os.path.join(outdir, "_classifier.bin"), "rb").read()
     m = logit_model_from_bytes(blob)
     assert m["n_buckets"] == 4096 and m["n_docs"] == rep["distill_n_train"]
-    # --distill-classifier without --score refuses
-    p2 = subprocess.run(
-        [
-            "python", os.path.join(REPO, "jobs", "corpus_pipeline_job.py"),
+    # --distill-classifier without --score refuses at argparse time
+    ap = job.build_parser()
+    with pytest.raises(SystemExit):
+        job.validate_args(ap, ap.parse_args([
             "--input", inp, "--output", str(tmp_path / "out2"),
             "--distill-classifier",
-        ],
-        capture_output=True, text=True, timeout=120, cwd=REPO, env=env,
-    )
-    assert p2.returncode != 0
-    assert "requires --score" in (p2.stderr + p2.stdout)
+        ]))
