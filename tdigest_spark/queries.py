@@ -2974,49 +2974,38 @@ WHERE CAST(len(list_filter([la.lv[i] = lb.lv[i] FOR i IN range(1, {MINHASH_K + 1
 """
 
 
-def q_windowed_digest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver face of the STREAMING windowed-digest operator
-    (streaming.windowed_digest_by): runs it as a real Structured
-    Streaming query — file source over the events parquet, update-mode
-    memory sink, applyInPandasWithState with event-time timeout — then
-    reduces the update stream to each window's final state (max n_rows
-    per (window_start, event_type); update rows for a window are
-    monotone prefixes, so the final one reflects all its data whatever
-    the trigger count).  Tumbling 1-day windows keyed by event_type run
-    in the singleton-exact regime (delta=EVENTS_DAY_DELTA), so q500/q900
-    equal the rank oracle sorted[floor(q*n)] exactly — the same
-    contract the batch digest queries are driver-green on."""
-    import tempfile
-    import uuid
-
-    from pyspark.sql import Window
-
-    from . import streaming as ST
-
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded file-source stream over the events parquet.  The parquet
+    stores TIMESTAMP_NTZ; watermarks need TIMESTAMP, and the UTC session
+    tz (plans.get_spark) makes the cast epoch-identical to DuckDB's
+    epoch(ts) on the naive value.  The file source wants a DIRECTORY, so
+    point it at sf_dir with a glob filter for the one file."""
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
-    # the parquet stores TIMESTAMP_NTZ; watermarks need TIMESTAMP, and the
-    # UTC session tz (plans.get_spark) makes the cast epoch-identical to
-    # DuckDB's epoch(ts) on the naive value.  The file source wants a
-    # DIRECTORY, so point it at sf_dir with a glob filter for the one file.
-    sdf = (
+    return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
-    out = ST.windowed_digest_by(
-        sdf,
-        "ts",
-        "value",
-        ["event_type"],
-        window="1 day",
-        watermark="10 minutes",
-        delta=EVENTS_DAY_DELTA,
-        qs=(0.5, 0.9),
-    )
-    name = "win_digest_" + uuid.uuid4().hex[:8]
-    ckpt = tempfile.mkdtemp(prefix="win_digest_ckpt_")
+
+
+def _final_window_states(
+    spark: SparkSession, out: DataFrame, name_prefix: str
+) -> DataFrame:
+    """Run an update-mode windowed streaming operator to completion into
+    a memory sink, then reduce the update stream to each window's FINAL
+    state: max n_rows per (window_start, event_type) — update rows for a
+    window are monotone prefixes, so the final one reflects all its data
+    whatever the trigger count; a closed=true timeout row duplicates the
+    last update's content and loses the closed-asc tiebreak."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    name = name_prefix + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix=name_prefix + "ckpt_")
     q = (
         out.writeStream.format("memory")
         .queryName(name)
@@ -3032,10 +3021,35 @@ def q_windowed_digest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("window_start", "event_type").orderBy(
         F.col("n_rows").desc(), F.col("closed").asc()
     )
-    final = (
+    return (
         upd.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
     )
+
+
+def q_windowed_digest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver face of the STREAMING windowed-digest operator
+    (streaming.windowed_digest_by): runs it as a real Structured
+    Streaming query — file source over the events parquet, update-mode
+    memory sink, applyInPandasWithState with event-time timeout — then
+    reduces the update stream to each window's final state.  Tumbling
+    1-day windows keyed by event_type run in the singleton-exact regime
+    (delta=EVENTS_DAY_DELTA), so q500/q900 equal the rank oracle
+    sorted[floor(q*n)] exactly — the same contract the batch digest
+    queries are driver-green on."""
+    from . import streaming as ST
+
+    out = ST.windowed_digest_by(
+        _events_stream(spark, sf_dir),
+        "ts",
+        "value",
+        ["event_type"],
+        window="1 day",
+        watermark="10 minutes",
+        delta=EVENTS_DAY_DELTA,
+        qs=(0.5, 0.9),
+    )
+    final = _final_window_states(spark, out, "win_digest_")
     return final.select(
         F.col("window_start").cast("long").alias("window_start"),
         F.col("window_end").cast("long").alias("window_end"),
@@ -3060,6 +3074,85 @@ SELECT window_start,
        xs[LEAST(CAST(floor(CAST(0.5 AS DOUBLE) * n) AS BIGINT) + 1, n)] AS q500,
        xs[LEAST(CAST(floor(CAST(0.9 AS DOUBLE) * n) AS BIGINT) + 1, n)] AS q900
 FROM g
+"""
+
+
+def q_windowed_hll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver face of the STREAMING windowed-HLL operator
+    (streaming.windowed_hll_by): distinct users per (1-day window,
+    event_type) as a real streaming query, reduced to final window
+    states.  The md5 bucket/rho lane is deterministic and the oracle
+    recomputes the registers in SQL (same construction the batch
+    `hll_distinct_users` face is driver-green on); round(est, 4)
+    absorbs the sum-order ulps between np.sum, the JVM fold, and
+    DuckDB's sum."""
+    from . import streaming as ST
+
+    out = ST.windowed_hll_by(
+        _events_stream(spark, sf_dir),
+        "ts",
+        "user_id",
+        ["event_type"],
+        window="1 day",
+        watermark="10 minutes",
+        p=HLL_P,
+    )
+    final = _final_window_states(spark, out, "win_hll_")
+    return final.select(
+        F.col("window_start").cast("long").alias("window_start"),
+        F.col("window_end").cast("long").alias("window_end"),
+        "event_type",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(F.col("distinct_est"), 4).alias("n_distinct_est"),
+    )
+
+
+def _sql_windowed_hll_events() -> str:
+    m = 1 << HLL_P
+    alpha = "{:.17e}".format(0.7213 / (1.0 + 1.079 / m))
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS window_start,
+         user_id, md5('hll:' || CAST(user_id AS VARCHAR)) AS hh
+  FROM events WHERE user_id IS NOT NULL
+), br AS (
+  SELECT event_type, window_start,
+         ('0x' || substr(hh, 1, 3))::BIGINT AS bucket,
+         length(substr(hh, 4, 13))
+           - length(regexp_replace(substr(hh, 4, 13), '^0+', '')) AS z,
+         TRY_CAST('0x' || substr(regexp_replace(substr(hh, 4, 13), '^0+', ''), 1, 1)
+                  AS BIGINT) AS first
+  FROM h
+), rho AS (
+  SELECT event_type, window_start, bucket,
+         CASE WHEN z = 13 THEN 53
+              ELSE z * 4 + (CASE WHEN first >= 8 THEN 0 WHEN first >= 4 THEN 1
+                                 WHEN first >= 2 THEN 2 ELSE 3 END) + 1 END AS r
+  FROM br
+), regs AS (
+  SELECT event_type, window_start, bucket, max(r) AS maxrho
+  FROM rho GROUP BY 1, 2, 3
+), agg AS (
+  SELECT event_type, window_start,
+         sum(power(2.0, -maxrho)) + ({m} - count(*)) * 1.0 AS raw_sum,
+         CAST({m} - count(*) AS DOUBLE) AS zeros
+  FROM regs GROUP BY 1, 2
+), nr AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS window_start,
+         CAST(count(user_id) AS BIGINT) AS n_rows
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+)
+SELECT agg.window_start,
+       agg.window_start + 86400 AS window_end,
+       agg.event_type,
+       nr.n_rows,
+       round(CASE WHEN ({alpha} * {m} * {m} / raw_sum) <= 2.5 * {m} AND zeros > 0
+                  THEN {m} * ln({m} / zeros)
+                  ELSE {alpha} * {m} * {m} / raw_sum END, 4) AS n_distinct_est
+FROM agg JOIN nr ON agg.event_type = nr.event_type
+                AND agg.window_start = nr.window_start
 """
 
 
@@ -4200,6 +4293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_project": q_random_project,
         "similarity_join": q_similarity_join,
         "windowed_digest_events": q_windowed_digest_events,
+        "windowed_hll_events": q_windowed_hll_events,
         "tdigest_cdf_by_lang": q_tdigest_cdf_by_lang,
         "tdigest_drift_by_lang": q_tdigest_drift_by_lang,
         "tdigest_trimmed_mean_by_lang": q_tdigest_trimmed_mean_by_lang,
@@ -4289,6 +4383,7 @@ def oracle_sql() -> dict[str, str]:
         "random_project": _sql_random_project(),
         "similarity_join": _sql_similarity_join(),
         "windowed_digest_events": _SQL_WINDOWED_DIGEST_EVENTS,
+        "windowed_hll_events": _sql_windowed_hll_events(),
         "tdigest_cdf_by_lang": _SQL_CDF_BY_LANG,
         "tdigest_drift_by_lang": _SQL_DRIFT_BY_LANG,
         "tdigest_trimmed_mean_by_lang": _SQL_TRIMMED_MEAN_BY_LANG,

@@ -621,14 +621,31 @@ def test_shuffle_totals_measures_exchange_volume(spark, docs):
     """shuffle_totals: a groupBy moves bytes, a pure projection moves
     none — the measured counterpart of every string-level plan audit
     in this file."""
+    import time
+
     from tdigest_spark.plans import shuffle_totals
 
-    w0, _ = shuffle_totals(spark)
+    def settled() -> int:
+        # the app-status store ingests task metrics ASYNCHRONOUSLY: a
+        # snapshot taken right after collect() can under-read and the
+        # missing bytes then land between two later snapshots (this bit
+        # as a full-suite order-dependent flake).  Poll until two
+        # consecutive reads agree.
+        prev, _ = shuffle_totals(spark)
+        for _ in range(50):
+            time.sleep(0.1)
+            cur, _ = shuffle_totals(spark)
+            if cur == prev:
+                return cur
+            prev = cur
+        return prev
+
+    w0 = settled()
     docs.groupBy("lang").count().collect()
-    w1, _ = shuffle_totals(spark)
+    w1 = settled()
     assert w1 > w0
     docs.select((F.col("n_chars") + 1).alias("x")).limit(5).collect()
-    w2, _ = shuffle_totals(spark)
+    w2 = settled()
     assert w2 == w1  # narrow projection + CollectLimit: zero shuffle
 
 
