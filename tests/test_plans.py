@@ -342,6 +342,32 @@ def test_lsh_incremental_pairs_equi_join_only(docs):
     assert "partial_count" in plan  # map-side-combined bucket-size guard
 
 
+def test_similarity_join_equi_join_no_text_shuffle(docs):
+    """The two-table fuzzy join (round-5 driver face): banded candidates
+    via hash/merge equi-joins only, index-side bucket guard as a partial
+    aggregation, and the text column itself never crosses an Exchange
+    or a Join — only signatures and band keys move."""
+    from pyspark.sql import functions as F
+
+    from tdigest_spark.operators.dedup import similarity_join
+
+    left = docs.select(
+        F.col("doc_id").alias("query_id"),
+        F.expr("substring(text, 1, n_chars - 20)").alias("text"),
+    )
+    out = similarity_join(left, docs, left_id="query_id", right_id="doc_id")
+    plan = explain_str(out, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # index-side bucket guard, map-combined
+    # text feeds only scan-stage hashing: it may appear in scans and
+    # projections but never in an Exchange's or Join's output attributes
+    for line in plan.splitlines():
+        if line.lstrip().startswith(("+- Exchange", "Exchange",
+                                     "+- SortMergeJoin", "SortMergeJoin")):
+            assert "text#" not in line, line
+
+
 def test_chunk_tokens_scan_stage_only(docs):
     """Chunking is tokens -> sequence/transform/slice -> one posexplode:
     no shuffle, no Python — linear in text bytes."""
