@@ -552,6 +552,15 @@ def main() -> None:
         # local-mode default; a cluster submit overrides via --conf/--driver-memory
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
+        # every stage is a deterministic, task-commit-protected transform,
+        # so speculation is safe — and it is the mitigation for the rare
+        # python-runner socket wedge observed once at 4M docs (one task of
+        # 64 deadlocked with both socket directions full while its 63
+        # peers finished in ~98 s; a speculative copy completes the stage
+        # and Spark kills the wedged original)
+        .config("spark.speculation", "true")
+        .config("spark.speculation.multiplier", "4")
+        .config("spark.speculation.quantile", "0.9")
         .getOrCreate()
     )
     report = run(spark, args)
