@@ -3077,6 +3077,58 @@ FROM g
 """
 
 
+def q_windowed_digest_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window variant of the streaming windowed-digest face:
+    1-day windows sliding every 12 hours, so every event lands in
+    exactly two overlapping windows (the operator's pane-explode
+    membership path, which the tumbling face never exercises).  Same
+    singleton-exact regime and rank-formula oracle; the oracle
+    reproduces membership as window_start = floor(ts/slide)*slide - k*slide
+    for k in {0, 1}."""
+    from . import streaming as ST
+
+    out = ST.windowed_digest_by(
+        _events_stream(spark, sf_dir),
+        "ts",
+        "value",
+        ["event_type"],
+        window="1 day",
+        slide="12 hours",
+        watermark="10 minutes",
+        delta=EVENTS_DAY_DELTA,
+        qs=(0.5,),
+    )
+    final = _final_window_states(spark, out, "win_digest_sl_")
+    return final.select(
+        F.col("window_start").cast("long").alias("window_start"),
+        F.col("window_end").cast("long").alias("window_end"),
+        "event_type",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("q500").cast("double").alias("q500"),
+    )
+
+
+_SQL_WINDOWED_DIGEST_SLIDING = """
+WITH panes AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 43200) * 43200 AS BIGINT) - 43200 * k.k
+           AS window_start,
+         CAST(value AS DOUBLE) AS v
+  FROM events CROSS JOIN (VALUES (0), (1)) k(k)
+), g AS (
+  SELECT event_type, window_start,
+         list_sort(list(v)) AS xs, count(*) AS n
+  FROM panes GROUP BY 1, 2
+)
+SELECT window_start,
+       window_start + 86400 AS window_end,
+       event_type,
+       CAST(n AS BIGINT) AS n_rows,
+       xs[LEAST(CAST(floor(CAST(0.5 AS DOUBLE) * n) AS BIGINT) + 1, n)] AS q500
+FROM g
+"""
+
+
 def q_windowed_hll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver face of the STREAMING windowed-HLL operator
     (streaming.windowed_hll_by): distinct users per (1-day window,
@@ -4294,6 +4346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join": q_similarity_join,
         "windowed_digest_events": q_windowed_digest_events,
         "windowed_hll_events": q_windowed_hll_events,
+        "windowed_digest_sliding": q_windowed_digest_sliding,
         "tdigest_cdf_by_lang": q_tdigest_cdf_by_lang,
         "tdigest_drift_by_lang": q_tdigest_drift_by_lang,
         "tdigest_trimmed_mean_by_lang": q_tdigest_trimmed_mean_by_lang,
@@ -4384,6 +4437,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_join": _sql_similarity_join(),
         "windowed_digest_events": _SQL_WINDOWED_DIGEST_EVENTS,
         "windowed_hll_events": _sql_windowed_hll_events(),
+        "windowed_digest_sliding": _SQL_WINDOWED_DIGEST_SLIDING,
         "tdigest_cdf_by_lang": _SQL_CDF_BY_LANG,
         "tdigest_drift_by_lang": _SQL_DRIFT_BY_LANG,
         "tdigest_trimmed_mean_by_lang": _SQL_TRIMMED_MEAN_BY_LANG,

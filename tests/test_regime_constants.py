@@ -276,3 +276,31 @@ def test_truncation_constants_stay_below_min_doc_length(sf_dir):
         f"min n_chars {min_chars} at {sf_dir} within {biggest_trunc}+5 of "
         "the recrawl truncation — empty-slice parity is unproven"
     )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_sliding_window_groups_stay_in_singleton_regime(sf_dir):
+    """windowed_digest_sliding's 24h windows are OFFSET from calendar
+    days (12h slide), so a traffic pattern concentrated across midnight
+    could make an offset window up to ~2x the largest calendar-day group
+    the main bound checks.  Recompute the actual max offset-window group
+    with the oracle's own pane formula."""
+    con = duckdb.connect()
+    max_win = _one(
+        con,
+        f"""
+WITH panes AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 43200) * 43200 AS BIGINT) - 43200 * k.k
+           AS window_start
+  FROM '{sf_dir}/events.parquet' CROSS JOIN (VALUES (0), (1)) k(k)
+)
+SELECT max(c) FROM (
+  SELECT count(*) AS c FROM panes GROUP BY event_type, window_start
+)
+""",
+    )
+    assert Q.EVENTS_DAY_DELTA >= MARGIN * max_win, (
+        f"EVENTS_DAY_DELTA={Q.EVENTS_DAY_DELTA} vs max sliding-window "
+        f"group {max_win} at {sf_dir}"
+    )
