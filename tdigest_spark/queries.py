@@ -2980,6 +2980,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tz (plans.get_spark) makes the cast epoch-identical to DuckDB's
     epoch(ts) on the naive value.  The file source wants a DIRECTORY, so
     point it at sf_dir with a glob filter for the one file."""
+    # the NTZ -> TIMESTAMP cast interprets wall-clock in the SESSION tz;
+    # pin UTC explicitly so the window epochs match the oracle's
+    # epoch(ts) under ANY driver session configuration (idempotent on
+    # the plans.get_spark sessions, which already set UTC; every other
+    # query in the battery is tz-independent, so the set is safe)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     return (
