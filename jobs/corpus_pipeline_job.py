@@ -116,22 +116,32 @@ def build_parser():
     return ap
 
 
-def validate_args(ap, args) -> None:
+def _validate(args) -> None:
+    """Fail-fast argument rules, parser-free so the importable run()
+    enforces them too (hitting these mid-pipeline would discard hours
+    of upstream work)."""
     if args.span_dedup_k == 1:
-        # fail BEFORE the Spark session: the operator rejects k < 2, and
-        # hitting that at stage 3.4 would discard an hour of upstream work
-        ap.error("--span-dedup-k must be 0 (off) or >= 2")
+        raise ValueError("--span-dedup-k must be 0 (off) or >= 2")
     if args.distill_classifier and not args.score:
-        # same argparse-time rule: this used to fire at stage 3.8, after
-        # extract/quality/dedup/decon had already run for hours
-        ap.error("--distill-classifier requires --score")
+        raise ValueError("--distill-classifier requires --score")
+
+
+def validate_args(ap, args) -> None:
+    try:
+        _validate(args)
+    except ValueError as e:
+        # argparse-time face: usage + exit(2) BEFORE the Spark session
+        ap.error(str(e))
 
 
 def run(spark, args) -> dict:
     """The whole pipeline on a CALLER-provided session; returns the
     report dict main() prints.  Importable so a driver program (or a
     test) can run/resume the pipeline without a spark-submit JVM
-    launch: ``run(spark, build_parser().parse_args([...]))``."""
+    launch: ``run(spark, build_parser().parse_args([...]))``.
+    Applies the same fail-fast argument rules main() does."""
+    _validate(args)
+
     from pyspark import StorageLevel
 
     from tdigest_spark import sketches as SK

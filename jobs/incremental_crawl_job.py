@@ -183,44 +183,52 @@ def run(spark, args) -> dict:
             )
             return (nxt << _HASH_BITS) | suffix
 
-        if same_snapshot:
-            # Identity is only a 48-bit hash prefix; before reusing the
-            # id (and thereby excluding that batch's signatures from the
-            # dedup read + overwriting its dir) verify the FULL snapshot
-            # string against the batch's _snapshot sidecar.  A suffix
-            # collision between two different snapshots (~2^-48 per pair
-            # but SILENT data loss when it fires) allocates a fresh
-            # sequence id instead; a pre-sidecar batch logs the reuse
-            # decision with both strings.
-            cand = max(same_snapshot)
+        # Identity is only a 48-bit hash prefix; before reusing an id
+        # (and thereby excluding that batch's signatures from the dedup
+        # read + overwriting its dir) verify the FULL snapshot string
+        # against the batch's _snapshot sidecar.  Scan ALL same-suffix
+        # candidates (newest first), not just the max: after a real
+        # suffix collision there are several batches with this suffix
+        # and only the one whose sidecar matches is OUR previous write —
+        # picking max() would make a rerun of the EARLIER snapshot
+        # mistake the collider's batch for foreign, allocate a fresh id,
+        # keep its own old signatures in the dedup read, and self-dedup
+        # to an empty output.  A pre-sidecar batch (no _snapshot file)
+        # is reused only when it is the sole candidate, with the
+        # decision logged.
+        batch_id = None
+        unverified = []
+        for cand in sorted(same_snapshot, reverse=True):
             side = _fs_read_bytes(
                 spark, f"{args.index_dir}/batch={cand:020d}__dir/_snapshot"
             )
-            if side is not None and side.decode("utf-8") != args.new_snapshot:
+            if side is None:
+                unverified.append(cand)
+            elif side.decode("utf-8") == args.new_snapshot:
+                batch_id = cand
+                break
+        if batch_id is None and unverified:
+            batch_id = max(unverified)
+            print(
+                json.dumps({
+                    "info": "reusing batch id by 48-bit suffix "
+                            "(no _snapshot sidecar to verify)",
+                    "new_snapshot": args.new_snapshot,
+                    "batch_id": batch_id,
+                }),
+                file=sys.stderr,
+            )
+        if batch_id is None:
+            if same_snapshot:
                 print(
                     json.dumps({
                         "warn": "snapshot id-suffix collision; allocating "
                                 "a fresh batch id",
-                        "existing_snapshot": side.decode("utf-8"),
                         "new_snapshot": args.new_snapshot,
-                        "batch_id_not_reused": cand,
+                        "batch_ids_not_reused": sorted(same_snapshot),
                     }),
                     file=sys.stderr,
                 )
-                batch_id = _fresh_id()
-            else:
-                if side is None:
-                    print(
-                        json.dumps({
-                            "info": "reusing batch id by 48-bit suffix "
-                                    "(no _snapshot sidecar to verify)",
-                            "new_snapshot": args.new_snapshot,
-                            "batch_id": cand,
-                        }),
-                        file=sys.stderr,
-                    )
-                batch_id = cand
-        else:
             batch_id = _fresh_id()
 
     # Path-level exclusion of the current batch's own directory: the

@@ -118,6 +118,13 @@ def decode_ppm(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     if raster.size < w * h * ch:
         raise ValueError("truncated PPM raster")
     raster = raster[: w * h * ch]
+    if maxval != 255:
+        # spec-legal low-maxval files (e.g. 4-bit quantizers write
+        # maxval 15) carry samples 0..maxval; rescale to the operator
+        # contract's full 0..255 range with round-half-up integer math
+        raster = (
+            (raster.astype(np.int64) * 255 + maxval // 2) // maxval
+        ).astype(np.uint8)
     if ch == 3:
         rgb = raster.reshape(-1, 3).astype(np.int64)
         raster = (

@@ -3010,6 +3010,8 @@ def _final_window_states(
 
     from pyspark.sql import Window
 
+    import shutil
+
     name = name_prefix + uuid.uuid4().hex[:8]
     ckpt = tempfile.mkdtemp(prefix=name_prefix + "ckpt_")
     q = (
@@ -3023,6 +3025,10 @@ def _final_window_states(
         q.processAllAvailable()
     finally:
         q.stop()
+        # the stream is done; its checkpoint is dead weight (bench runs
+        # each face twice per trial pair — leaks add up).  The memory-sink
+        # TABLE must stay: the returned DataFrame reads it.
+        shutil.rmtree(ckpt, ignore_errors=True)
     upd = spark.table(name)
     w = Window.partitionBy("window_start", "event_type").orderBy(
         F.col("n_rows").desc(), F.col("closed").asc()
@@ -4344,9 +4350,11 @@ WHERE bit_count(xor(('0x' || a.ahash)::UBIGINT,
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver verifies only the FIRST 50 entries and
-    # regenerates testdata each round — never-driver-green / new faces
-    # lead, then the 32 entries whose last driver row is r2/r3-era,
-    # then 15 r4-green refresh picks; the rest are r4-green.
+    # regenerates testdata each round — the 5 new round-5 faces lead,
+    # then the 32 entries whose last driver row is r2/r3-era, then 13
+    # r4-green refresh picks (through position 50, ending at
+    # bpe_merge_candidates — r3's historical red stays in-window); the
+    # remaining 36 are all r4-green.
     return {
         "random_project": q_random_project,
         "similarity_join": q_similarity_join,
@@ -4396,10 +4404,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "pq_adc_topk": q_pq_adc_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
-        "bm25_topk_docs": q_bm25_topk_docs,
-        "decontaminate_docs": q_decontaminate_docs,
         "gram_embeddings": q_gram_embeddings,
         "bpe_merge_candidates": q_bpe_merge_candidates,
+        "bm25_topk_docs": q_bm25_topk_docs,
+        "decontaminate_docs": q_decontaminate_docs,
         "line_dedup_corpus": q_line_dedup_corpus,
         "span_dedup_corpus": q_span_dedup_corpus,
         "dsir_weights": q_dsir_weights,
@@ -4487,10 +4495,10 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "pq_adc_topk": _sql_pq_adc_topk(),
         "ivf_pq_topk": _sql_ivf_pq_topk(),
-        "bm25_topk_docs": _sql_bm25_topk_docs(),
-        "decontaminate_docs": _sql_decontaminate_docs(),
         "gram_embeddings": _sql_gram_embeddings(),
         "bpe_merge_candidates": _sql_bpe_merge_candidates(),
+        "bm25_topk_docs": _sql_bm25_topk_docs(),
+        "decontaminate_docs": _sql_decontaminate_docs(),
         "line_dedup_corpus": _SQL_LINE_DEDUP_CORPUS,
         "span_dedup_corpus": _SQL_SPAN_DEDUP_CORPUS,
         "dsir_weights": _SQL_DSIR_WEIGHTS,

@@ -101,21 +101,31 @@ def _fs_write_bytes(spark: SparkSession, path: str, data: bytes) -> None:
     import uuid
 
     fs, jp = _fs_path(spark, path)
-    # uuid-suffixed temp name: two concurrent writers to the same path
-    # each rename THEIR OWN complete temp file into place (last rename
-    # wins whole) instead of cross-renaming each other's partial
-    # .inprogress; the rename stays the commit point
+    # uuid-suffixed temp name: with the old FIXED '.inprogress' name two
+    # concurrent writers could cross-rename each other's PARTIAL file
+    # into place; with per-writer temps each rename moves a COMPLETE
+    # file.  The jobs as shipped are single-writer per path, and that is
+    # still the real contract: on filesystems without atomic
+    # delete+rename (HDFS/S3A) two truly concurrent writers can still
+    # interleave the delete/rename pair (one sees its rename fail, or a
+    # brief window with no manifest — acceptable under the
+    # presence-certifies-completeness contract, never a partial file).
     tmp = spark._jvm.org.apache.hadoop.fs.Path(  # type: ignore[union-attr]
         f"{path}.inprogress.{uuid.uuid4().hex[:12]}"
     )
     stream = fs.create(tmp, True)
     try:
         stream.write(data)
-    finally:
+    except BaseException:
+        stream.close()
+        fs.delete(tmp, False)  # do not leak a uuid temp per failed write
+        raise
+    else:
         stream.close()
     if fs.exists(jp):
         fs.delete(jp, False)
     if not fs.rename(tmp, jp):
+        fs.delete(tmp, False)
         raise IOError(f"rename {tmp} -> {jp} failed")
 
 

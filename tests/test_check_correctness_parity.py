@@ -85,3 +85,18 @@ def test_parity_no_false_positive_on_timestamps_and_decimals():
     )
     rows = [(dt.datetime(2024, 1, 1, 0, 0, 7, 179575), Decimal("12.34"))]
     assert cc.driver_parity_check(rows, ["ts", "m"], res) is None
+
+
+def test_parity_no_false_positive_on_all_null_numeric_column():
+    """An ANSI 0/0 guard can yield an ALL-NULL numeric column at some SF:
+    the from-rows Spark frame keeps object None while DuckDB's .df()
+    materializes float64 NaN — the driver treats the pair as equal, so
+    parity must too (the fetchall() compare still distinguishes genuine
+    NaN values from NULLs)."""
+    con = duckdb.connect()
+    res = con.execute(
+        "SELECT * FROM (VALUES (1, CAST(NULL AS DOUBLE)), "
+        "(2, CAST(NULL AS DOUBLE))) t(k, v)"
+    )
+    rows = [(1, None), (2, None)]
+    assert cc.driver_parity_check(rows, ["k", "v"], res) is None

@@ -319,3 +319,17 @@ def test_ahash_maps_any_decoder_exception_to_none():
 
     assert M.ahash64_hex(b"anything", dec=angry_decoder) is None
     assert M.ahash64_hex(b"anything", dec=keyerror_decoder) is None
+
+
+def test_ppm_low_maxval_rescales_to_full_range():
+    """Spec-legal PGMs with maxval < 255 (4-bit quantizers write 15)
+    carry samples 0..maxval; the decoder rescales to the operator
+    contract's 0..255 so a bright low-maxval image doesn't read as
+    near-black through extract/ahash."""
+    img4 = np.array([[0, 5, 10, 15]], dtype=np.uint8)  # maxval-15 samples
+    blob = b"P5\n4 1\n15\n" + img4.tobytes()
+    w, h, fr, payload = M.decode_ppm(blob)
+    assert payload.tolist() == [0, 85, 170, 255]  # round-half-up 255/15
+    # P6 low-maxval: pure red at maxval 3 -> full-range red luma
+    blob6 = b"P6\n1 1\n3\n" + bytes([3, 0, 0])
+    assert M.decode_ppm(blob6)[3].tolist() == [76]  # 299*255//1000

@@ -356,16 +356,31 @@ def test_similarity_join_equi_join_no_text_shuffle(docs):
         F.expr("substring(text, 1, n_chars - 20)").alias("text"),
     )
     out = similarity_join(left, docs, left_id="query_id", right_id="doc_id")
-    plan = explain_str(out, "simple")
+    plan = explain_str(out)  # formatted: each node's full attribute block
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan  # index-side bucket guard, map-combined
     # text feeds only scan-stage hashing: it may appear in scans and
-    # projections but never in an Exchange's or Join's output attributes
-    for line in plan.splitlines():
-        if line.lstrip().startswith(("+- Exchange", "Exchange",
-                                     "+- SortMergeJoin", "SortMergeJoin")):
-            assert "text#" not in line, line
+    # projections but never in a HASH-partitioned Exchange's or a Join
+    # node's attribute block (same audit shape as
+    # test_repetition_stats_narrow_join_no_text — simple-mode one-liners
+    # print only keys, which made an earlier version of this assertion
+    # vacuous).  The ONE allowed text-carrying Exchange shape is
+    # ensure_parallelism's round-robin REPARTITION_BY_NUM: it fires only
+    # when the input has fewer partitions than cores (true for this
+    # single-file sf0.001 fixture, a no-op at corpus scale) — anything
+    # else moving text is a real regression.
+    checked = 0
+    for block in plan.split("\n\n"):
+        head = block.lstrip().split("\n")[0]
+        if not head.startswith("(") or not ("Exchange" in head or "Join" in head):
+            continue
+        checked += 1
+        if "Exchange" in head and "REPARTITION_BY_NUM" in block \
+                and "RoundRobinPartitioning" in block:
+            continue
+        assert "text#" not in block, block.splitlines()[:3]
+    assert checked >= 3  # the banded join + verify joins must be present
 
 
 def test_chunk_tokens_scan_stage_only(docs):

@@ -112,7 +112,12 @@ def _norm_pandas_cell(v):
         return repr(float(v))
     if isinstance(v, (float, np.floating)):
         f = float(v)
-        return "NaN" if f != f else repr(f)
+        # NaN folds to NULL in PARITY mode only: an all-None column stays
+        # object (None) on the from-rows Spark side but materializes as
+        # float64 NaN through DuckDB's .df() — the driver treats the pair
+        # as equal, and the exact fetchall() compare still distinguishes
+        # genuine NaN values from NULLs
+        return "NULL" if f != f else repr(f)
     if isinstance(v, (bool, np.bool_)):
         return str(int(v))
     if isinstance(v, np.integer):
